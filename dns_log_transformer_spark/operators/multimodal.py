@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Convention (the lakehouse-standard shape for image/audio/video at scale):
+a row carries ``blob: binary`` plus lightweight typed metadata columns;
+heavy decode/feature work runs in Arrow-batched ``mapInPandas`` so bytes
+stream through Python in columnar batches, never row-at-a-time.
+
+The decode step itself is STUBBED in this environment (no PIL/ffmpeg in
+the container): ``decode_image_meta`` raises NotImplementedError unless a
+decoder is injected, and ``fake_image_meta`` provides the deterministic
+stand-in used by tests/oracle — the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the image-metadata extractor.
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, channels int"
+)
+
+
+def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stand-in payload: utf-8 bytes of the text column as ``blob``.
+    (Real pipelines read the bytes from object storage / parquet binary.)"""
+    return df.withColumn("blob", F.encode(F.col(text_col), "UTF-8"))
+
+
+def fake_image_meta(blob: bytes, doc_id: int) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image header decode:
+    width = n_bytes % 640, height = doc_id % 480, channels = 3."""
+    return (len(blob) % 640, doc_id % 480, 3)
+
+
+def image_meta(
+    df: DataFrame,
+    decoder: Callable[[bytes, int], tuple[int, int, int]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Extract per-image metadata from binary payloads via mapInPandas.
+
+    ``decoder(blob, id) -> (width, height, channels)``; defaults to the
+    deterministic fake. Passing a real decoder (e.g. PIL-based) is the
+    production path:
+
+        def pil_decoder(blob, _id):
+            raise NotImplementedError("PIL not available in this container")
+    """
+    dec = decoder or fake_image_meta
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [dec(b, i) for b, i in zip(pdf["blob"], pdf[id_col])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf["blob"].map(len).astype("int64"),
+                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
+                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "channels": pd.Series([m[2] for m in meta], dtype="int32"),
+                }
+            )
+
+    blobs = df if "blob" in df.columns else attach_blob(df)
+    return blobs.select(id_col, "blob").mapInPandas(extract, IMAGE_META_SCHEMA)
+
+
+#: Frame-sampling: pick n byte offsets per payload (the video analog —
+#: real frame extraction needs ffmpeg; offsets make the fan-out testable).
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, byte_offset bigint"
+
+
+def frame_offsets(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """1 -> n_frames fan-out with deterministic offsets i*len/n — pure
+    column ops (no UDF): the explode pattern every frame-sampler shares."""
+    blobs = df if "blob" in df.columns else attach_blob(df)
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    return (
+        blobs.select(
+            F.col(id_col).alias("doc_id"),
+            F.octet_length("blob").cast("long").alias("n_bytes"),
+            F.explode(idx).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.floor(F.col("frame_idx") * F.col("n_bytes") / n_frames)
+            .cast("long")
+            .alias("byte_offset"),
+        )
+    )

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+- brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the corpus, one pass, window top-k per query. Scales
+  linearly in corpus size; right answer for <= a few thousand queries.
+- random-hyperplane LSH — the scale path: 16 signed projections bucket
+  each vector into a 16-bit key; candidates share a bucket, so search is
+  an equi-join instead of a cross join. Projection is a numpy matmul in
+  an Arrow-batched pandas UDF (the one place Python beats SQL here).
+
+Dot products in the SQL path use zip_with + aggregate (sequential left
+fold in array order) so the DuckDB oracle's list_sum fold reproduces the
+exact same floating-point value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMBEDDING_DIM = 64
+NUM_PLANES = 16
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic fp order)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: corpus x broadcast(queries) -> cosine ->
+    row_number <= k. Ranking uses the cosine *rounded to 4 decimals* with
+    the candidate id as tie-break — a total order both engines agree on
+    (raw float ranks could flip on last-bit differences).
+
+    Output: (query_id, vec_id, cos_sim, rnk).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos_sim", "rnk")
+    )
+
+
+def lsh_planes(num_planes: int = NUM_PLANES, dim: int = EMBEDDING_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign p,i = parity of the first hex
+    nibble of md5('<p>_<i>'). Engine-independent, so the DuckDB oracle can
+    inline the same planes as literals."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def with_lsh_bucket(
+    emb: DataFrame,
+    num_planes: int = NUM_PLANES,
+    dim: int = EMBEDDING_DIM,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``lsh_key``: bit p = 1 iff dot(vec, plane_p) > 0, packed into
+    an int. Vectorized: one numpy (batch x dim) @ (dim x planes) matmul
+    per Arrow batch — the pandas-UDF fast path, ~100x a per-row UDF."""
+    planes = np.array(lsh_planes(num_planes, dim), dtype=np.float64).T  # dim x p
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # batch x dim
+        bits = (mat @ planes) > 0  # batch x planes
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return emb.withColumn("lsh_key", bucket(F.col(vec_col)))
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors in the query's LSH
+    bucket (equi-join on lsh_key — no cross join), then exact cosine +
+    window top-k within candidates. Recall is tunable via multi-probe /
+    fewer planes; this is the 100 TB shape (bucket join ~ O(n)).
+    """
+    c = with_lsh_bucket(emb, num_planes, dim, vec_col)
+    q = with_lsh_bucket(queries, num_planes, dim, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "lsh_key",
+    )
+    scored = (
+        c.join(q, "lsh_key")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos_sim", "rnk")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= threshold. Exact variant
+    (self-join); at scale swap the join for the LSH bucket join above.
+    Output: (id_a, id_b, cos_sim)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    cos = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 4))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators: tokenization, quality, language ID,
+fingerprinting — over a string column, built entirely from codegen'd
+string/array functions (no Python in the hot path).
+
+Algorithms are deliberately simple, *deterministic*, and SQL-expressible
+so the DuckDB oracle can replicate them bit-for-bit; each is the standard
+cheap heuristic used in large-scale corpus filtering (length/punctuation/
+stopword stats a la Gopher rules; n-gram-free stopword language ID).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Stopword sets for the heuristic scorers. Tiny by design: membership of
+#: high-frequency function words is the signal, not coverage.
+EN_STOPWORDS = ("the", "a", "is", "of", "and", "to", "in")
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": EN_STOPWORDS,
+    "es": ("el", "la", "de", "que", "y", "los", "un"),
+    "fr": ("le", "la", "de", "et", "un", "les", "des"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+}
+#: Deterministic priority when scores tie (higher-priority first).
+LANG_PRIORITY = ("en", "es", "fr", "de")
+
+#: BPE-ish pre-tokenizer: alpha runs | digit runs | single non-space symbol.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens (whitespace) and n_bpe_tokens (regex pre-tokenizer
+    count — the cheap proxy for BPE token count used for doc budgeting)."""
+    toks = tokens(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
+        "n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).cast("long")
+    )
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in the stopword set (array filter, JVM-side)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality stats + one blended score:
+
+    - n_chars, n_tokens, mean_token_len;
+    - alpha_ratio  (alphabetic chars / chars);
+    - stopword_ratio (EN stopword tokens / tokens);
+    - quality_score = 0.4*alpha_ratio + 0.4*min(stopword_ratio*5, 1)
+                      + 0.2*min(n_tokens/100, 1)   (rounded to 4)
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t).cast("double")
+    n_toks = F.size(toks)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    sw_ratio = F.when(
+        n_toks > 0,
+        stopword_hits(toks, EN_STOPWORDS).cast("double") / n_toks.cast("double"),
+    ).otherwise(F.lit(0.0))
+    score = (
+        0.4 * alpha_ratio
+        + 0.4 * F.least(sw_ratio * 5, F.lit(1.0))
+        + 0.2 * F.least(n_toks.cast("double") / 100, F.lit(1.0))
+    )
+    return (
+        df.withColumn("n_chars_m", F.length(t).cast("long"))
+        .withColumn("n_tokens", n_toks.cast("long"))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 4))
+        .withColumn("stopword_ratio", F.round(sw_ratio, 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-membership language ID. Scores each language's stopword
+    hits; argmax with the fixed LANG_PRIORITY tie-break; all-zero -> 'und'.
+    (An n-gram-frequency model is the production upgrade; membership
+    scoring keeps the operator fully JVM-side and oracle-replicable.)"""
+    toks = tokens(F.col(text_col))
+    scores = {lang: stopword_hits(toks, ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = df
+    for lang in LANG_PRIORITY:
+        out = out.withColumn(f"score_{lang}", scores[lang].cast("long"))
+    return out.withColumn("lang_pred", pred)
+
+
+def normalized(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints over normalized text:
+    - fingerprint: md5 hex (exact-dup key);
+    - fingerprint64: first 16 hex chars (compact 64-bit join key)."""
+    fp = F.md5(F.encode(normalized(F.col(text_col)), "UTF-8"))
+    return df.withColumn("fingerprint", fp).withColumn(
+        "fingerprint64", F.substring(fp, 1, 16)
+    )

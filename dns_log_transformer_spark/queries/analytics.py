@@ -1,0 +1,708 @@
+"""Batch analytics queries — the SURVEY.md §2.4 capability inventory.
+
+The reference has zero joins/aggs/windows/sorts/set-ops (verified:
+/root/reference/app/app.py is the only code file — a record-at-a-time
+loop). This module provides that surface with built-in, codegen'd Spark
+operators over the TPC-H-ish fixtures, each paired with a DuckDB oracle.
+
+Scale notes (100 TB stance), applied throughout:
+- dimension tables (region/nation/supplier/part/customer) are broadcast —
+  no shuffle of the fact table for those joins;
+- aggregations rely on partial (map-side) aggregation: plain groupBy/agg;
+- double aggregates are rounded in BOTH engines: summation order differs
+  across partitions, so last-bit floats would never hash-match;
+- top-k uses window + filter (no global collect), with total tie-break
+  orders so results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.queries.registry import register, table
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: full hash-agg with 8 aggregates (partial+final automatic)
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan -> filter (pushed to parquet)
+    -> hash aggregate. The canonical partial+final agg benchmark."""
+    li = table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter + global agg: predicate/column pushdown showcase
+# ---------------------------------------------------------------------------
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q6-style: all predicates reach the parquet scan (check
+    PushedFilters in .explain); reads only 4 of 11 columns."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + agg + top-N (fact shuffled once; dims broadcast)
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE)                         AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q3-style: selective dim filter -> broadcast customer into
+    orders, shuffle-join lineitem on orderkey, agg, top-10."""
+    cust = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust.select("c_custkey")),
+                    orders.o_custkey == cust.c_custkey,
+                )
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6-way star join with broadcast dims
+# ---------------------------------------------------------------------------
+@register(
+    "q5_region_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q5-style 6-way star join. Every dimension is broadcast; the
+    only shuffles are fact-fact (orders<->lineitem) and the final agg."""
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    region = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS as left_semi join (no row multiplication, no dedup needed)."""
+    orders = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS as left_anti join."""
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer join
+# ---------------------------------------------------------------------------
+@register(
+    "q_customer_order_counts",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_customer_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0)."""
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@register(
+    "q_segment_set_ops",
+    oracle="""
+    WITH building AS (SELECT o_custkey AS custkey FROM orders
+                      JOIN customer ON o_custkey = c_custkey
+                      WHERE c_mktsegment = 'BUILDING'),
+         highval  AS (SELECT o_custkey AS custkey FROM orders
+                      WHERE o_totalprice > 200000)
+    SELECT 'intersect' AS op, COUNT(*) AS n
+      FROM (SELECT DISTINCT custkey FROM building
+            INTERSECT SELECT DISTINCT custkey FROM highval)
+    UNION ALL
+    SELECT 'except', COUNT(*)
+      FROM (SELECT DISTINCT custkey FROM building
+            EXCEPT SELECT DISTINCT custkey FROM highval)
+    UNION ALL
+    SELECT 'union', COUNT(*)
+      FROM (SELECT custkey FROM building UNION SELECT custkey FROM highval)
+    """,
+)
+def q_segment_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """union / intersect / except over two derived key sets."""
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    building = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    highval = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b, h = building.distinct(), highval.distinct()
+    rows = [
+        b.intersect(h).agg(F.lit("intersect").alias("op"), F.count("*").alias("n")),
+        b.exceptAll(h).distinct().agg(
+            F.lit("except").alias("op"), F.count("*").alias("n")
+        ),
+        b.union(h).distinct().agg(F.lit("union").alias("op"), F.count("*").alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Window functions: top-k per group, running totals, lag/lead
+# ---------------------------------------------------------------------------
+@register(
+    "q_topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, revenue, rnk FROM (
+      SELECT p_brand, p_partkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_brand
+               ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC,
+                        p_partkey) AS rnk
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_partkey)
+    WHERE rnk <= 3
+    """,
+)
+def q_topk_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 parts by revenue per brand: broadcast-join dim, agg, window
+    row_number, filter — the scalable top-k (no global sort)."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        per_part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    )
+
+
+@register(
+    "q_customer_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROUND(COALESCE(LAG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS prev_price,
+           RANK() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders
+    """,
+)
+def q_customer_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Running sum + lag + rank per customer (total tie-break order)."""
+    orders = table(spark, sf, "orders")
+    wt = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(wt.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(wt), F.lit(0.0)), 2).alias(
+            "prev_price"
+        ),
+        F.rank().over(wr).alias("price_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+@register(
+    "q_rollup_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS grp,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_order_status(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP with grouping_id — hierarchical subtotals + grand total."""
+    orders = table(spark, sf, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("grp"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q_cube_returnflag",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grp,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over two dimensions (all 2^2 grouping combinations)."""
+    li = table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("grp"), F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates + exact percentiles + stddev
+# ---------------------------------------------------------------------------
+@register(
+    "q_distinct_and_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)                       AS n_suppliers,
+           COUNT(DISTINCT l_partkey)                       AS n_parts,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2)   AS median_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 2)  AS p95_price,
+           ROUND(STDDEV_SAMP(l_quantity), 4)               AS sd_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_distinct_and_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple count-distincts (expand+partial agg) + exact interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+@register(
+    "q_pivot_status_qty",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_O,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot_status_qty(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list — no extra pass
+    to discover pivot values, which matters at scale)."""
+    li = table(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta/range join condition
+# ---------------------------------------------------------------------------
+@register(
+    "q_ship_within_week",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_fast_lines
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 7 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def q_ship_within_week(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-join + range predicate (band join): the equi key keeps it a
+    hash join; the range is a post-join filter Catalyst fuses in."""
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate < F.date_add(orders.o_orderdate, 7)),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_fast_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function gallery (string/date/conditional coverage)
+# ---------------------------------------------------------------------------
+@register(
+    "q_scalar_functions",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                                   AS name_upper,
+           SUBSTR(c_name, 1, 8)                            AS name_prefix,
+           LENGTH(c_name)                                  AS name_len,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0')       AS key_padded,
+           CONCAT(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+           ROUND(ABS(c_acctbal), 2)                        AS abs_bal,
+           ROUND(GREATEST(c_acctbal, 0.0), 2)              AS pos_bal
+    FROM customer
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar expression coverage: string (upper/substr/length/lpad/
+    concat), conditional (CASE), numeric (abs/greatest/round) — the
+    engine's 'F-function' surface beyond the DNS formatters."""
+    cust = table(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws(
+            ":", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.round(F.abs("c_acctbal"), 2).alias("abs_bal"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("pos_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time bucketing (batch analog of streaming tumbling windows)
+# ---------------------------------------------------------------------------
+@register(
+    "q_event_time_buckets",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_event_time_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """5-minute tumbling buckets over event time (batch form; the
+    streaming form uses F.window + watermark, see streaming/)."""
+    ev = table(spark, sf, "events")
+    bucket = (F.unix_timestamp("ts") / 300).cast("long") * 300
+    return (
+        ev.groupBy(bucket.alias("bucket_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch): gap > 30 min starts a new session
+# ---------------------------------------------------------------------------
+@register(
+    "q_sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic lag + cumulative-sum sessionization; one shuffle on
+    user_id serves both windows and the final agg."""
+    ev = table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON property extraction
+# ---------------------------------------------------------------------------
+@register(
+    "q_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-on-read over the JSON props column (get_json_object —
+    the same primitive the DNS pipeline uses via from_json)."""
+    ev = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(k > 50)
+        .groupBy("event_type")
+        .agg(F.sum(k).alias("k_total"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (Spark has no native one — union + window carry-forward)
+# ---------------------------------------------------------------------------
+@register(
+    "q_asof_last_click_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           (SELECT c.event_id FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_last_click_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, Spark-first: instead of a per-row lookup (the oracle's
+    correlated subquery, O(n*m)), tag both sides, sort once within each
+    user partition, and carry the last click forward with
+    last(ignorenulls) — one shuffle, linear work, scales to any size."""
+    ev = table(spark, sf, "events")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)  # strictly-before semantics
+    )
+    return (
+        tagged.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "last_click_id")
+    )

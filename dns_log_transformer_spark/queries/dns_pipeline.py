@@ -1,0 +1,142 @@
+"""The reference DNS pipeline as oracle-checkable batch queries.
+
+The golden byte-level tests live in tests/test_transforms.py; these
+entries additionally run the *same transform code* over the driver's
+``events`` fixture (deterministically mapped to Route53-shaped records)
+so the DuckDB oracle can verify the full format -> explode fan-out at
+sf scale. Citations: templates /root/reference/app/app.py:146-173,
+fan-out :163-171, client id :154.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dns_log_transformer_spark.queries.registry import register, table
+from dns_log_transformer_spark.schemas import ANSWER_SCHEMA
+from dns_log_transformer_spark.transforms import to_bind9_lines, to_microsoft_dns_lines
+
+#: Deterministic events -> DNS-record mapping shared by the Spark side
+#: and (re-expressed in SQL) the DuckDB oracle. n_answers = event_id % 3
+#: exercises the 0-answer default-'A' path and the 1->1+N fan-out.
+
+
+def _dns_records_from_events(ev: DataFrame) -> DataFrame:
+    n_ans = (F.col("event_id") % 3).cast("int")
+    answers = F.when(
+        n_ans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_ans - 1),
+            lambda i: F.struct(
+                F.concat(F.lit("93.184.216."), ((F.col("event_id") + i) % 256).cast("string")).alias("Rdata"),
+                F.lit("A").alias("Type"),
+            ),
+        ),
+    ).otherwise(F.array().cast(T.ArrayType(ANSWER_SCHEMA)))
+    return ev.select(
+        "event_id",
+        F.date_trunc("second", F.col("ts")).alias("query_ts"),
+        F.concat(F.lit("vpc-"), F.col("user_id").cast("string")).alias("vpc_id"),
+        F.concat(F.col("event_type"), F.lit(".example.com.")).alias("query_name"),
+        F.concat(F.lit("10.0.0."), F.col("user_id").cast("string")).alias("srcaddr"),
+        (F.col("event_id") % 65536).cast("string").alias("srcport"),
+        F.format_string("@0x%012x", F.col("event_id")).alias("client_hex"),
+        answers.alias("answers"),
+        F.col("event_type").alias("transport"),  # unused by bind9 path
+        F.lit("NOERROR").alias("rcode"),
+    )
+
+
+#: Shared prefix of both line kinds, as DuckDB SQL (mirrors app.py:160,169).
+_SQL_PREFIX = """
+      strftime(qts, '%b %d %H:%M:%S') || ' ' || vpc_id || ' route53resolver: '
+      || strftime(qts, '%d-%b-%Y %H:%M:%S') || '.000 client ' || hex || ' '
+      || srcaddr || '#' || srcport || ' (' || qname || '): '
+"""
+
+_SQL_RECS = """
+    WITH recs AS (
+      SELECT event_id,
+             date_trunc('second', ts)                          AS qts,
+             'vpc-' || CAST(user_id AS VARCHAR)                AS vpc_id,
+             event_type || '.example.com.'                     AS qname,
+             '10.0.0.' || CAST(user_id AS VARCHAR)             AS srcaddr,
+             CAST(event_id % 65536 AS VARCHAR)                 AS srcport,
+             '@0x' || printf('%012x', event_id)                AS hex,
+             CAST(event_id % 3 AS INT)                         AS n_ans,
+             event_type                                        AS transport
+      FROM events
+    )
+"""
+
+
+@register(
+    "dns_bind9_lines",
+    oracle=_SQL_RECS
+    + f"""
+    , q AS (
+      SELECT event_id, 0 AS line_no, 'query' AS kind,
+             {_SQL_PREFIX} || 'query: ' || qname || ' IN A + (127.0.0.1)' AS line
+      FROM recs
+      UNION ALL
+      SELECT event_id, CAST(i + 1 AS INT), 'reply',
+             {_SQL_PREFIX} || 'reply: ' || qname || ' is 93.184.216.'
+               || CAST((event_id + i) % 256 AS VARCHAR)
+      FROM recs, UNNEST(range(CAST(n_ans AS BIGINT))) AS t(i)
+    )
+    SELECT event_id, line_no, kind, line FROM q
+    """,
+)
+def dns_bind9_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Full BIND9 formatting + 1->1+N explode over events-derived DNS
+    records — the reference's core transform (app/app.py:146-173) at
+    fixture scale, deterministic client ids for the oracle."""
+    ev = table(spark, sf, "events")
+    recs = _dns_records_from_events(ev)
+    return to_bind9_lines(recs, keep=["event_id"])
+
+
+@register(
+    "dns_ms_lines",
+    oracle=_SQL_RECS
+    + """
+    SELECT event_id,
+           strftime(qts, '%d/%m/%Y %H:%M:%S')
+           || ' 0D2C PACKET  0000000001ED00C0 ' || transport || ' Snd '
+           || srcaddr || ' ' || srcport || ' R Q [NOERROR A DR NOERROR] A'
+           || ' (' || CAST(LENGTH(qname) AS VARCHAR) || ')' || qname || '(0)' AS line
+    FROM recs
+    """,
+)
+def dns_ms_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Microsoft DNS debug format (reference dead code, app/app.py:126-144)
+    over the same deterministic records."""
+    ev = table(spark, sf, "events")
+    recs = _dns_records_from_events(ev)
+    return to_microsoft_dns_lines(recs, keep=["event_id"])
+
+
+@register(
+    "dns_reply_stats",
+    oracle=_SQL_RECS
+    + """
+    SELECT vpc_id,
+           COUNT(*)                       AS n_records,
+           CAST(SUM(n_ans) AS BIGINT)     AS n_replies,
+           CAST(SUM(n_ans + 1) AS BIGINT) AS n_lines
+    FROM recs GROUP BY vpc_id
+    """,
+)
+def dns_reply_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytics over the pipeline's own output shape: line fan-out per
+    vpc — exercises explode + agg composition on transform output."""
+    ev = table(spark, sf, "events")
+    recs = _dns_records_from_events(ev)
+    lines = to_bind9_lines(recs, keep=["event_id", "vpc_id"])
+    return lines.groupBy("vpc_id").agg(
+        F.count_distinct("event_id").alias("n_records"),
+        F.sum(F.when(F.col("kind") == "reply", 1).otherwise(0)).alias("n_replies"),
+        F.count("*").alias("n_lines"),
+    )

@@ -1,0 +1,410 @@
+"""LLM-data-pipeline operators as oracle-checked queries.
+
+Each entry wraps an operator from ``operators/`` and pairs it with DuckDB
+SQL that re-implements the *same deterministic algorithm* (same md5-based
+hashes, same fold order for floats), so a hash-match means the Spark
+implementation computes the declared semantics — not merely "returns
+rows". Oracles with repetitive structure (minhash signatures, simhash
+bits) are generated programmatically below to keep the two sides in
+lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.operators import dedup, multimodal, similarity, text
+from dns_log_transformer_spark.queries.registry import register, table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (mirror operators/text.py exactly)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_SQL_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_SQL_SHINGLES = rf"""
+  toks AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+  sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(len(w) - 2),
+             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+    FROM toks WHERE len(w) >= 3)
+"""
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    docs = table(spark, sf, "documents")
+    return text.with_token_counts(docs).select("doc_id", "n_tokens", "n_bpe_tokens")
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / LENGTH(text) AS alpha_ratio_raw,
+             len(list_filter({_SQL_TOKENS},
+                 t -> t IN ({_in_list(text.EN_STOPWORDS)})))::DOUBLE
+               / len({_SQL_TOKENS}) AS sw_ratio_raw
+      FROM documents)
+    SELECT doc_id, n_chars_m, n_tokens,
+           ROUND(alpha_ratio_raw, 4) AS alpha_ratio,
+           ROUND(sw_ratio_raw, 4)    AS stopword_ratio,
+           ROUND(0.4 * alpha_ratio_raw
+                 + 0.4 * LEAST(sw_ratio_raw * 5, 1.0)
+                 + 0.2 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality_score
+    FROM q
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Length/punctuation/stopword quality stats + blended score."""
+    docs = table(spark, sf, "documents")
+    return text.with_quality_score(docs).select(
+        "doc_id", "n_chars_m", "n_tokens", "alpha_ratio", "stopword_ratio",
+        "quality_score",
+    )
+
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"           len(list_filter({_SQL_TOKENS}, t -> t IN"
+    f" ({_in_list(ws)})))::BIGINT AS score_{lang}"
+    for lang, ws in text.LANG_STOPWORDS.items()
+)
+_LANG_PRED_SQL = "CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und' " + " ".join(
+    f"WHEN score_{lang} = greatest(score_en, score_es, score_fr, score_de) THEN '{lang}'"
+    for lang in text.LANG_PRIORITY
+) + " END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+{_LANG_SCORES_SQL}
+      FROM documents)
+    SELECT doc_id, score_en, score_es, score_fr, score_de,
+           {_LANG_PRED_SQL} AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-membership language ID with deterministic tie-break."""
+    docs = table(spark, sf, "documents")
+    return text.with_lang_id(docs).select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "lang_pred"
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_SQL_NORM})                AS fingerprint,
+           substr(md5({_SQL_NORM}), 1, 16) AS fingerprint64
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprints (md5 of normalized text)."""
+    docs = table(spark, sf, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint", "fingerprint64")
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_SQL_NORM}) AS fingerprint,
+           COUNT(*)         AS n_docs,
+           MIN(doc_id)      AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup groups by normalized-content hash."""
+    docs = table(spark, sf, "documents")
+    return dedup.exact_dup_groups(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH {_SQL_SHINGLES},
+    post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM post GROUP BY 1 HAVING COUNT(*) <= 100),
+    p AS (SELECT post.* FROM post JOIN rare USING (shingle)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS n_a, b.n AS n_b, COUNT(*) AS n_common
+      FROM p a JOIN p b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common / (n_a + n_b - n_common), 4) AS jaccard
+    FROM pairs
+    WHERE n_common / (n_a + n_b - n_common) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact trigram-Jaccard >= 0.6 pairs via inverted shingle index
+    (df-capped at 100 docs per shingle — the skew guard)."""
+    docs = table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.6, df_cap=100)
+
+
+def _minhash_sig_sql() -> tuple[str, str]:
+    sigs = ",\n".join(
+        f"      list_min(list_transform(s, x -> md5('{j}|' || x))) AS m{j}"
+        for j in range(dedup.NUM_HASHES)
+    )
+    rows = dedup.NUM_HASHES // dedup.NUM_BANDS
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, "
+        + " || ".join(f"m{k * rows + r}" for r in range(rows))
+        + " AS key FROM sig"
+        for k in range(dedup.NUM_BANDS)
+    )
+    return sigs, bands
+
+
+_MH_SIGS, _MH_BANDS = _minhash_sig_sql()
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=rf"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+      SELECT doc_id, s,
+{_MH_SIGS}
+      FROM sh WHERE len(s) > 0),
+    bands AS (
+      {_MH_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, key)
+      WHERE a.doc_id < b.doc_id),
+    v AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.s, y.s)) AS i,
+             len(x.s) AS na, len(y.s) AS nb
+      FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
+    SELECT doc_a, doc_b, ROUND(i / (na + nb - i), 4) AS jaccard
+    FROM v WHERE i / (na + nb - i) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(12)-LSH(4 bands) candidates, verified at Jaccard >= 0.5.
+    The oracle rebuilds the identical md5 signatures in SQL."""
+    docs = table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _simhash_sql() -> tuple[str, str]:
+    votes = ",\n".join(
+        "      SUM((strpos('0123456789abcdef', substr(md5(tok), "
+        f"{1 + bit // 4}, 1)) - 1 >> {bit % 4} & 1) * 2 - 1) AS s{bit}"
+        for bit in range(dedup.SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{bit} > 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END"
+        for bit in range(dedup.SIMHASH_BITS)
+    )
+    return votes, pack
+
+
+_SH_VOTES, _SH_PACK = _simhash_sql()
+
+
+@register(
+    "text_simhash",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
+      FROM documents),
+    v AS (
+      SELECT doc_id,
+{_SH_VOTES}
+      FROM toks GROUP BY doc_id)
+    SELECT doc_id, {_SH_PACK} AS simhash FROM v
+    """,
+)
+def text_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash per document (bit votes from md5 nibbles)."""
+    docs = table(spark, sf, "documents")
+    return dedup.simhash(docs)
+
+
+@register("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via byte-band join — the
+    pigeonhole guarantee makes banding exact for <= 3 bit flips.
+    Rows-only check: the banded join is the point; simhash values
+    themselves are oracle-verified by text_simhash."""
+    docs = table(spark, sf, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_SQL_DOT.format(a='e.v', b='q.qv')}
+               / (sqrt({_SQL_DOT.format(a='e.v', b='e.v')})
+                  * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) AS cos_sim
+      FROM e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for every 50th vector as query (broadcast
+    queries x corpus; ranking on rounded cosine with id tie-break)."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def _plane_literal(p: int) -> str:
+    return "[" + ", ".join(str(x) for x in similarity.lsh_planes()[p]) + "]"
+
+
+_LSH_KEY_SQL = " + ".join(
+    f"CASE WHEN {_SQL_DOT.format(a='v', b=_plane_literal(p))} > 0"
+    f" THEN {1 << p} ELSE 0 END"
+    for p in range(similarity.NUM_PLANES)
+)
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    SELECT vec_id, CAST({_LSH_KEY_SQL} AS INT) AS lsh_key FROM e
+    """,
+)
+def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH bucket key per vector (numpy matmul in a
+    pandas UDF on the Spark side; literal-plane SQL folds in the oracle)."""
+    emb = table(spark, sf, "embeddings")
+    return similarity.with_lsh_bucket(emb).select("vec_id", "lsh_key")
+
+
+@register("sim_ann_lsh_topk", oracle=None)
+def sim_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-5 via LSH bucket equi-join (the 100 TB path —
+    no cross join). Rows-only check; bucket keys and the exact ranking
+    math are each oracle-verified separately (sim_lsh_buckets,
+    sim_topk_bruteforce)."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ann_topk_lsh(emb, queries, k=5)
+
+
+@register(
+    "emb_neardup_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_SQL_DOT.format(a='a.v', b='b.v')}
+             / (sqrt({_SQL_DOT.format(a='a.v', b='a.v')})
+                * sqrt({_SQL_DOT.format(a='b.v', b='b.v')})), 4) AS cos_sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND {_SQL_DOT.format(a='a.v', b='b.v')}
+          / (sqrt({_SQL_DOT.format(a='a.v', b='a.v')})
+             * sqrt({_SQL_DOT.format(a='b.v', b='b.v')})) >= 0.4
+    """,
+)
+def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.4 on this corpus — the
+    fixtures plant no true dups; threshold chosen to yield rows)."""
+    emb = table(spark, sf, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_image_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(doc_id % 480 AS INT) AS height,
+           CAST(3 AS INT) AS channels
+    FROM documents
+    """,
+)
+def mm_image_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column metadata extraction through the real mapInPandas
+    plumbing (decoder stubbed deterministically — no image libs here)."""
+    docs = table(spark, sf, "documents")
+    return multimodal.image_meta(docs)
+
+
+@register(
+    "mm_frame_offsets",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(floor(i * octet_length(encode(text)) / 4) AS BIGINT)
+             AS byte_offset
+    FROM documents, UNNEST(range(4)) AS t(i)
+    """,
+)
+def mm_frame_offsets(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling fan-out (1 -> 4 deterministic byte offsets)."""
+    docs = table(spark, sf, "documents")
+    return multimodal.frame_offsets(docs, n_frames=4)

@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the events fixture stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert (read_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -64,17 +67,29 @@ TABLES = (
 )
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
-    """Read every fixture table under ``sf_dir`` and register temp views.
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one fixture table (lazy parquet scan; Catalyst prunes/pushes).
 
-    Returns name -> DataFrame. Parquet scans get column pruning and
-    predicate pushdown from Catalyst automatically.
+    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet, which
+    Spark's vectorized reader rejects; with nanosAsLong it arrives as a
+    long, converted here to a micros timestamp with exact integer
+    division (DuckDB truncates nanos->micros the same way, keeping the
+    oracle comparable).
     """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Read every fixture table under ``sf_dir`` and register temp views."""
     dfs = {}
     for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = spark.read.parquet(path)
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            df = read_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             dfs[name] = df
     return dfs

@@ -1,0 +1,95 @@
+"""Oracle parity: every registered query vs its DuckDB oracle.
+
+Mirrors the driver's t2 gate (row count + schema + order-insensitive
+values) at sf0.01, but stricter in failure reporting: on mismatch it
+prints the first differing rows. Queries without an oracle get a
+rows-run smoke check.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from dns_log_transformer_spark.session import TABLES
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.reindex(sorted(df.columns), axis=1)
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].astype("datetime64[us]").astype(str)
+        elif out[c].dtype == object:
+            out[c] = out[c].astype(str)
+        elif pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype("int64")
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    assert list(s.columns) == list(d.columns), (
+        f"{name}: columns {list(s.columns)} != {list(d.columns)}"
+    )
+    for c in s.columns:
+        if pd.api.types.is_float_dtype(s[c]):
+            sa, da = s[c].to_numpy(), d[c].to_numpy()
+            both_nan = [
+                (isinstance(x, float) and math.isnan(x))
+                and (isinstance(y, float) and math.isnan(y))
+                for x, y in zip(sa, da)
+            ]
+            mism = [
+                i
+                for i, (x, y) in enumerate(zip(sa, da))
+                if not both_nan[i] and x != y
+            ]
+        else:
+            mism = [i for i, ok in enumerate(s[c].eq(d[c])) if not ok]
+        assert not mism, (
+            f"{name}: column {c} differs at {len(mism)} rows; first: "
+            f"spark={s.iloc[mism[0]].to_dict()} duck={d.iloc[mism[0]].to_dict()}"
+        )
+
+
+ALL = sorted(entry_mod.queries())
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_parity(spark, duck, name):
+    sdf = entry_mod.queries()[name](spark, SF_ORACLE)
+    spark_pdf = sdf.toPandas()
+    if name not in ORACLES:
+        # rows-only contract: runs and yields a stable schema
+        assert spark_pdf is not None
+        return
+    duck_pdf = duck.execute(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert {"line", "kind", "line_no"}.issubset(set(df.columns))
