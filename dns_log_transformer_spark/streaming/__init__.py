@@ -1,0 +1,44 @@
+"""Structured Streaming surface.
+
+The reference is a streaming ETL service (HTTP push -> transform -> syslog,
+/root/reference/app/app.py:60-102,219-263). Spark is pull-based, so the
+idiomatic rebuild is: a thin receiver lands each HTTP request body as a
+file (one JSON envelope per line) and ``readStream`` tails the landing
+directory; the Milestone-1 batch transforms run unchanged on the stream;
+sinks are a syslog ``foreach`` writer (partition-local UDP socket), a
+parquet archive, and a quarantine (dead-letter) stream.
+
+Delivery semantics: the reference acks before processing (at-most-once,
+app/app.py:96-102). Checkpointing gives this pipeline at-least-once, and
+``dedup_within_watermark`` upgrades it to effectively-once on a record
+fingerprint.
+"""
+
+from dns_log_transformer_spark.streaming.source import (
+    read_firehose_stream,
+    read_events_stream,
+)
+from dns_log_transformer_spark.streaming.sinks import SyslogWriter, syslog_sink
+from dns_log_transformer_spark.streaming.pipeline import (
+    build_streaming_lines,
+    start_pipeline,
+)
+from dns_log_transformer_spark.streaming.windows import (
+    tumbling_counts,
+    sliding_counts,
+    session_stats,
+    dedup_within_watermark,
+)
+
+__all__ = [
+    "read_firehose_stream",
+    "read_events_stream",
+    "SyslogWriter",
+    "syslog_sink",
+    "build_streaming_lines",
+    "start_pipeline",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_stats",
+    "dedup_within_watermark",
+]

@@ -1,0 +1,243 @@
+"""Streaming semantics tests (SURVEY.md §5.4).
+
+End-to-end: landing-dir files -> streaming pipeline -> parquet archive +
+quarantine + live UDP syslog collector; results must match the batch
+transforms on the same payloads (one code path, two execution modes).
+
+Windowed state: watermark late-drop, session windows, and
+dropDuplicatesWithinWatermark, each driven with explicit micro-batch
+boundaries (write file -> processAllAvailable) so watermark advancement
+is deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.streaming import (
+    build_streaming_lines,
+    dedup_within_watermark,
+    read_events_stream,
+    session_stats,
+    start_pipeline,
+    tumbling_counts,
+)
+from tests.test_transforms import envelope_json, expected_bind9_lines, make_record
+
+
+class UdpCollector:
+    """Background UDP listener standing in for the syslog collector
+    (reference target: hard-coded 172.31.1.18:514, app/app.py:22)."""
+
+    def __init__(self):
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.settimeout(0.5)
+        self.port = self.sock.getsockname()[1]
+        self.datagrams: list[bytes] = []
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                data, _ = self.sock.recvfrom(65536)
+                self.datagrams.append(data)
+            except socket.timeout:
+                continue
+
+    def stop(self):
+        self._stop.set()
+        self.thread.join()
+        self.sock.close()
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    work = str(tmp_path / "work")
+
+    good = make_record()
+    bad_ts = make_record(query_timestamp="not-a-timestamp")
+    (landing / "b1.json").write_text(envelope_json([good], request_id="req-1") + "\n")
+    (landing / "b2.json").write_text(
+        envelope_json([bad_ts], request_id="req-2") + "\n"
+    )
+
+    collector = UdpCollector()
+    try:
+        queries = start_pipeline(
+            spark,
+            str(landing),
+            work,
+            syslog_host="127.0.0.1",
+            syslog_port=collector.port,
+            available_now=True,
+            deterministic_ids=True,
+        )
+        for q in queries:
+            q.awaitTermination(timeout=120)
+    finally:
+        collector.stop()
+
+    archived = spark.read.parquet(os.path.join(work, "archive"))
+    rows = archived.orderBy("line_no").collect()
+    # deterministic_ids: client hex derives from record_idx (= 0)
+    assert [r["line"] for r in rows] == expected_bind9_lines(good, "@0x000000000000")
+
+    quarantined = spark.read.parquet(os.path.join(work, "quarantine")).collect()
+    assert len(quarantined) == 1
+    assert quarantined[0]["requestId"] == "req-2"
+    assert quarantined[0]["reject_reason"] == "bad_query_timestamp"
+
+    # syslog sink: one datagram per line, RFC3164 PRI daemon.info
+    payloads = sorted(d.decode() for d in collector.datagrams)
+    assert len(payloads) == 2
+    assert all(p.startswith("<30>") for p in payloads)
+    assert {p[4:] for p in payloads} == {r["line"] for r in rows}
+
+
+def _write_events(path, name, rows):
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(event_id, ts, user_id=1, event_type="click", value=1.0):
+    return {
+        "event_id": event_id,
+        "ts": ts,
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": value,
+        "props": "{}",
+    }
+
+
+def _start_memory(df, name, mode="append"):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+
+
+def test_tumbling_window_and_late_drop(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    stream = read_events_stream(spark, str(src))
+    agg = tumbling_counts(stream, window_len="5 minutes", watermark="10 minutes")
+    q = _start_memory(agg, "tumbling_test")
+    try:
+        _write_events(
+            src,
+            "f1.json",
+            [
+                _ev(1, "2024-01-01T00:01:00Z"),
+                _ev(2, "2024-01-01T00:02:00Z"),
+                _ev(3, "2024-01-01T00:07:00Z"),
+            ],
+        )
+        q.processAllAvailable()  # watermark -> 00:07 - 10m (negative: nothing closes)
+
+        # advance event time far enough to close both earlier windows...
+        _write_events(src, "f2.json", [_ev(4, "2024-01-01T01:00:00Z")])
+        q.processAllAvailable()  # watermark -> 00:50
+
+        # ...then prove a row older than the watermark is dropped
+        _write_events(src, "f3.json", [_ev(5, "2024-01-01T00:03:00Z")])
+        q.processAllAvailable()
+        _write_events(src, "f4.json", [_ev(6, "2024-01-01T02:00:00Z")])
+        q.processAllAvailable()  # flush: emits the 01:00 window, not the late row
+    finally:
+        q.stop()
+
+    out = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert ("2024-01-01 00:00:00", 2) in out
+    assert ("2024-01-01 00:05:00", 1) in out
+    assert ("2024-01-01 01:00:00", 1) in out
+    # the late event_id=5 (00:03, behind the 00:50 watermark) must NOT
+    # have re-opened the 00:00 window
+    assert len([w for w, _ in out if w == "2024-01-01 00:00:00"]) == 1
+
+
+def test_session_window(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    stream = read_events_stream(spark, str(src))
+    agg = session_stats(stream, gap="30 minutes", watermark="30 minutes")
+    q = _start_memory(agg, "session_test")
+    try:
+        _write_events(
+            src,
+            "f1.json",
+            [
+                # user 1: two events 10 min apart -> one session
+                _ev(1, "2024-01-01T00:00:00Z", user_id=1),
+                _ev(2, "2024-01-01T00:10:00Z", user_id=1),
+                # user 1 again after a 2 h gap -> second session
+                _ev(3, "2024-01-01T02:00:00Z", user_id=1),
+            ],
+        )
+        q.processAllAvailable()
+        _write_events(src, "f2.json", [_ev(4, "2024-01-01T06:00:00Z", user_id=9)])
+        q.processAllAvailable()  # watermark 05:30 closes both sessions
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT * FROM session_test WHERE user_id = 1 ORDER BY session_start"
+    ).collect()
+    assert [(str(r["session_start"]), r["n_events"]) for r in rows] == [
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-01 02:00:00", 1),
+    ]
+    # session end = last event + gap
+    assert str(rows[0]["session_end"]) == "2024-01-01 00:40:00"
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    stream = read_events_stream(spark, str(src))
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+    q = _start_memory(deduped.select("event_id", "ts"), "dedup_test")
+    try:
+        _write_events(
+            src,
+            "f1.json",
+            [_ev(1, "2024-01-01T00:00:00Z"), _ev(1, "2024-01-01T00:00:30Z")],
+        )
+        q.processAllAvailable()
+        # redelivery of event_id=1 within the watermark -> dropped
+        _write_events(src, "f2.json", [_ev(1, "2024-01-01T00:05:00Z"), _ev(2, "2024-01-01T00:06:00Z")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = [r["event_id"] for r in spark.sql("SELECT * FROM dedup_test").collect()]
+    assert sorted(ids) == [1, 2]
+
+
+def test_streaming_batch_same_code_path(spark):
+    """build_streaming_lines is the literal batch composition: running it
+    on a batch DataFrame must reproduce the golden transform output."""
+    raw = spark.createDataFrame(
+        [(envelope_json([make_record()]),)], ["value"]
+    )
+    lines, quarantine = build_streaming_lines(raw, deterministic_ids=True)
+    rows = lines.orderBy("line_no").collect()
+    assert [r["line"] for r in rows] == expected_bind9_lines(
+        make_record(), "@0x000000000000"
+    )
+    assert quarantine.count() == 0
