@@ -44,8 +44,12 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (n=3). Fewer than n tokens -> empty
-    array (guards sequence() against negative ranges)."""
+    """Distinct word n-gram shingles (n=3), as a pure Column expression.
+    Fewer than n tokens -> empty array (guards sequence() against
+    negative ranges). NOTE: higher-order transform/element_at are
+    interpreted per element; `with_shingles` uses the compiled ml.NGram
+    path instead (~3x) — this Column form states the semantics and
+    serves callers that need an expression."""
     toks = tokens(text)
     k = F.size(toks)
     grams = F.transform(
@@ -60,8 +64,15 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def with_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("shingles")
+    """(id_col, shingles, n_shingles) via pyspark.ml.feature.NGram — a
+    compiled Scala sliding-window (space-joined n-grams, partial windows
+    dropped), identical output to `shingles()` but JVM-fast."""
+    from pyspark.ml.feature import NGram
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    grams = NGram(n=n, inputCol="_toks", outputCol="_grams").transform(toked)
+    return grams.select(
+        F.col(id_col), F.array_distinct("_grams").alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
 
 
@@ -87,6 +98,10 @@ def ngram_jaccard_pairs(
     """
     sh = with_shingles(df, id_col, text_col, n)
     posting = sh.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
+    # posting feeds two consumers (df-cap agg + pair join); persist so the
+    # shingling scan runs once, not once per branch. At warehouse scale
+    # this is the same decision as checkpointing the inverted index.
+    posting = posting.persist()
     rare = (
         posting.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -126,18 +141,29 @@ NUM_HASHES = 12
 NUM_BANDS = 4  # 4 bands x 3 rows: candidate threshold ~ (1/4)^(1/3) ~ 0.63
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """Array of minhash values: element j = min over shingles of
-    md5('<j>|' || shingle) (lexicographic min of hex = min of the 128-bit
-    value; md5 keeps Spark and DuckDB signatures identical)."""
-    return F.array(
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(id_col, m0..m{H-1}) minhash signature columns from a
+    (id_col, shingles) DataFrame.
+
+    Hash family (Kirsch-Mitzenmacher): ONE md5 per shingle split into two
+    48-bit halves h1,h2 (hex -> long), h_j = h1 + j*h2 — exact int64
+    arithmetic both engines reproduce (j <= 11 so h_j < 2^52). The
+    explode -> project -> groupBy(min) shape guarantees the md5 is
+    evaluated once per shingle: the aggregation boundary stops Catalyst
+    from inlining it into each of the H min-expressions.
+    """
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    h = F.md5(F.encode("s", "UTF-8"))
+    hashed = posting.select(
+        id_col,
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("h2"),
+    )
+    return hashed.groupBy(id_col).agg(
         *[
-            F.array_min(
-                F.transform(
-                    shingle_col,
-                    lambda s, j=j: F.md5(F.encode(F.concat(F.lit(f"{j}|"), s), "UTF-8")),
-                )
-            )
+            F.min(F.col("h1") + j * F.col("h2")).alias(f"m{j}")
             for j in range(num_hashes)
         ]
     )
@@ -160,13 +186,14 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // num_bands
     sh = with_shingles(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    sig = sh.join(minhash_signatures(sh, id_col, num_hashes), id_col)
     bands = F.array(
         *[
             F.struct(
                 F.lit(k).alias("band"),
                 F.concat_ws(
-                    "", *[F.col("sig")[k * rows + r] for r in range(rows)]
+                    "_",
+                    *[F.col(f"m{k * rows + r}").cast("string") for r in range(rows)],
                 ).alias("key"),
             )
             for k in range(num_bands)
@@ -175,6 +202,9 @@ def minhash_lsh_pairs(
     bucketed = sig.select(id_col, "shingles", F.explode(bands).alias("b")).select(
         id_col, "shingles", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
+    # both sides of the candidate self-join read `bucketed`; persist so
+    # shingling + signatures compute once, not once per side.
+    bucketed = bucketed.persist()
     left = bucketed.select(
         F.col("band"), F.col("key"),
         F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"),
@@ -207,9 +237,14 @@ SIMHASH_BITS = 32
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over distinct tokens: bit b of md5(token)'s first 8
-    hex chars votes +1/-1; the sign of each bit's vote sum becomes the
-    fingerprint bit. Explode + one wide aggregation — fully JVM-side.
+    """32-bit SimHash over distinct tokens: bit b of the token hash votes
+    +1/-1; the sign of each bit's vote sum becomes the fingerprint bit.
+    Explode + one wide aggregation — fully JVM-side.
+
+    Token hash = first 8 md5 hex chars parsed as an int (F.conv), so the
+    md5 is computed ONCE per token in a projection below the aggregation
+    boundary; the 32 votes are single shift-and-mask ops on that int
+    inside the aggregate (vs 32 string ops per token).
 
     Output: (id_col, simhash) with simhash a non-negative 32-bit value in
     a long. Near-dup candidates = pairs within small Hamming distance; see
@@ -219,25 +254,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
-    h = F.md5(F.encode(F.col("tok"), "UTF-8"))
-    # hex char k (1-indexed) -> nibble value via position in the alphabet
-    votes = toks.select(
-        F.col(id_col),
-        *[
-            (
-                F.shiftright(
-                    F.instr(F.lit("0123456789abcdef"), F.substring(h, 1 + bit // 4, 1))
-                    - 1,
-                    bit % 4,
-                ).bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            ).alias(f"v{bit}")
-            for bit in range(SIMHASH_BITS)
-        ],
+    hashed = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
-    agg = votes.groupBy(id_col).agg(
-        *[F.sum(f"v{bit}").alias(f"s{bit}") for bit in range(SIMHASH_BITS)]
+    agg = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{bit}")
+            for bit in range(SIMHASH_BITS)
+        ]
     )
     packed = None
     for bit in range(SIMHASH_BITS):
@@ -261,6 +290,9 @@ def simhash_pairs(
     per byte-band finds all such pairs without a cross join.
     """
     sh = simhash(df, id_col, text_col)
+    # tiny (one row per doc) and read by both self-join sides: persist so
+    # the token explode + hash aggregation runs once.
+    sh = sh.persist()
     bands = F.array(
         *[
             F.struct(

@@ -9,9 +9,14 @@ Two paths, per the standard ANN playbook:
   an equi-join instead of a cross join. Projection is a numpy matmul in
   an Arrow-batched pandas UDF (the one place Python beats SQL here).
 
-Dot products in the SQL path use zip_with + aggregate (sequential left
-fold in array order) so the DuckDB oracle's list_sum fold reproduces the
-exact same floating-point value.
+Dot products are a *sequential left fold in array order* on both engines
+so floats match bit-for-bit: DuckDB's list_sum folds left-to-right, and
+the Spark side reproduces that exact order two ways — `dot` as a Catalyst
+zip_with+aggregate fold (reference semantics, interpreted => slow), and
+`dot_pd` as an Arrow pandas UDF that vectorizes ACROSS rows while looping
+dims IN ORDER (`acc += a[:, d] * b[:, d]`), i.e. the identical fp
+operation sequence per pair at numpy speed (~50x). The hot paths use
+dot_pd; `dot` remains as the pure-SQL statement of the semantics.
 """
 
 from __future__ import annotations
@@ -49,6 +54,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+@F.pandas_udf(T.DoubleType())
+def dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batch dot product with the same fp result as `dot`: float64
+    multiply-adds applied dimension-by-dimension in array order (the
+    vectorization is across rows, so each pair's summation order is the
+    sequential fold both Catalyst's aggregate() and DuckDB's list_sum
+    use)."""
+    am = np.vstack(a.to_numpy()).astype(np.float64)
+    bm = np.vstack(b.to_numpy()).astype(np.float64)
+    acc = np.zeros(am.shape[0], dtype=np.float64)
+    for d in range(am.shape[1]):
+        acc = acc + am[:, d] * bm[:, d]
+    return pd.Series(acc)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "nrm") -> DataFrame:
+    """Precompute each vector's L2 norm ONCE (not once per pair — at n^2
+    pair count that is the difference between 2 and 6 folds per pair)."""
+    return df.withColumn(out, F.sqrt(dot_pd(F.col(vec_col), F.col(vec_col))))
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -63,17 +89,20 @@ def brute_force_topk(
 
     Output: (query_id, vec_id, cos_sim, rnk).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = with_norm(queries, vec_col, "q_nrm").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "q_nrm"
     )
-    c = emb.select(F.col(id_col), F.col(vec_col))
+    c = with_norm(emb.select(id_col, vec_col), vec_col)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("q_vec")), 4).alias("cos_sim"),
+            F.round(
+                dot_pd(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -132,10 +161,11 @@ def ann_topk_lsh(
     window top-k within candidates. Recall is tunable via multi-probe /
     fewer planes; this is the 100 TB shape (bucket join ~ O(n)).
     """
-    c = with_lsh_bucket(emb, num_planes, dim, vec_col)
-    q = with_lsh_bucket(queries, num_planes, dim, vec_col).select(
+    c = with_norm(with_lsh_bucket(emb, num_planes, dim, vec_col), vec_col)
+    q = with_norm(with_lsh_bucket(queries, num_planes, dim, vec_col), vec_col, "q_nrm").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        "q_nrm",
         "lsh_key",
     )
     scored = (
@@ -144,7 +174,10 @@ def ann_topk_lsh(
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("q_vec")), 4).alias("cos_sim"),
+            F.round(
+                dot_pd(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -152,6 +185,40 @@ def ann_topk_lsh(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "cos_sim", "rnk")
+    )
+
+
+def embedding_centroids(
+    emb: DataFrame,
+    n_groups: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid via grouped-map ``applyInPandas`` —
+    the IVF coarse-quantizer building block (assign -> average). One
+    numpy mean per group, Arrow both ways; rows are sorted by id inside
+    the UDF so float summation order is deterministic for the oracle.
+
+    Output: (grp, dim, centroid) — one row per group x dimension, the
+    flat shape both engines hash identically.
+    """
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        mean = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "grp": pdf["grp"].iloc[0],
+                "dim": np.arange(mat.shape[1], dtype=np.int32),
+                "centroid": np.round(mean, 4),
+            }
+        )
+
+    return (
+        emb.withColumn("grp", (F.col(id_col) % n_groups).cast("int"))
+        .groupBy("grp")
+        .applyInPandas(centroid, "grp int, dim int, centroid double")
     )
 
 
@@ -163,14 +230,20 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs >= threshold. Exact variant
     (self-join); at scale swap the join for the LSH bucket join above.
-    Output: (id_a, id_b, cos_sim)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    cos = cosine(F.col("v_a"), F.col("v_b"))
+    Output: (id_a, id_b, cos_sim). Norms are computed once per vector
+    (2n folds) before the n^2 pair stage, which then does one fold/pair."""
+    nd = with_norm(emb.select(id_col, vec_col), vec_col)
+    a = nd.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    b = nd.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("nrm").alias("n_b")
+    )
+    cos = dot_pd(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cos, 4))
-        .filter(cos >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .select("id_a", "id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
     )

@@ -114,3 +114,42 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fp).withColumn(
         "fingerprint64", F.substring(fp, 1, 16)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every character k-gram of the normalized text, slide
+    a window of w consecutive hashes, keep each window's minimum — the
+    standard rolling-hash fingerprint for partial-overlap detection
+    (robust where whole-document hashing is not).
+
+    All array ops, zero Python in the hot path; hashes are md5 hex
+    (lexicographic min == numeric min of the 128-bit value) so the DuckDB
+    oracle reproduces them exactly.
+
+    Output: one row per distinct fingerprint, (id_col, fp). Texts shorter
+    than k chars produce no rows; fewer than w k-grams -> one global min.
+    """
+    t = normalized(F.col(text_col))
+    n_grams = F.length(t) - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.encode(F.substr(t, i, F.lit(k)), "UTF-8")),
+    )
+    n_wins = n_grams - w + 1
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins), lambda j: F.array_min(F.slice(grams, j, w))
+        ),
+    ).otherwise(F.array(F.array_min(grams)))
+    return (
+        df.filter(F.length(t) >= k)
+        .select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
+    )

@@ -182,14 +182,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> tuple[str, str]:
+    # Kirsch-Mitzenmacher family, mirroring operators/dedup.py
+    # minhash_signatures: one md5 per shingle, h1/h2 = the two 48-bit hex
+    # halves, h_j = h1 + j*h2 (exact BIGINT arithmetic in both engines).
     sigs = ",\n".join(
-        f"      list_min(list_transform(s, x -> md5('{j}|' || x))) AS m{j}"
-        for j in range(dedup.NUM_HASHES)
+        f"      MIN(h1 + {j} * h2) AS m{j}" for j in range(dedup.NUM_HASHES)
     )
     rows = dedup.NUM_HASHES // dedup.NUM_BANDS
     bands = "\n      UNION ALL ".join(
         f"SELECT doc_id, {k} AS band, "
-        + " || ".join(f"m{k * rows + r}" for r in range(rows))
+        + " || '_' || ".join(f"CAST(m{k * rows + r} AS VARCHAR)" for r in range(rows))
         + " AS key FROM sig"
         for k in range(dedup.NUM_BANDS)
     )
@@ -203,10 +205,16 @@ _MH_SIGS, _MH_BANDS = _minhash_sig_sql()
     "dedup_minhash_lsh",
     oracle=rf"""
     WITH {_SQL_SHINGLES},
+    post AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)  AS h1,
+             CAST('0x' || substr(md5(x), 13, 12) AS BIGINT) AS h2
+      FROM post),
     sig AS (
-      SELECT doc_id, s,
+      SELECT doc_id,
 {_MH_SIGS}
-      FROM sh WHERE len(s) > 0),
+      FROM hashed GROUP BY doc_id),
     bands AS (
       {_MH_BANDS}),
     cand AS (
@@ -217,22 +225,24 @@ _MH_SIGS, _MH_BANDS = _minhash_sig_sql()
       SELECT doc_a, doc_b,
              len(list_intersect(x.s, y.s)) AS i,
              len(x.s) AS na, len(y.s) AS nb
-      FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
+      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
     SELECT doc_a, doc_b, ROUND(i / (na + nb - i), 4) AS jaccard
     FROM v WHERE i / (na + nb - i) >= 0.5
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(12)-LSH(4 bands) candidates, verified at Jaccard >= 0.5.
-    The oracle rebuilds the identical md5 signatures in SQL."""
+    The oracle rebuilds the identical hash arithmetic in SQL."""
     docs = table(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
 def _simhash_sql() -> tuple[str, str]:
+    # token hash = first 8 md5 hex chars as an int, bit b votes +-1
+    # (mirrors operators/dedup.py simhash's conv(substr(md5,1,8),16,10)).
     votes = ",\n".join(
-        "      SUM((strpos('0123456789abcdef', substr(md5(tok), "
-        f"{1 + bit // 4}, 1)) - 1 >> {bit % 4} & 1) * 2 - 1) AS s{bit}"
+        "      SUM(((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) "
+        f">> {bit}) & 1) * 2 - 1) AS s{bit}"
         for bit in range(dedup.SIMHASH_BITS)
     )
     pack = " + ".join(
