@@ -136,20 +136,29 @@ def winnow_fingerprints(
     Output: one row per distinct fingerprint, (id_col, fp). Texts shorter
     than k chars produce no rows; fewer than w k-grams -> one global min.
     """
-    t = normalized(F.col(text_col))
+    t = F.col("_norm")
     n_grams = F.length(t) - k + 1
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.md5(F.encode(F.substr(t, i, F.lit(k)), "UTF-8")),
     )
-    n_wins = n_grams - w + 1
+    # The gram-hash array MUST be materialized in its own projection:
+    # inlining `grams` into the window transform below would re-evaluate
+    # the whole O(len) md5 array once per window position (O(len^2) md5
+    # calls per document). As a multiply-referenced non-cheap alias,
+    # CollapseProject keeps this stage separate, so each window's slice
+    # reads the computed array attribute.
+    hashed = (
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+        .filter(F.length("_norm") >= k)
+        .select(F.col(id_col), grams.alias("grams"))
+    )
+    g = F.col("grams")
+    n_wins = F.size(g) - w + 1
     wins = F.when(
         n_wins >= 1,
         F.transform(
-            F.sequence(F.lit(1), n_wins), lambda j: F.array_min(F.slice(grams, j, w))
+            F.sequence(F.lit(1), n_wins), lambda j: F.array_min(F.slice(g, j, w))
         ),
-    ).otherwise(F.array(F.array_min(grams)))
-    return (
-        df.filter(F.length(t) >= k)
-        .select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
-    )
+    ).otherwise(F.array(F.array_min(g)))
+    return hashed.select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))

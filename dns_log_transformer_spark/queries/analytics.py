@@ -595,6 +595,116 @@ def q_event_time_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Native event-time windows, batch-executed (the same operators the
+# streaming surface uses — F.window / F.session_window run in both modes)
+# ---------------------------------------------------------------------------
+@register(
+    "q_window_native",
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts)                    AS window_start,
+           time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """F.window tumbling aggregation in batch mode — verifies the exact
+    operator the streaming pipeline uses (streaming/windows.py
+    tumbling_counts) against SQL time_bucket semantics."""
+    from dns_log_transformer_spark.streaming.windows import tumbling_counts
+
+    ev = table(spark, sf, "events")
+    return tumbling_counts(ev, window_len="5 minutes")
+
+
+@register(
+    "q_session_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE   AS session_end,
+           COUNT(*)                       AS n_events,
+           ROUND(SUM(value), 4)           AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_native(spark: SparkSession, sf: str) -> DataFrame:
+    """F.session_window gap-based sessions in batch mode (same operator
+    as streaming/windows.py session_stats); the oracle rebuilds identical
+    sessions with the lag+cumsum island method — a window at exactly the
+    30-min gap starts a new session in both (session end is exclusive)."""
+    from dns_log_transformer_spark.streaming.windows import session_stats
+
+    ev = table(spark, sf, "events")
+    return session_stats(ev, gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (explicit, beyond rollup/cube) + approximate distinct
+# ---------------------------------------------------------------------------
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS grp,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (an arbitrary set list — not expressible as
+    rollup or cube: (a,b), (b), ())."""
+    orders = table(spark, sf, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.grouping_id().cast("int").alias("grp"), F.count("*").alias("n"))
+
+
+@register(
+    "q_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE                      AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) checked against the exact
+    count within its 5% error bound — sketch values differ by engine, so
+    the oracle-comparable output is exact count + in-bound flag."""
+    orders = table(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02).cast("double")
+                - F.count_distinct("o_custkey").cast("double")
+            )
+            / F.count_distinct("o_custkey")
+            <= 0.05
+        ).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sessionization (batch): gap > 30 min starts a new session
 # ---------------------------------------------------------------------------
 @register(

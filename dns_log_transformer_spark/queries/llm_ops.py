@@ -135,6 +135,33 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.with_fingerprint(docs).select("doc_id", "fingerprint", "fingerprint64")
 
 
+@register(
+    "text_winnow",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - 8 + 2),
+                            i -> md5(substr(t, CAST(i AS INT), 8))) AS gh
+      FROM n WHERE length(t) >= 8)
+    SELECT doc_id, unnest(fps) AS fp FROM (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(gh) >= 4
+               THEN list_transform(range(1, len(gh) - 4 + 2),
+                                   j -> list_min(gh[j:j+3]))
+               ELSE [list_min(gh)] END) AS fps
+      FROM g)
+    """,
+)
+def text_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, window-min selection) document
+    fingerprints — the partial-overlap detector (k=8 chars, w=4)."""
+    docs = table(spark, sf, "documents")
+    return text.winnow_fingerprints(docs, k=8, w=4)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -380,6 +407,27 @@ def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     fixtures plant no true dups; threshold chosen to yield rows)."""
     emb = table(spark, sf, "embeddings")
     return similarity.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "emb_centroids",
+    oracle="""
+    SELECT CAST(vec_id % 10 AS INT)  AS grp,
+           CAST(u.p[1] AS INT)       AS dim,
+           ROUND(AVG(u.p[2]), 4)     AS centroid
+    FROM (
+      SELECT vec_id,
+             unnest(list_zip(range(len(embedding)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS p
+      FROM embeddings) u
+    GROUP BY 1, 2
+    """,
+)
+def emb_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group embedding centroids via grouped-map applyInPandas (the
+    IVF coarse-quantizer step); flat (grp, dim, centroid) output."""
+    emb = table(spark, sf, "embeddings")
+    return similarity.embedding_centroids(emb, n_groups=10)
 
 
 # ---------------------------------------------------------------------------
