@@ -29,6 +29,7 @@ from dns_log_transformer_spark.streaming.windows import (
     session_stats,
     dedup_within_watermark,
 )
+from dns_log_transformer_spark.streaming.stateful import running_user_totals
 
 __all__ = [
     "read_firehose_stream",
@@ -41,4 +42,5 @@ __all__ = [
     "sliding_counts",
     "session_stats",
     "dedup_within_watermark",
+    "running_user_totals",
 ]

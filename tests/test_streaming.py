@@ -229,6 +229,42 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2]
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    from dns_log_transformer_spark.streaming import running_user_totals
+
+    src = tmp_path / "events"
+    src.mkdir()
+    stream = read_events_stream(spark, str(src))
+    totals = running_user_totals(stream)
+    q = _start_memory(totals, "stateful_test", mode="update")
+    try:
+        _write_events(
+            src,
+            "f1.json",
+            [
+                _ev(1, "2024-01-01T00:00:00Z", user_id=1, value=10.0),
+                _ev(2, "2024-01-01T00:01:00Z", user_id=1, value=5.0),
+                _ev(3, "2024-01-01T00:02:00Z", user_id=2, value=1.0),
+            ],
+        )
+        q.processAllAvailable()
+        # second batch: state must carry user 1's totals forward
+        _write_events(src, "f2.json", [_ev(4, "2024-01-01T00:10:00Z", user_id=1, value=2.5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT * FROM stateful_test ORDER BY user_id, n_events"
+    ).collect()
+    # update mode appends each emission to the memory sink: user 1 at
+    # (2, 15.0) then (3, 17.5); user 2 once at (1, 1.0)
+    got = [(r["user_id"], r["n_events"], r["total_value"]) for r in rows]
+    assert (1, 2, 15.0) in got
+    assert (1, 3, 17.5) in got
+    assert (2, 1, 1.0) in got
+
+
 def test_streaming_batch_same_code_path(spark):
     """build_streaming_lines is the literal batch composition: running it
     on a batch DataFrame must reproduce the golden transform output."""
