@@ -222,6 +222,100 @@ def embedding_centroids(
     )
 
 
+def centroid_vectors(
+    emb: DataFrame,
+    n_cells: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, centroid array<double>) codebook — deterministic seed
+    partition (id % n_cells) + per-cell mean via applyInPandas. One
+    k-means-style averaging step; production IVF would iterate, the
+    plumbing is identical."""
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"cell": [int(pdf["cell"].iloc[0])], "centroid": [mat.mean(axis=0)]}
+        )
+
+    return (
+        emb.withColumn("cell", (F.col(id_col) % n_cells).cast("int"))
+        .groupBy("cell")
+        .applyInPandas(centroid, "cell int, centroid array<double>")
+    )
+
+
+def _cell_assigner(codebook: list[tuple[int, np.ndarray]], n_probe: int):
+    """pandas UDF factory: vector -> its n_probe nearest cells (by dot
+    with the broadcast codebook — O(cells) driver-side state, standard
+    IVF practice; the corpus itself never leaves the executors)."""
+    cells = np.array([c for c, _ in codebook])
+    mat = np.vstack([v for _, v in codebook]).astype(np.float64)  # cells x dim
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        vecs = np.vstack(v.to_numpy()).astype(np.float64)
+        scores = vecs @ mat.T  # batch x cells
+        order = np.argsort(-scores, axis=1)[:, :n_probe]
+        return pd.Series([cells[row].astype("int32").tolist() for row in order])
+
+    return probe_cells
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell; each query probes its n_probe nearest cells; exact cosine +
+    window top-k run inside the probed cells only (an equi-join on cell —
+    ~n_probe/n_cells of the corpus per query instead of all of it).
+
+    Output: (query_id, vec_id, cos_sim, rnk).
+    """
+    codebook = [
+        (r["cell"], np.array(r["centroid"]))
+        for r in centroid_vectors(emb, n_cells, id_col, vec_col).collect()
+    ]
+    assign1 = _cell_assigner(codebook, 1)
+    assignp = _cell_assigner(codebook, n_probe)
+
+    c = with_norm(emb.select(id_col, vec_col), vec_col).withColumn(
+        "cell", F.element_at(assign1(F.col(vec_col)), 1)
+    )
+    q = with_norm(queries.select(id_col, vec_col), vec_col, "q_nrm").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "q_nrm",
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                dot_pd(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos_sim", "rnk")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -385,6 +385,18 @@ def sim_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_topk_lsh(emb, queries, k=5)
 
 
+@register("sim_ann_ivf_topk", oracle=None)
+def sim_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-5 (1 averaging step over deterministic seed
+    cells; queries probe their 2 nearest cells; exact cosine within).
+    Rows-only check, like the LSH variant; the centroid math and the
+    exact ranking math are each oracle-verified (emb_centroids,
+    sim_topk_bruteforce)."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ann_topk_ivf(emb, queries, k=5, n_cells=10, n_probe=2)
+
+
 @register(
     "emb_neardup_pairs",
     oracle=f"""
