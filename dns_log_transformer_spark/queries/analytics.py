@@ -754,6 +754,59 @@ def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Correlated scalar subquery, decorrelated the Spark-first way
+# ---------------------------------------------------------------------------
+@register(
+    "q_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders >1.5x their customer's average. The oracle states it as the
+    correlated scalar subquery; the engine decorrelates it to one window
+    aggregate over a single o_custkey shuffle — the shape that scales
+    (per-row re-aggregation never happens)."""
+    orders = table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The SQL entry point itself (spark.sql over registered views)
+# ---------------------------------------------------------------------------
+_NATION_REVENUE_SQL = """
+    SELECT n_name,
+           COUNT(DISTINCT c_custkey)     AS n_customers,
+           ROUND(SUM(o_totalprice), 2)   AS total_revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY n_name
+"""
+
+
+@register("q_sql_surface", oracle=_NATION_REVENUE_SQL)
+def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's SQL surface: the IDENTICAL ANSI text runs through
+    spark.sql() and through DuckDB — parser/analyzer parity, not just
+    DataFrame parity."""
+    for t in ("customer", "nation", "orders"):
+        table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_NATION_REVENUE_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured: JSON property extraction
 # ---------------------------------------------------------------------------
 @register(

@@ -119,6 +119,69 @@ def dns_ms_lines(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dns_quarantine_stats",
+    oracle="""
+    SELECT CASE event_id % 5
+             WHEN 0 THEN 'ok'
+             WHEN 1 THEN 'missing_or_invalid:vpc_id'
+             WHEN 2 THEN 'bad_query_timestamp'
+             WHEN 3 THEN 'answer_missing_type'
+             WHEN 4 THEN 'decode_error'
+           END AS outcome,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def dns_quarantine_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The validation/quarantine path (P5/P7, app/app.py:175-217,255-263)
+    at fixture scale: records are deterministically corrupted by
+    event_id % 5 (valid / missing field / bad timestamp / answer without
+    Type / un-decodable base64), serialized to real base64 JSON payloads,
+    and pushed through the actual decode -> validate split. The oracle
+    states the expected classification; a mismatch means the pipeline
+    mis-routed a record."""
+    from dns_log_transformer_spark.transforms import decode_records, split_valid_invalid
+
+    ev = table(spark, sf, "events")
+    m = F.col("event_id") % 5
+    rec = F.struct(
+        F.lit("1.100000").alias("version"),
+        F.lit("123456789012").alias("account_id"),
+        F.lit("us-east-1").alias("region"),
+        F.when(m != 1, F.concat(F.lit("vpc-"), F.col("user_id").cast("string"))).alias(
+            "vpc_id"
+        ),
+        F.when(
+            m == 2, F.lit("not-a-timestamp")
+        ).otherwise(
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ).alias("query_timestamp"),
+        F.concat(F.col("event_type"), F.lit(".example.com.")).alias("query_name"),
+        F.lit("A").alias("query_type"),
+        F.lit("IN").alias("query_class"),
+        F.lit("NOERROR").alias("rcode"),
+        F.when(
+            m == 3,
+            F.array(F.struct(F.lit("1.2.3.4").alias("Rdata"), F.lit(None).cast("string").alias("Type"))),
+        ).otherwise(
+            F.array(F.struct(F.lit("93.184.216.34").alias("Rdata"), F.lit("A").alias("Type")))
+        ).alias("answers"),
+        F.lit("10.0.0.1").alias("srcaddr"),
+        F.lit("53123").alias("srcport"),
+        F.lit("UDP").alias("transport"),
+        F.struct(F.lit("i-0abcd").alias("instance")).alias("srcids"),
+    )
+    payload = F.when(m == 4, F.lit("!!!not-base64!!!")).otherwise(
+        F.base64(F.encode(F.to_json(rec, {"ignoreNullFields": "true"}), "UTF-8"))
+    )
+    records = ev.select(F.col("event_id"), payload.alias("data"))
+    valid, quarantine = split_valid_invalid(decode_records(records))
+    ok = valid.select(F.lit("ok").alias("outcome"))
+    bad = quarantine.select(F.col("reject_reason").alias("outcome"))
+    return ok.unionByName(bad).groupBy("outcome").agg(F.count("*").alias("n"))
+
+
+@register(
     "dns_reply_stats",
     oracle=_SQL_RECS
     + """
