@@ -116,6 +116,40 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split documents into numbered sentences via a Python UDTF (the
+    table-function surface: one input row -> N output rows with arbitrary
+    Python logic). Splitting on '.' with whitespace-trim keeps the
+    semantics SQL-replicable; empty segments are dropped.
+
+    Output: (id_col, sent_no, sentence).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_no: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            n = 0
+            for seg in text.split("."):
+                seg = seg.strip()
+                if seg:
+                    yield n, seg
+                    n += 1
+
+    # lateral-join the UDTF against each row
+    df.createOrReplaceTempView("_sentences_in")
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        f"SELECT {id_col}, s.sent_no, s.sentence "
+        f"FROM _sentences_in, LATERAL sentence_split({text_col}) s"
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

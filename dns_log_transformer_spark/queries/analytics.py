@@ -276,6 +276,42 @@ def q_customer_order_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_full_outer_yearly",
+    oracle="""
+    WITH o AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                      COUNT(*) AS n_orders
+               FROM orders GROUP BY 1),
+         l AS (SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+                      COUNT(*) AS n_ships
+               FROM lineitem GROUP BY 1)
+    SELECT COALESCE(o.yr, l.yr) AS yr,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_ships, 0)  AS n_ships
+    FROM o FULL OUTER JOIN l ON o.yr = l.yr
+    """,
+)
+def q_full_outer_yearly(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join of two yearly aggregates (order years vs ship
+    years don't fully overlap — both dangling sides survive)."""
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    o = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(F.count("*").alias("n_orders"))
+    l = li.groupBy(F.year("l_shipdate").cast("int").alias("o_yr")).agg(
+        F.count("*").alias("n_ships")
+    )
+    return (
+        o.join(l, o.yr == l.o_yr, "full_outer")
+        .select(
+            F.coalesce(o.yr, l.o_yr).alias("yr"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

@@ -136,6 +136,29 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_sentences",
+    oracle="""
+    WITH segs AS (
+      SELECT doc_id, trim(s) AS sentence,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS rn
+      FROM (SELECT doc_id, u.s, u.i
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, '.')) AS s,
+                         generate_subscripts(string_split(text, '.'), 1) AS i
+                  FROM documents) u)
+      WHERE trim(s) <> '')
+    SELECT doc_id, CAST(rn AS INT) AS sent_no, sentence FROM segs
+    """,
+)
+def text_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation via a Python UDTF (LATERAL table function —
+    the 1->N row surface with arbitrary Python logic), oracle-replayed
+    with string_split + ordinality."""
+    docs = table(spark, sf, "documents")
+    return text.sentences(docs)
+
+
+@register(
     "text_winnow",
     oracle=r"""
     WITH n AS (
