@@ -322,22 +322,78 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs >= threshold. Exact variant
-    (self-join); at scale swap the join for the LSH bucket join above.
-    Output: (id_a, id_b, cos_sim). Norms are computed once per vector
-    (2n folds) before the n^2 pair stage, which then does one fold/pair."""
-    nd = with_norm(emb.select(id_col, vec_col), vec_col)
-    a = nd.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("nrm").alias("n_a")
+    """Embedding-cosine near-dup pairs >= threshold — exact, via blocked
+    matrix products: vectors are grouped into n_blocks row-blocks, the
+    B(B+1)/2 block pairs fan out as rows, and each task computes its
+    (n/B x n/B) cosine tile with numpy. Arrow moves each vector B times
+    (not once per pair), and the tile accumulates dimension-by-dimension
+    in array order (`C += a[:,d] (x) b[:,d]`) so every pair's dot product
+    is the same sequential fold the DuckDB oracle's list_sum performs —
+    bit-identical results at matmul speed.
+
+    Still O(n^2) work by definition (exact all-pairs); the LSH/IVF paths
+    are the sub-quadratic alternatives at corpus scale.
+    Output: (id_a, id_b, cos_sim).
+    """
+    n_blocks = 8
+    packed = (
+        emb.select(
+            (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+            F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vid").alias("ids"),
+            F.collect_list("v").alias("vecs"),
+        )
     )
-    b = nd.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("nrm").alias("n_b")
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
     )
-    cos = dot_pd(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos_raw"))
-        .filter(F.col("cos_raw") >= threshold)
-        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
     )
+    tiles = a.crossJoin(b).filter(F.col("blk_a") <= F.col("blk_b"))
+
+    def tile_pairs(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                va = np.vstack(row["vecs_a"]).astype(np.float64)
+                vb = np.vstack(row["vecs_b"]).astype(np.float64)
+                dim = va.shape[1]
+                dots = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
+                na = np.zeros(len(ids_a), dtype=np.float64)
+                nb = np.zeros(len(ids_b), dtype=np.float64)
+                for d in range(dim):  # sequential fold order per pair
+                    dots = dots + np.outer(va[:, d], vb[:, d])
+                    na = na + va[:, d] * va[:, d]
+                    nb = nb + vb[:, d] * vb[:, d]
+                cos = dots / np.outer(np.sqrt(na), np.sqrt(nb))
+                if row["blk_a"] == row["blk_b"]:
+                    # diagonal tile: both sides hold the same ids — keep
+                    # each unordered pair once via the id order
+                    mask = (ids_a[:, None] < ids_b[None, :]) & (cos >= threshold)
+                else:
+                    # off-diagonal tile: ids interleave across blocks (blk
+                    # = id % B), so a pair may sit in either orientation;
+                    # the tile itself is unique (blk_a < blk_b), emit all
+                    # qualifying cells normalized to (min, max)
+                    mask = cos >= threshold
+                ai, bi = np.nonzero(mask)
+                pa, pb = ids_a[ai], ids_b[bi]
+                out_a.append(np.minimum(pa, pb))
+                out_b.append(np.maximum(pa, pb))
+                out_c.append(np.round(cos[ai, bi], 4))
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                    "cos_sim": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+    return tiles.mapInPandas(tile_pairs, "id_a bigint, id_b bigint, cos_sim double")
