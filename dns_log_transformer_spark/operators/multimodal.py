@@ -71,6 +71,51 @@ def image_meta(
     return blobs.select(id_col, "blob").mapInPandas(extract, IMAGE_META_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, resized binary"
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize binary image payloads via mapInPandas (the standard
+    preprocess step before feature extraction). The pixel work is stubbed
+    — no PIL/opencv in this container — with a deterministic byte
+    down-sample standing in; inject ``resizer(blob, w, h) -> bytes`` for
+    the production decode-resize-reencode:
+
+        def pil_resizer(blob, w, h):
+            raise NotImplementedError("PIL not available in this container")
+
+    The Spark-side contract (binary in/out through Arrow, batch shape,
+    schema) is real and tested either way.
+    """
+    w, h = target
+
+    def fake_resize(blob: bytes, tw: int, th: int) -> bytes:
+        budget = max(1, (tw * th) // 64)
+        step = max(1, len(blob) // budget)
+        return blob[::step][:budget]
+
+    rz = resizer or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([h] * len(pdf), dtype="int32"),
+                    "resized": [rz(b, w, h) for b in pdf["blob"]],
+                }
+            )
+
+    blobs = df if "blob" in df.columns else attach_blob(df)
+    return blobs.select(id_col, "blob").mapInPandas(run, RESIZE_SCHEMA)
+
+
 #: Frame-sampling: pick n byte offsets per payload (the video analog —
 #: real frame extraction needs ffmpeg; offsets make the fan-out testable).
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, byte_offset bigint"

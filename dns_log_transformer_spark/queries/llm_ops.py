@@ -489,6 +489,39 @@ def mm_image_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(224 AS INT) AS width,
+           CAST(224 AS INT) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS src_bytes,
+           CAST(LEAST(CAST(784 AS BIGINT),
+                CAST(ceil(octet_length(encode(text))::DOUBLE
+                     / greatest(octet_length(encode(text)) // 784, 1)) AS BIGINT))
+             AS BIGINT) AS resized_bytes
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image resize through the real mapInPandas binary plumbing (pixel
+    op stubbed as a deterministic byte down-sample: every ceil(n/784)-th
+    byte, capped at 224*224/64 = 784). Oracle checks the output geometry
+    and byte counts."""
+    docs = table(spark, sf, "documents")
+    out = multimodal.resize_images(docs, target=(224, 224))
+    src = multimodal.attach_blob(table(spark, sf, "documents")).select(
+        "doc_id", F.octet_length("blob").cast("long").alias("src_bytes")
+    )
+    return out.join(src, "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        "src_bytes",
+        F.octet_length("resized").cast("long").alias("resized_bytes"),
+    )
+
+
+@register(
     "mm_frame_offsets",
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
