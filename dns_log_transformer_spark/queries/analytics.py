@@ -656,6 +656,32 @@ def q_window_native(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_sliding_native",
+    oracle="""
+    WITH cand AS (
+      SELECT e.*, u.ws
+      FROM events e,
+           UNNEST([time_bucket(INTERVAL 5 MINUTE, ts),
+                   time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS u(ws))
+    SELECT ws                         AS window_start,
+           ws + INTERVAL 10 MINUTE    AS window_end,
+           COUNT(*)                   AS n_events
+    FROM cand
+    WHERE ts >= ws AND ts < ws + INTERVAL 10 MINUTE
+    GROUP BY ws
+    """,
+)
+def q_sliding_native(spark: SparkSession, sf: str) -> DataFrame:
+    """F.window sliding aggregation (10 min window, 5 min slide) in batch
+    mode — each row lands in len/slide = 2 windows; the oracle replays it
+    by fanning each row to its two candidate window starts."""
+    from dns_log_transformer_spark.streaming.windows import sliding_counts
+
+    ev = table(spark, sf, "events")
+    return sliding_counts(ev, window_len="10 minutes", slide="5 minutes")
+
+
+@register(
     "q_session_native",
     oracle="""
     WITH flagged AS (
