@@ -229,6 +229,40 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2]
 
 
+def test_checkpoint_restart_no_reprocess(spark, tmp_path):
+    """Restarting from the checkpoint neither loses nor reprocesses
+    batches: file1 is archived exactly once even though the second run
+    sees it in the landing dir (the exactly-once upgrade over the
+    reference's ack-before-processing loss window, app/app.py:96-102)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    work = str(tmp_path / "work")
+
+    rec1 = make_record(query_name="first.example.com.")
+    (landing / "b1.json").write_text(envelope_json([rec1], request_id="r1") + "\n")
+    for q in start_pipeline(
+        spark, str(landing), work, available_now=True, deterministic_ids=True
+    ):
+        q.awaitTermination(timeout=120)
+
+    rec2 = make_record(query_name="second.example.com.")
+    (landing / "b2.json").write_text(envelope_json([rec2], request_id="r2") + "\n")
+    for q in start_pipeline(
+        spark, str(landing), work, available_now=True, deterministic_ids=True
+    ):
+        q.awaitTermination(timeout=120)
+
+    rows = spark.read.parquet(os.path.join(work, "archive")).collect()
+    by_req = {}
+    for r in rows:
+        by_req.setdefault(r["requestId"], []).append(r["line"])
+    # 2 lines (query+reply) per record, each exactly once
+    assert sorted(by_req) == ["r1", "r2"]
+    assert len(by_req["r1"]) == 2 and len(by_req["r2"]) == 2
+    assert any("first.example.com." in ln for ln in by_req["r1"])
+    assert any("second.example.com." in ln for ln in by_req["r2"])
+
+
 def test_stateful_running_totals(spark, tmp_path):
     from dns_log_transformer_spark.streaming import running_user_totals
 
