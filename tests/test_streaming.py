@@ -229,6 +229,32 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2]
 
 
+def test_rate_source_events_shape(spark):
+    """The synthetic rate-source events stream yields the events schema
+    (load-testing entry point, no external dependency)."""
+    from dns_log_transformer_spark.streaming.source import rate_events_stream
+
+    stream = rate_events_stream(spark, rows_per_second=500)
+    q = _start_memory(stream, "rate_test")
+    try:
+        q.processAllAvailable()
+        import time as _t
+
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            if spark.sql("SELECT COUNT(*) n FROM rate_test").collect()[0]["n"] > 0:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM rate_test").collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert set(r.asDict()) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert r["event_type"] in {"click", "view", "purchase", "signup", "error"}
+
+
 def test_checkpoint_restart_no_reprocess(spark, tmp_path):
     """Restarting from the checkpoint neither loses nor reprocesses
     batches: file1 is archived exactly once even though the second run
