@@ -870,6 +870,37 @@ def q_ship_within_week(spark: SparkSession, sf: str) -> DataFrame:
 # Scalar-function gallery (string/date/conditional coverage)
 # ---------------------------------------------------------------------------
 @register(
+    "q_pure_range_join",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n_shipped
+    FROM orders JOIN lineitem
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 3 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def q_pure_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure range join (NO equi key): lineitems shipped within any
+    order's 3-day window. Spark would plan the raw predicate as a
+    nested-loop O(n*m); operators/joins.py range_join_buckets turns it
+    into a bucketized equi-join + refine (the scale path). The oracle is
+    the naive range join, which DuckDB executes with IEJoin."""
+    from dns_log_transformer_spark.operators.joins import range_join_buckets
+
+    day = 86400
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("lo"),
+        (F.unix_timestamp("o_orderdate") + 3 * day).alias("hi"),
+    )
+    li = table(spark, sf, "lineitem").select(
+        F.unix_timestamp("l_shipdate").alias("x")
+    )
+    joined = range_join_buckets(li, orders, "x", "lo", "hi", bucket_width=4 * day)
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+
+
+@register(
     "q_scalar_functions",
     oracle="""
     SELECT c_custkey,
