@@ -93,13 +93,14 @@ def range_join_buckets(
     start_col: str,
     end_col: str,
     bucket_width: int,
-    how: str = "inner",
 ) -> DataFrame:
-    """Point-in-interval join ``start <= point < end`` as a bucketized
-    equi-join: intervals explode into the coarse buckets they overlap,
-    points map to their single bucket, the join runs on the bucket key,
-    and the exact range predicate refines. All values are numeric (use
-    unix_timestamp for time).
+    """Point-in-interval INNER join ``start <= point < end`` as a
+    bucketized equi-join: intervals explode into the coarse buckets they
+    overlap, points map to their single bucket, the join runs on the
+    bucket key, and the exact range predicate refines. All values are
+    numeric (use unix_timestamp for time). Inner-only: an outer variant
+    would need the refine predicate inside the join condition, not as a
+    post-filter.
 
     vs the naive range join (broadcast nested loop, O(n*m) compares):
     work becomes O(n + m * avg_interval/bucket_width + matches).
@@ -116,7 +117,7 @@ def range_join_buckets(
             )
         ),
     )
-    joined = p.join(iv, "_bucket", how).filter(
+    joined = p.join(iv, "_bucket").filter(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
     )
     return joined.drop("_bucket")
