@@ -89,6 +89,36 @@ def session_stats(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on a key + event-time interval: a right
+    row matches a left row when right_ts in [left_ts - 0, left_ts +
+    upper]. Both sides are watermarked so the join state (buffered
+    unmatched rows) is evicted once the time bound passes — the condition
+    Spark requires for bounded stream-stream join state.
+
+    Works identically in batch mode (watermarks are no-ops there), which
+    is how the oracle-free semantics get pinned by tests.
+    """
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    return lw.join(
+        rw,
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (rts >= lts - F.expr(f"INTERVAL {lower}"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper}")),
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     key_cols: list[str],

@@ -229,6 +229,48 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2]
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams joined on user_id within an event-time interval;
+    watermarks bound the buffered state."""
+    from dns_log_transformer_spark.streaming.windows import interval_join_streams
+
+    src_a = tmp_path / "clicks"
+    src_b = tmp_path / "buys"
+    src_a.mkdir()
+    src_b.mkdir()
+    clicks = read_events_stream(spark, str(src_a))
+    buys = read_events_stream(spark, str(src_b))
+    joined = interval_join_streams(
+        clicks, buys, on="user_id", upper="10 minutes"
+    ).select(
+        F.col("l.event_id").alias("click_id"), F.col("r.event_id").alias("buy_id")
+    )
+    q = _start_memory(joined, "ssjoin_test")
+    try:
+        _write_events(
+            src_a,
+            "c1.json",
+            [
+                _ev(1, "2024-01-01T00:00:00Z", user_id=1, event_type="click"),
+                _ev(2, "2024-01-01T01:00:00Z", user_id=2, event_type="click"),
+            ],
+        )
+        _write_events(
+            src_b,
+            "b1.json",
+            [
+                _ev(100, "2024-01-01T00:05:00Z", user_id=1, event_type="purchase"),
+                # outside the 10-min upper bound for click 2 (01:00 -> 02:00)
+                _ev(200, "2024-01-01T02:00:00Z", user_id=2, event_type="purchase"),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["click_id"], r["buy_id"]) for r in spark.sql("SELECT * FROM ssjoin_test").collect()}
+    assert got == {(1, 100)}
+
+
 def test_rate_source_events_shape(spark):
     """The synthetic rate-source events stream yields the events schema
     (load-testing entry point, no external dependency)."""
