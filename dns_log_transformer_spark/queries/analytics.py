@@ -794,15 +794,45 @@ def q_cube_returnflag(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_distinct_and_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Multiple count-distincts (expand+partial agg) + exact interpolated
-    percentiles (Spark `percentile` == DuckDB `quantile_cont`)."""
+    """Multiple exact count-distincts + exact interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`).
+
+    Shape: each distinct count runs as its own two-phase aggregation
+    (groupBy(key, col) then count) and the results join on the tiny
+    group key — instead of one agg with N count_distincts, which Catalyst
+    plans as an Expand multiplying every input row N+1 times before the
+    shuffle. Measured 3x at sf0.1; at warehouse scale the expand's extra
+    shuffled rows dominate even more (narrow column scans are cheap,
+    shuffled bytes are not)."""
     li = table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_suppkey").alias("n_suppliers"),
-        F.count_distinct("l_partkey").alias("n_parts"),
+    sup = (
+        li.groupBy("l_returnflag", "l_suppkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    par = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    pct = li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    )
+    return (
+        pct.join(sup, "l_returnflag")
+        .join(par, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_suppliers",
+            "n_parts",
+            "median_price",
+            "p95_price",
+            "sd_qty",
+        )
     )
 
 
