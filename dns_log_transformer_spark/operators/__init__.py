@@ -7,6 +7,13 @@ projection). Each operator has a matching query entry in
 ``queries/llm_ops.py`` with a DuckDB oracle where SQL can express it.
 """
 
-from dns_log_transformer_spark.operators import dedup, multimodal, similarity, text
+from dns_log_transformer_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "joins", "multimodal", "similarity", "skew", "text"]
