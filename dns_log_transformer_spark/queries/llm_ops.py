@@ -287,6 +287,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
+#: The minhash pair derivation as reusable WITH-clause text (shared by
+#: the pairs query above and the connected-components query below).
+_MH_PAIRS_CTES = rf"""{_SQL_SHINGLES},
+    post AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)  AS h1,
+             CAST('0x' || substr(md5(x), 13, 12) AS BIGINT) AS h2
+      FROM post),
+    sig AS (
+      SELECT doc_id,
+{_MH_SIGS}
+      FROM hashed GROUP BY doc_id),
+    bands AS (
+      {_MH_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, key)
+      WHERE a.doc_id < b.doc_id),
+    v AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.s, y.s)) AS i,
+             len(x.s) AS na, len(y.s) AS nb
+      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM v WHERE i / (na + nb - i) >= 0.5)"""
+
+
+@register(
+    "dedup_components",
+    oracle=rf"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM dup_pairs),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+    SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+    """,
+)
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    near-dup pairs via iterative min-label propagation (driver loop +
+    convergence check — the 'iterative algorithm' shape). The oracle
+    computes the same components with a recursive transitive-closure CTE
+    — feasible for DuckDB at oracle scale, quadratic-in-component-size,
+    which is exactly why the engine side iterates instead."""
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
 def _simhash_sql() -> tuple[str, str]:
     # token hash = first 8 md5 hex chars as an int, bit b votes +-1
     # (mirrors operators/dedup.py simhash's conv(substr(md5,1,8),16,10)).
