@@ -905,28 +905,36 @@ def q_ship_within_week(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderkey, COUNT(*) AS n_shipped
     FROM orders JOIN lineitem
       ON l_shipdate >= o_orderdate
-     AND l_shipdate <  o_orderdate + INTERVAL 3 DAY
+     AND l_shipdate <  o_orderdate + INTERVAL 1 DAY
+    WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
     GROUP BY o_orderkey
     """,
 )
 def q_pure_range_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Pure range join (NO equi key): lineitems shipped within any
-    order's 3-day window. Spark would plan the raw predicate as a
-    nested-loop O(n*m); operators/joins.py range_join_buckets turns it
-    into a bucketized equi-join + refine (the scale path). The oracle is
-    the naive range join, which DuckDB executes with IEJoin."""
+    """Pure range join (NO equi key): lineitems (any order's) shipped
+    within a March-1995 order's next-day window. Spark would plan the raw
+    predicate as a nested-loop O(n*m); operators/joins.py
+    range_join_buckets turns it into a bucketized equi-join + refine (the
+    scale path). The oracle is the naive range join, which DuckDB
+    executes with IEJoin. (Selective on purpose: a pure range join's
+    OUTPUT is inherently |matches|; an unselective window makes any
+    algorithm quadratic in output, not a plan problem.)"""
     from dns_log_transformer_spark.operators.joins import range_join_buckets
 
     day = 86400
-    orders = table(spark, sf, "orders").select(
+    orders = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select(
         "o_orderkey",
         F.unix_timestamp("o_orderdate").alias("lo"),
-        (F.unix_timestamp("o_orderdate") + 3 * day).alias("hi"),
+        (F.unix_timestamp("o_orderdate") + day).alias("hi"),
     )
     li = table(spark, sf, "lineitem").select(
         F.unix_timestamp("l_shipdate").alias("x")
     )
-    joined = range_join_buckets(li, orders, "x", "lo", "hi", bucket_width=4 * day)
+    joined = range_join_buckets(li, orders, "x", "lo", "hi", bucket_width=2 * day)
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
 
 
