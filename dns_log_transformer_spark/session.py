@@ -78,6 +78,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    if name == "events":
+        # Session-portability: callers (e.g. an external harness) may hand us
+        # a SparkSession built without get_spark(); nanosAsLong is
+        # runtime-settable, so set it here rather than relying on
+        # session-build-time config. Guarded for locked-down sessions.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        # UTC is load-bearing for oracle parity: DuckDB treats the fixture
+        # timestamps as naive UTC, so event-time bucketing (date_trunc,
+        # window) must run in UTC regardless of the caller's session tz.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
