@@ -316,11 +316,30 @@ def ann_topk_ivf(
     )
 
 
+def plan_blocks(n_vectors: int, block_rows: int = 4096, min_blocks: int = 8) -> int:
+    """Pick the row-block count for the exact all-pairs tiling.
+
+    Each block is packed into ONE row (collect_list of ids + vectors), so
+    block size is the binding constraint, not block count:
+    - a block row is ~block_rows x dim x 8 bytes (2 MB at dim=64) — far
+      under Spark's 2 GB row/column limits at any corpus size;
+    - a tile materializes a block_rows^2 float64 matrix (128 MB at the
+      4096 default) per task.
+    Blocks therefore scale WITH the corpus (n / block_rows) instead of a
+    fixed count whose per-block size grows unboundedly; min_blocks keeps
+    enough tiles for parallelism on small corpora.
+    """
+    import math
+
+    return max(min_blocks, math.ceil(max(n_vectors, 1) / block_rows))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs >= threshold — exact, via blocked
     matrix products: vectors are grouped into n_blocks row-blocks, the
@@ -333,9 +352,13 @@ def embedding_neardup_pairs(
 
     Still O(n^2) work by definition (exact all-pairs); the LSH/IVF paths
     are the sub-quadratic alternatives at corpus scale.
+
+    Block count is derived from the corpus size (see ``plan_blocks``) so
+    a packed block row stays ~block_rows vectors regardless of n — the
+    count() here is one cheap extra job against O(n^2) tile work.
     Output: (id_a, id_b, cos_sim).
     """
-    n_blocks = 8
+    n_blocks = plan_blocks(emb.count(), block_rows=block_rows)
     packed = (
         emb.select(
             (F.col(id_col) % n_blocks).cast("int").alias("blk"),

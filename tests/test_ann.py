@@ -40,3 +40,27 @@ def test_ivf_every_query_answered(spark):
     got = _topk_sets(res)
     assert set(got) == {r["vec_id"] for r in queries.collect()}
     assert all(len(v) == 5 for v in got.values())
+
+
+def test_plan_blocks_bounds_block_size():
+    """Block count must scale with the corpus so a packed block row stays
+    ~block_rows vectors — the round-1 fixed n_blocks=8 packed n/8 vectors
+    per row and would blow Spark's 2 GB row limit at corpus scale."""
+    br = 4096
+    for n in [0, 1, 10_000, 100_000, 10_000_000, 1_000_000_000]:
+        b = similarity.plan_blocks(n, block_rows=br)
+        assert b >= 8
+        # rows per block bounded (blk = id % B is uniform for dense ids)
+        assert -(-n // b) <= br, f"n={n}: {-(-n // b)} rows/block > {br}"
+    # 10x corpus -> ~10x blocks, same per-block byte budget
+    assert similarity.plan_blocks(10_000_000) >= 10 * similarity.plan_blocks(1_000_000) // 11
+
+
+def test_neardup_pairs_block_rows_param(spark):
+    """Same pairs regardless of blocking (tiling is a pure partitioning)."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a = similarity.embedding_neardup_pairs(emb, threshold=0.4)
+    b = similarity.embedding_neardup_pairs(emb, threshold=0.4, block_rows=64)
+    rows_a = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in a.collect()}
+    rows_b = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) > 0
