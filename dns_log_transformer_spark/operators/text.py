@@ -122,6 +122,10 @@ def sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Python logic). Splitting on '.' with whitespace-trim keeps the
     semantics SQL-replicable; empty segments are dropped.
 
+    Uses the DataFrame-API ``lateralJoin`` (Spark 4) with an outer column
+    reference — no temp view, no session-global function name, so
+    concurrent callers on one session can't clobber each other.
+
     Output: (id_col, sent_no, sentence).
     """
     from pyspark.sql.functions import udtf
@@ -138,15 +142,8 @@ def sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                     yield n, seg
                     n += 1
 
-    # lateral-join the UDTF against each row
-    df.createOrReplaceTempView("_sentences_in")
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    spark.udtf.register("sentence_split", SentenceSplit)
-    return spark.sql(
-        f"SELECT {id_col}, s.sent_no, s.sentence "
-        f"FROM _sentences_in, LATERAL sentence_split({text_col}) s"
+    return df.lateralJoin(SentenceSplit(F.col(text_col).outer())).select(
+        id_col, "sent_no", "sentence"
     )
 
 

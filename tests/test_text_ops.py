@@ -1,0 +1,35 @@
+"""Text-operator unit tests (beyond the oracle-parity mirror)."""
+
+from __future__ import annotations
+
+from dns_log_transformer_spark.operators import text
+
+
+def test_sentences_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "First. Second sentence.  Third"), (2, None), (3, "...")],
+        "doc_id int, text string",
+    )
+    rows = {(r.doc_id, r.sent_no, r.sentence) for r in text.sentences(df).collect()}
+    assert rows == {(1, 0, "First"), (1, 1, "Second sentence"), (1, 2, "Third")}
+
+
+def test_sentences_concurrent_calls_do_not_clobber(spark):
+    """Round-1 bug: a fixed temp-view name (`_sentences_in`) meant a second
+    call re-bound the view before the first plan executed, so the first
+    call returned the second call's data. Build BOTH plans before
+    collecting EITHER — each must see its own input."""
+    df_a = spark.createDataFrame([(1, "alpha. beta")], "doc_id int, text string")
+    df_b = spark.createDataFrame([(9, "gamma")], "doc_id int, text string")
+    plan_a = text.sentences(df_a)
+    plan_b = text.sentences(df_b)  # would have clobbered plan_a's view
+    got_a = {(r.doc_id, r.sentence) for r in plan_a.collect()}
+    got_b = {(r.doc_id, r.sentence) for r in plan_b.collect()}
+    assert got_a == {(1, "alpha"), (1, "beta")}
+    assert got_b == {(9, "gamma")}
+
+
+def test_sentences_custom_columns(spark):
+    df = spark.createDataFrame([("d1", "x. y")], "k string, body string")
+    rows = text.sentences(df, id_col="k", text_col="body").collect()
+    assert {(r.k, r.sent_no, r.sentence) for r in rows} == {("d1", 0, "x"), ("d1", 1, "y")}
