@@ -262,12 +262,19 @@ def connected_components(
         .withColumn("component", F.col("doc_id"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component").alias("n_min"))
         )
+        # localCheckpoint (not persist): each round's plan embeds the
+        # previous round's, so lineage doubles per iteration — a
+        # diameter-d graph builds a 2^d-leaf logical plan and OOMs the
+        # driver during analysis long before the data is big. Truncating
+        # the plan keeps round cost flat; eager=True runs the round now
+        # so the convergence count below reuses it.
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -276,7 +283,7 @@ def connected_components(
                     F.col("component"), F.coalesce("n_min", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -289,6 +296,14 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # silently returning would split one true component into several
+        # labels — wrong data, undetectable downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the graph has a path "
+            "longer than max_iter — raise max_iter"
+        )
     return labels.select("doc_id", "component")
 
 

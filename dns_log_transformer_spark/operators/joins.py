@@ -104,10 +104,16 @@ def range_join_buckets(
 
     vs the naive range join (broadcast nested loop, O(n*m) compares):
     work becomes O(n + m * avg_interval/bucket_width + matches).
+
+    Empty/inverted intervals (end <= start) are pre-filtered: sequence()
+    DESCENDS when stop < start, so a dirty interval with end << start
+    would otherwise explode into an unbounded run of spurious bucket rows
+    (correctness survives the refine filter; the fan-out does not).
     """
     p = points.withColumn(
         "_bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
     )
+    intervals = intervals.filter(F.col(start_col) < F.col(end_col))
     iv = intervals.withColumn(
         "_bucket",
         F.explode(

@@ -62,7 +62,17 @@ def salt_join(
 
     The small side grows n_salts x; use only when broadcast is off the
     table (side too big) and AQE's skew split is insufficient.
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are valid:
+    with right/full_outer, every unmatched small-side row is unmatched in
+    all n_salts replicas and would be emitted n_salts times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salt_join supports inner/left only, got {how!r}: the "
+            "replicated small side emits unmatched rows once per salt "
+            "under right/full joins"
+        )
     salted_big = big.withColumn("_salt", (F.rand() * n_salts).cast("int"))
     replicated_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -125,7 +125,7 @@ def dns_ms_lines(spark: SparkSession, sf: str) -> DataFrame:
              WHEN 0 THEN 'ok'
              WHEN 1 THEN 'missing_or_invalid:vpc_id'
              WHEN 2 THEN 'bad_query_timestamp'
-             WHEN 3 THEN 'answer_missing_type'
+             WHEN 3 THEN 'answer_missing_rdata_or_type'
              WHEN 4 THEN 'decode_error'
            END AS outcome,
            COUNT(*) AS n

@@ -21,7 +21,13 @@ from dns_log_transformer_spark.queries.registry import register, table
 # Shared SQL fragments (mirror operators/text.py exactly)
 # ---------------------------------------------------------------------------
 
-_SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+# empty/whitespace-only text must be [] on BOTH sides: DuckDB's
+# string_split_regex('') yields [''] (len 1) where Spark's tokens() guard
+# yields [] — mirror the guard here
+_SQL_TOKENS = (
+    r"(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(text), '\s+') END)"
+)
 _SQL_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _SQL_SHINGLES = rf"""
   toks AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),

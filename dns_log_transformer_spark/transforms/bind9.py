@@ -107,6 +107,10 @@ def to_bind9_lines(validated: DataFrame, keep: list[str] | None = None) -> DataF
             F.lit("reply: "),
             F.col("query_name"),
             F.lit(" is "),
+            # unreachable post-validation (Rdata non-null is enforced),
+            # kept defensively like the reference's .get('Rdata','N/A')
+            # default (app/app.py:168, equally unreachable after
+            # app/app.py:208-210)
             F.coalesce(a["Rdata"], F.lit("N/A")),
         ),
     )

@@ -28,8 +28,14 @@ def dns_validity_predicate(dns: Column) -> Column:
     record, app/app.py:149,261-263).
 
     - every scalar field non-null;
-    - answers non-null, every answer has non-null Type (Rdata may be null
-      -> formatter emits 'N/A', app/app.py:168);
+    - answers non-null, every answer has non-null Rdata AND Type — the
+      reference rejects an answer missing either KEY (app/app.py:208-210),
+      which makes the formatter's .get('Rdata','N/A') default unreachable
+      post-validation (app/app.py:168). from_json maps a missing key to
+      null, so null-Rdata == missing-Rdata == reject here. (An *explicit*
+      JSON null Rdata is the one case the reference would accept, printing
+      'None' — indistinguishable from missing under from_json; we take the
+      reject side, matching the realistic missing-key case.)
     - srcids.instance non-null (app/app.py:212-215);
     - query_timestamp matches yyyy-MM-dd'T'HH:mm:ss'Z' strictly.
     """
@@ -37,7 +43,11 @@ def dns_validity_predicate(dns: Column) -> Column:
     for f in _SCALAR_FIELDS:
         checks.append(dns[f].isNotNull())
     checks.append(dns["answers"].isNotNull())
-    checks.append(F.forall(dns["answers"], lambda a: a["Type"].isNotNull()))
+    checks.append(
+        F.forall(
+            dns["answers"], lambda a: a["Type"].isNotNull() & a["Rdata"].isNotNull()
+        )
+    )
     checks.append(dns["srcids"]["instance"].isNotNull())
     checks.append(F.try_to_timestamp(dns["query_timestamp"], F.lit(QUERY_TS_FORMAT)).isNotNull())
     out = checks[0]
@@ -55,8 +65,10 @@ def reject_reason(dns: Column, decoded: Column) -> Column:
         reason = reason.when(dns[f].isNull(), F.lit(f"missing_or_invalid:{f}"))
     reason = reason.when(dns["answers"].isNull(), F.lit("missing_or_invalid:answers"))
     reason = reason.when(
-        ~F.forall(dns["answers"], lambda a: a["Type"].isNotNull()),
-        F.lit("answer_missing_type"),
+        ~F.forall(
+            dns["answers"], lambda a: a["Type"].isNotNull() & a["Rdata"].isNotNull()
+        ),
+        F.lit("answer_missing_rdata_or_type"),
     )
     reason = reason.when(
         dns["srcids"]["instance"].isNull(), F.lit("srcids_missing_instance")

@@ -81,3 +81,15 @@ def test_range_join_is_equi_join_in_plan(spark):
     fast = range_join_buckets(points, intervals, "x", "lo", "hi", bucket_width=32)
     plan = physical_plan(fast, "simple")
     assert "NestedLoop" not in plan  # hash join on the bucket key, not O(n*m)
+
+
+def test_range_join_ignores_inverted_intervals(spark):
+    """end <= start must contribute nothing — without the pre-filter,
+    sequence(start_bucket, end_bucket) DESCENDS and a dirty interval with
+    end << start explodes into an unbounded run of spurious buckets."""
+    points = spark.createDataFrame([(1, 50)], ["pid", "x"])
+    intervals = spark.createDataFrame(
+        [(1, 0, 100), (2, 100, 100), (3, 1_000_000, 0)], ["iid", "lo", "hi"]
+    )
+    out = range_join_buckets(points, intervals, "x", "lo", "hi", bucket_width=10)
+    assert {(r["pid"], r["iid"]) for r in out.collect()} == {(1, 1)}

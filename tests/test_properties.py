@@ -63,12 +63,15 @@ def build_record(spec) -> tuple[dict, bool]:
     if spec["mutate"] == "bad_ts":
         rec["query_timestamp"] = "04/02/2021 17:51"
         return rec, False
+    # a null/missing Rdata in any answer is itself a rejection
+    # (app/app.py:208-210) regardless of other mutations
+    base_valid = not (spec["null_rdata"] and spec["n_answers"] > 0)
     if spec["mutate"] == "drop_answer_type":
         if not answers:
-            return rec, True  # nothing to drop; stays valid
+            return rec, base_valid  # nothing to drop
         rec["answers"] = [{"Rdata": "1.2.3.4"}] + answers[1:]
         return rec, False
-    return rec, True
+    return rec, base_valid
 
 
 @settings(

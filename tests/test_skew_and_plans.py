@@ -73,3 +73,14 @@ def test_plan_helpers_report_pushdown_and_broadcast(spark):
     assert plans.has_broadcast_join(q)
     assert not plans.has_sort_merge_join(q)
     assert any("l_quantity" in s for s in plans.read_schemas(q))
+
+
+def test_salt_join_rejects_small_side_preserving_how(spark):
+    """right/full joins would emit each unmatched small-side row once per
+    salt replica — must be refused, not silently duplicated."""
+    import pytest
+
+    df = spark.range(2).withColumnRenamed("id", "k")
+    for how in ("right", "full_outer", "full"):
+        with pytest.raises(ValueError, match="inner/left"):
+            skew.salt_join(df, df, "k", how=how)

@@ -33,3 +33,20 @@ def test_sentences_custom_columns(spark):
     df = spark.createDataFrame([("d1", "x. y")], "k string, body string")
     rows = text.sentences(df, id_col="k", text_col="body").collect()
     assert {(r.k, r.sent_no, r.sentence) for r in rows} == {("d1", 0, "x"), ("d1", 1, "y")}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A label-propagation chain needs ~diameter rounds; exhausting
+    max_iter must raise, not return split components as if correct."""
+    import pytest
+
+    from dns_log_transformer_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, 9)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    ok = dedup.connected_components(chain, max_iter=20)
+    comps = {r["component"] for r in ok.collect()}
+    assert comps == {1}

@@ -134,11 +134,15 @@ class TestBind9Golden:
         for i, r in enumerate(rows[1:]):
             assert r["line"].endswith(f"is 10.0.0.{i}")
 
-    def test_null_rdata_is_na(self, spark):
-        rec = make_record(answers=[{"Rdata": None, "Type": "A"}])
-        lines, _ = run_pipeline(spark, [envelope_json([rec])])
-        reply = lines.filter("kind = 'reply'").collect()[0]["line"]
-        assert reply.endswith("is N/A")  # app/app.py:168
+    def test_null_rdata_rejected(self, spark):
+        # reference rejects an answer missing the Rdata key
+        # (app/app.py:208-210); from_json maps missing-key to null, so a
+        # null Rdata is the same condition here
+        rec = make_record(answers=[{"Type": "A"}])
+        lines, quarantine = run_pipeline(spark, [envelope_json([rec])])
+        assert lines.count() == 0
+        reason = quarantine.collect()[0]["reject_reason"]
+        assert reason == "answer_missing_rdata_or_type"
 
     def test_timestamp_dialects(self, spark):
         rec = make_record(query_timestamp="2021-02-04T07:05:09Z")
@@ -169,7 +173,7 @@ class TestRejectionMatrix:
         rec = make_record(answers=[{"Rdata": "1.2.3.4"}])
         lines, quarantine = run_pipeline(spark, [envelope_json([rec])])
         assert lines.count() == 0
-        assert quarantine.collect()[0]["reject_reason"] == "answer_missing_type"
+        assert quarantine.collect()[0]["reject_reason"] == "answer_missing_rdata_or_type"
 
     def test_bad_timestamp(self, spark):
         rec = make_record(query_timestamp="2021-02-04 17:51:55")
