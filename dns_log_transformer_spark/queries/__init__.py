@@ -22,6 +22,7 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # ALL LLM-pipeline ops inside that window; redundant TPC-H gallery
 # variants (same operator shapes, pytest-pinned regardless) go last.
 _DEPRIORITIZED = [
+    "q_cube_returnflag",  # cube              ~ q_rollup_order_status + q_grouping_sets
     "q6_revenue_delta",  # filter+agg          ~ q1 / q19
     "q7_nation_volume",  # multi-way join+agg  ~ q5
     "q10_returned_items",  # join+group+topN   ~ q3

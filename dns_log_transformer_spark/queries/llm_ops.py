@@ -349,6 +349,48 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register(
+    "dedup_keep_list",
+    oracle=rf"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM dup_pairs),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS keep_id,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """The artifact a corpus dedup actually ships: every document mapped
+    to its cluster's canonical keep_id (min doc id in the near-dup
+    component; docs outside any cluster keep themselves) plus an is_kept
+    flag — downstream filters `WHERE is_kept` or joins on keep_id.
+    Composition: MinHash-LSH pairs -> connected components -> left join
+    back to the full corpus (left join: singletons must survive)."""
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    keep = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            keep.alias("keep_id"),
+            (F.col("doc_id") == keep).alias("is_kept"),
+        )
+    )
+
+
 def _simhash_sql() -> tuple[str, str]:
     # token hash = first 8 md5 hex chars as an int, bit b votes +-1
     # (mirrors operators/dedup.py simhash's conv(substr(md5,1,8),16,10)).
