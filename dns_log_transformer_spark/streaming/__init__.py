@@ -29,7 +29,11 @@ from dns_log_transformer_spark.streaming.windows import (
     session_stats,
     dedup_within_watermark,
 )
-from dns_log_transformer_spark.streaming.stateful import running_user_totals
+from dns_log_transformer_spark.streaming.stateful import (
+    RUN_EVICT_STATE_STORE,
+    running_user_totals,
+    sessionized_user_totals,
+)
 
 __all__ = [
     "read_firehose_stream",
@@ -43,4 +47,6 @@ __all__ = [
     "session_stats",
     "dedup_within_watermark",
     "running_user_totals",
+    "sessionized_user_totals",
+    "RUN_EVICT_STATE_STORE",
 ]

@@ -64,3 +64,98 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's successor stateful API
+# ---------------------------------------------------------------------------
+
+#: Output of sessionized_user_totals: live rows as users arrive, plus a
+#: final evicted=true row when a user's idle timer fires.
+_TWS_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, evicted boolean"
+)
+
+RUN_EVICT_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _make_session_processor(idle_timeout_ms: int):
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _SessionProcessor(StatefulProcessor):
+        """Per-user running totals with idle-timeout eviction: every
+        input batch refreshes a processing-time timer; when it expires
+        the accumulated row is emitted once more with evicted=true and
+        the state (and its store footprint) is dropped — the bounded-
+        state pattern for unbounded key spaces."""
+
+        def init(self, handle):
+            self._handle = handle
+            self._agg = handle.getValueState(
+                "agg", "n_events long, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            # one live timer per key: re-arm on every arrival
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + idle_timeout_ms
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "evicted": [False],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if self._agg.exists():
+                n, total = self._agg.get()
+                self._agg.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_events": [n],
+                        "total_value": [round(total, 4)],
+                        "evicted": [True],
+                    }
+                )
+
+        def close(self):
+            pass
+
+    return _SessionProcessor()
+
+
+def sessionized_user_totals(
+    events: DataFrame, idle_timeout_ms: int = 60_000
+) -> DataFrame:
+    """``transformWithStateInPandas`` variant of ``running_user_totals``
+    with timeout-based state eviction (the Spark-4 API the older
+    ``applyInPandasWithState`` predates: named state variables, explicit
+    timers, TTL support).
+
+    Requires the RocksDB state store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``RUN_EVICT_STATE_STORE`` before starting the query — and the
+    ``protobuf`` package (the TWS state protocol serializes state
+    messages as protobuf; tests skip where it is absent).
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_session_processor(idle_timeout_ms),
+        outputStructType=_TWS_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="ProcessingTime",
+    )

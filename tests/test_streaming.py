@@ -379,3 +379,70 @@ def test_streaming_batch_same_code_path(spark):
         make_record(), "@0x000000000000"
     )
     assert quarantine.count() == 0
+
+
+def test_transform_with_state_eviction(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API): per-user totals
+    carry across batches; an idle processing-time timer then fires and
+    emits the final row with evicted=true, clearing the state.
+
+    Environment gate: the TWS state protocol serializes Python<->JVM
+    state messages as protobuf (pyspark/sql/streaming/proto/
+    StateMessage_pb2), so the API is unusable where google.protobuf
+    is absent — skip there rather than stub the state store."""
+    import contextlib
+    import time
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas requires protobuf for its "
+        "state-message protocol; not installed in this container",
+    )
+
+    from dns_log_transformer_spark.streaming import (
+        RUN_EVICT_STATE_STORE,
+        sessionized_user_totals,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, RUN_EVICT_STATE_STORE)
+    src = tmp_path / "events"
+    src.mkdir()
+    stream = read_events_stream(spark, str(src))
+    out = sessionized_user_totals(stream, idle_timeout_ms=500)
+    q = _start_memory(out, "tws_test", mode="update")
+    try:
+        _write_events(
+            src,
+            "f1.json",
+            [
+                _ev(1, "2024-01-01T00:00:00Z", user_id=1, value=10.0),
+                _ev(2, "2024-01-01T00:01:00Z", user_id=1, value=5.0),
+            ],
+        )
+        q.processAllAvailable()
+        # state must persist across micro-batches
+        _write_events(src, "f2.json", [_ev(3, "2024-01-01T00:02:00Z", user_id=1, value=2.5)])
+        q.processAllAvailable()
+        # let user 1's idle timer expire, then trigger a batch with a
+        # DIFFERENT user so the expired timer is processed
+        time.sleep(1.0)
+        _write_events(src, "f3.json", [_ev(4, "2024-01-01T00:03:00Z", user_id=2, value=1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        with contextlib.suppress(Exception):
+            if saved is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, saved)
+
+    rows = spark.sql("SELECT * FROM tws_test").collect()
+    got = {(r["user_id"], r["n_events"], r["total_value"], r["evicted"]) for r in rows}
+    assert (1, 2, 15.0, False) in got  # batch 1 live row
+    assert (1, 3, 17.5, False) in got  # batch 2 carried state forward
+    assert (1, 3, 17.5, True) in got  # timer fired: final row, evicted
+    assert (2, 1, 1.0, False) in got
