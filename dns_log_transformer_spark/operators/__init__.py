@@ -8,6 +8,7 @@ projection). Each operator has a matching query entry in
 """
 
 from dns_log_transformer_spark.operators import (
+    corpus,
     dedup,
     joins,
     multimodal,
@@ -16,4 +17,4 @@ from dns_log_transformer_spark.operators import (
     text,
 )
 
-__all__ = ["dedup", "joins", "multimodal", "similarity", "skew", "text"]
+__all__ = ["corpus", "dedup", "joins", "multimodal", "similarity", "skew", "text"]

@@ -1,0 +1,174 @@
+"""Corpus-preparation operators for training-data pipelines: dataset
+split, deterministic shuffle, weighted source sampling, PII redaction,
+and token-budget sequence packing.
+
+The reference has no analog (it is a single-pipeline log transformer);
+these cover the "operations a large-scale training-data pipeline needs"
+surface. Everything is deterministic and seedable so a DuckDB oracle can
+replicate results bit-for-bit: randomness is md5-hash-derived, never
+rand().
+
+Scale notes:
+- split / sample / redact are narrow (no shuffle at all);
+- shuffle is ONE global sort (range-partitioned at scale — the standard
+  way to fix a training order);
+- packing shards the corpus and packs each shard independently: packing
+  is order-dependent (inherently sequential), so the shard is the unit
+  of parallelism AND of determinism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hash buckets for split/sampling decisions (4 decimal digits of rate).
+N_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, seed: int) -> Column:
+    """Deterministic bucket in [0, N_BUCKETS): first 8 md5 hex chars of
+    'seed:value' as an unsigned int (same recipe the dedup/minhash ops
+    use — DuckDB mirrors it as CAST('0x' || substr(md5(..),1,8) AS
+    BIGINT))."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % N_BUCKETS
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Adds ``split`` in {train, val, test} by hashing the id — stable
+    under reprocessing, insertion, and re-partitioning (the properties a
+    row-number split lacks). test gets the 1 - train - val remainder."""
+    b = hash_bucket(F.col(id_col), seed)
+    t_hi = int(train * N_BUCKETS)
+    v_hi = t_hi + int(val * N_BUCKETS)
+    split = (
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def seeded_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Global deterministic shuffle: ``shuffle_rank`` is the row's
+    position in md5('seed:id') order (id tiebreak). One range-partitioned
+    sort; re-running with the same seed reproduces the exact training
+    order, a different seed is a fresh permutation."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.orderBy(key, F.col(id_col))
+    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-source Bernoulli sampling at the mixing rates a training blend
+    specifies: keep a row iff hash_bucket(id) < rate[source] * N_BUCKETS.
+    Deterministic (same ids survive every run) and narrow (a filter, no
+    shuffle, no sort). Unlisted sources get ``default_rate``."""
+    rate = F.lit(int(default_rate * N_BUCKETS))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(int(r * N_BUCKETS))).otherwise(
+            rate
+        )
+    return df.filter(hash_bucket(F.col(id_col), seed) < rate)
+
+
+#: (pattern, replacement) chain applied IN ORDER — order matters (an
+#: email's digits must not survive as a "long number" match). Patterns
+#: avoid lookaround/backrefs so Java regex (Spark) and RE2 (DuckDB)
+#: agree byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("longnum", r"[0-9]{9,}", "<NUM>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sequential PII scrub over a text column: emails, IPv4 addresses,
+    then 9+-digit runs, each counted on the text it actually sees (an
+    email's digits are gone before the number pass). Adds
+    ``redacted`` plus ``n_<kind>`` counts.
+
+    Each stage is its own top-level projection: counting and replacing
+    reference the same intermediate, and a nested single-select would
+    re-evaluate the whole upstream regex chain per reference (CaseWhen/
+    HOF-style duplication, PLANS.md rule 1)."""
+    out = df.withColumn("redacted", F.col(text_col))
+    for kind, pat, repl in PII_PATTERNS:
+        out = out.select(
+            "*",
+            F.regexp_count(F.col("redacted"), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{kind}"),
+        ).withColumn("redacted", F.regexp_replace("redacted", pat, repl))
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Next-fit sequence packing: walk docs in id order, appending to the
+    current bin until the next doc would exceed ``budget`` tokens, then
+    open a new bin (an oversized doc gets a bin of its own). The packing
+    walk is inherently sequential, so the corpus is sharded by
+    ``id % n_shards`` and each shard packs independently —
+    ``applyInPandas`` per shard, one shuffle. Set n_shards ~ cluster
+    cores at scale; results are deterministic for a given n_shards.
+
+    Output: (id, shard, bin_in_shard, tokens) — consumers concat bin
+    members (shard, bin_in_shard) into one training sequence.
+    """
+    schema = f"{id_col} long, shard long, bin_in_shard long, tokens long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bins = []
+        bin_id, acc = 0, 0
+        for tok in pdf[tokens_col]:
+            tok = int(tok)
+            if acc > 0 and acc + tok > budget:
+                bin_id, acc = bin_id + 1, 0
+            acc += tok
+            bins.append(bin_id)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "shard": pdf["shard"].values,
+                "bin_in_shard": bins,
+                "tokens": pdf[tokens_col].astype("int64").values,
+            }
+        )
+
+    sharded = df.select(
+        id_col, tokens_col, (F.col(id_col) % n_shards).alias("shard")
+    )
+    return sharded.groupBy("shard").applyInPandas(_pack, schema=schema)

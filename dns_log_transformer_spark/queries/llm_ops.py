@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dns_log_transformer_spark.operators import dedup, multimodal, similarity, text
+from dns_log_transformer_spark.operators import (
+    corpus,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from dns_log_transformer_spark.queries.registry import register, table
 
 # ---------------------------------------------------------------------------
@@ -638,3 +644,210 @@ def mm_frame_offsets(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling fan-out (1 -> 4 deterministic byte offsets)."""
     docs = table(spark, sf, "documents")
     return multimodal.frame_offsets(docs, n_frames=4)
+
+
+# ---------------------------------------------------------------------------
+# Corpus preparation (operators/corpus.py): split / shuffle / sample /
+# redact / pack — the dataset-assembly half of a training pipeline
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of corpus.hash_bucket(col, seed)
+def _sql_bucket(expr: str, seed: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{seed}:' || CAST({expr} AS VARCHAR)), 1, 8) "
+        "AS BIGINT) % 10000"
+    )
+
+
+@register(
+    "corpus_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_sql_bucket('doc_id', 42)} < 9000 THEN 'train'
+                WHEN {_sql_bucket('doc_id', 42)} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-stable train/val/test assignment (90/5/5): survives
+    reprocessing and insertion, unlike row-number splits."""
+    docs = table(spark, sf, "documents")
+    return corpus.with_split(docs, seed=42).select("doc_id", "split")
+
+
+@register(
+    "corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded global shuffle fixing a reproducible training order."""
+    docs = table(spark, sf, "documents")
+    return corpus.seeded_shuffle(docs, seed=42).select("doc_id", "shuffle_rank")
+
+
+#: Mixing rates per source, derived from the source index so both sides
+#: compute them identically: src0 -> 0.25, src1 -> 0.5, src2 -> 0.75,
+#: src3 -> 1.0, src4 -> 0.25, ...
+_MIX_RATES = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_sql_bucket('doc_id', 7)} <
+          CASE {' '.join(f"WHEN source = '{s}' THEN {int(r * 10000)}"
+                         for s, r in sorted(_MIX_RATES.items()))}
+          ELSE 0 END
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling at training-blend
+    rates; same ids survive every run."""
+    docs = table(spark, sf, "documents")
+    return corpus.weighted_sample(docs, _MIX_RATES, seed=7).select(
+        "doc_id", "source"
+    )
+
+
+# The synthetic corpus is plain words, so the redaction query plants PII
+# deterministically by doc_id % 4 (none / email / ip / all three) before
+# scrubbing — the oracle builds the identical text and re-runs the same
+# pattern chain with RE2.
+_PII_SUFFIX_SQL = """
+      CASE doc_id % 4
+        WHEN 1 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org now'
+        WHEN 2 THEN ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7 port 53'
+        WHEN 3 THEN ' u' || CAST(doc_id AS VARCHAR)
+             || '@ex.org at 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.7 acct 900123456' || CAST(doc_id % 10 AS VARCHAR)
+        ELSE ''
+      END
+"""
+
+
+@register(
+    "corpus_pii_redact",
+    oracle=rf"""
+    WITH planted AS (
+      SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t0 FROM documents),
+    s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT)
+               AS n_email,
+             regexp_replace(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g') AS t1
+      FROM planted),
+    s2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1,
+               '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b'))
+               AS BIGINT) AS n_ipv4,
+             regexp_replace(t1,
+               '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b',
+               '<IP>', 'g') AS t2
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, n_email, n_ipv4,
+             CAST(len(regexp_extract_all(t2, '[0-9]{{9,}}')) AS BIGINT)
+               AS n_longnum,
+             regexp_replace(t2, '[0-9]{{9,}}', '<NUM>', 'g') AS t3
+      FROM s2)
+    SELECT doc_id, n_email, n_ipv4, n_longnum,
+           CAST(LENGTH(t3) AS BIGINT) AS redacted_len,
+           md5(t3) AS redacted_md5
+    FROM s3
+    """,
+)
+def corpus_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (email -> IPv4 -> long-number, sequential) over text
+    with deterministically planted PII; output counts + a redacted-text
+    hash so the oracle checks the scrubbed bytes, not just the counts."""
+    docs = table(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    suffix = (
+        F.when(m == 1, F.concat(F.lit(" mail u"), did, F.lit("@ex.org now")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(" from 10.1."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 port 53"),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit(" u"),
+                did,
+                F.lit("@ex.org at 10.1."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 acct 900123456"),
+                (F.col("doc_id") % 10).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    out = corpus.pii_redact(planted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_longnum",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("redacted_md5"),
+    )
+
+
+_PACK_BUDGET = 64
+_PACK_SHARDS = 8
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=rf"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             doc_id % {_PACK_SHARDS} AS shard,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id) AS rn
+      FROM documents),
+    p(shard, rn, doc_id, bin_in_shard, tokens, acc) AS (
+      SELECT shard, rn, doc_id, CAST(0 AS BIGINT), tokens, tokens
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id,
+             CASE WHEN p.acc > 0 AND p.acc + d.tokens > {_PACK_BUDGET}
+                  THEN p.bin_in_shard + 1 ELSE p.bin_in_shard END,
+             d.tokens,
+             CASE WHEN p.acc > 0 AND p.acc + d.tokens > {_PACK_BUDGET}
+                  THEN d.tokens ELSE p.acc + d.tokens END
+      FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+    SELECT doc_id, shard, bin_in_shard, tokens FROM p
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Next-fit token packing into budget-sized (64-token) training
+    sequences, sharded for parallelism (packing is order-dependent, so
+    the shard is the determinism unit). Oracle replays the same walk as
+    a recursive CTE."""
+    docs = table(spark, sf, "documents")
+    with_toks = text.with_token_counts(docs).select("doc_id", "n_tokens")
+    return corpus.pack_sequences(
+        with_toks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )

@@ -1,0 +1,78 @@
+"""Corpus-preparation operator tests (operators/corpus.py) — invariants
+beyond the oracle-parity mirror."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.operators import corpus, text
+from dns_log_transformer_spark.session import read_table
+from tests.conftest import SF_SMOKE
+
+
+def test_split_is_stable_and_roughly_proportional(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    a = corpus.with_split(docs, seed=42).select("doc_id", "split")
+    b = corpus.with_split(docs.orderBy(F.rand(1)), seed=42).select("doc_id", "split")
+    # same assignment regardless of row order / partitioning
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    frac = {
+        r["split"]: r["n"]
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(frac.values())
+    assert frac["train"] / n == pytest.approx(0.9, abs=0.1)
+
+
+def test_split_and_sample_have_no_shuffle(spark):
+    """Both must stay narrow — a filter/projection over the scan."""
+    from dns_log_transformer_spark.plans import physical_plan
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    for df in [
+        corpus.with_split(docs),
+        corpus.weighted_sample(docs, {"src0": 0.5}),
+    ]:
+        assert "Exchange" not in physical_plan(df, "simple")
+
+
+def test_seeded_shuffle_is_a_permutation(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    out = corpus.seeded_shuffle(docs, seed=1)
+    n = docs.count()
+    ranks = [r["shuffle_rank"] for r in out.select("shuffle_rank").collect()]
+    assert sorted(ranks) == list(range(1, n + 1))
+    other = corpus.seeded_shuffle(docs, seed=2)
+    pairs = {(r["doc_id"], r["shuffle_rank"]) for r in out.collect()}
+    assert pairs != {(r["doc_id"], r["shuffle_rank"]) for r in other.collect()}
+
+
+def test_pii_redact_order_matters(spark):
+    """An email's digits must be swallowed by <EMAIL>, not re-matched as
+    a long number; counts are taken on the text each stage sees."""
+    df = spark.createDataFrame(
+        [(1, "write to a123456789b@ex.org or 10.0.0.1 acct 987654321x")],
+        "doc_id int, text string",
+    )
+    r = corpus.pii_redact(df).collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_longnum"]) == (1, 1, 1)
+    assert r["redacted"] == "write to <EMAIL> or <IP> acct <NUM>x"
+
+
+def test_pack_sequences_respects_budget(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    toks = text.with_token_counts(docs).select("doc_id", "n_tokens")
+    packed = corpus.pack_sequences(toks, budget=64, n_shards=8)
+    per_bin = (
+        packed.groupBy("shard", "bin_in_shard")
+        .agg(F.sum("tokens").alias("t"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(per_bin) > 1
+    for r in per_bin:
+        # a bin only exceeds the budget when a single oversized doc owns it
+        assert r["t"] <= 64 or r["n"] == 1
+    # every doc packed exactly once
+    assert packed.count() == toks.count()
+    assert packed.select("doc_id").distinct().count() == toks.count()
