@@ -97,6 +97,63 @@ def weighted_sample(
     return df.filter(hash_bucket(F.col(id_col), seed) < rate)
 
 
+def capped_sample_per_source(
+    df: DataFrame,
+    k: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 13,
+) -> DataFrame:
+    """At most ``k`` docs per source, drawn uniformly and deterministically
+    (the batch equivalent of per-key reservoir sampling): rank rows within
+    each source by a seeded hash and keep rank <= k. One shuffle on the
+    source key; no full sort — each partition ranks only its sources.
+    Adds ``sample_rank`` (1-based)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking for context-length-bounded consumers:
+    token windows of ``size`` starting every ``stride`` tokens (overlap =
+    size - stride). A narrow 1->N explode — no shuffle, no Python.
+    Empty docs yield no chunks. Output: (id, chunk_no, chunk_start,
+    n_chunk_tokens, chunk_text)."""
+    if stride <= 0 or size <= 0:
+        raise ValueError(f"size and stride must be positive, got {size}, {stride}")
+    # tokens() referenced by several exprs below — materialize it as a
+    # top-level projection alias first (PLANS.md rule 1)
+    from dns_log_transformer_spark.operators.text import tokens
+
+    toked = df.select(
+        "*", tokens(F.col(text_col)).alias("_toks")
+    ).select("*", F.size("_toks").alias("_n"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = toked.filter(F.col("_n") > 0).select(
+        "*", F.posexplode(starts).alias("chunk_no", "chunk_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_start") + 1, size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 #: (pattern, replacement) chain applied IN ORDER — order matters (an
 #: email's digits must not survive as a "long number" match). Patterns
 #: avoid lookaround/backrefs so Java regex (Spark) and RE2 (DuckDB)

@@ -851,3 +851,57 @@ def corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.pack_sequences(
         with_toks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )
+
+
+@register(
+    "corpus_capped_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('13:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS sample_rank
+      FROM documents)
+    SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= 10
+    """,
+)
+def corpus_capped_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """At most 10 docs per source, hash-uniform and deterministic — the
+    per-key cap a blend applies to over-represented sources."""
+    docs = table(spark, sf, "documents")
+    return corpus.capped_sample_per_source(docs, k=10, seed=13).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+@register(
+    "corpus_chunk_windows",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w, len({_SQL_TOKENS}) AS n
+      FROM documents),
+    starts AS (
+      SELECT doc_id, w,
+             CAST(s AS BIGINT) AS chunk_start,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1
+               AS BIGINT) AS chunk_no
+      FROM toked, UNNEST(range(0, greatest(n - 1, 0) + 1, {_CHUNK_STRIDE}))
+        AS t(s)
+      WHERE n > 0)
+    SELECT doc_id, chunk_no, chunk_start,
+           CAST(len(w[chunk_start + 1 : chunk_start + {_CHUNK_SIZE}]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(w[chunk_start + 1 : chunk_start + {_CHUNK_SIZE}], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 32-token windows every 24 tokens (8-token overlap) — the
+    context-length chunking step; narrow posexplode, no shuffle."""
+    docs = table(spark, sf, "documents")
+    return corpus.chunk_windows(docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)

@@ -76,3 +76,45 @@ def test_pack_sequences_respects_budget(spark):
     # every doc packed exactly once
     assert packed.count() == toks.count()
     assert packed.select("doc_id").distinct().count() == toks.count()
+
+
+def test_capped_sample_per_source(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    out = corpus.capped_sample_per_source(docs, k=5, seed=13)
+    per_src = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_src)
+    # deterministic: same ids both runs
+    again = corpus.capped_sample_per_source(docs, k=5, seed=13)
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+
+def test_chunk_windows_cover_exactly(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = corpus.chunk_windows(df, size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9 — last chunk is the 1-token tail
+    got = [(r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"]) for r in sorted(by_doc[1], key=lambda r: r["chunk_no"])]
+    assert got == [
+        (0, 4, "t0 t1 t2 t3"),
+        (3, 4, "t3 t4 t5 t6"),
+        (6, 4, "t6 t7 t8 t9"),
+        (9, 1, "t9"),
+    ]
+    assert [(r["chunk_start"], r["chunk_text"]) for r in by_doc[2]] == [(0, "a b")]
+    assert 3 not in by_doc  # empty doc -> no chunks
+
+
+def test_chunk_windows_no_shuffle(spark):
+    from dns_log_transformer_spark.plans import physical_plan
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    assert "Exchange" not in physical_plan(
+        corpus.chunk_windows(docs, size=32, stride=24), "simple"
+    )
