@@ -23,6 +23,11 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # variants (same operator shapes, pytest-pinned regardless) go last.
 _DEPRIORITIZED = [
     "q_cube_returnflag",  # cube              ~ q_rollup_order_status + q_grouping_sets
+    "q5_region_supplier_volume",  # star join+agg ~ q3 (broadcast dims asserted in pytest)
+    "q_sliding_native",  # sliding window     ~ q_window_native (tumbling) + q_session_native
+    "q_grouping_sets",  # grouping sets       ~ q_rollup_order_status (same Expand operator)
+    "q_ship_within_week",  # theta join       ~ q_pure_range_join
+    "q_customer_running_totals",  # running agg window ~ q_topk + q_above_customer_avg
     "q6_revenue_delta",  # filter+agg          ~ q1 / q19
     "q7_nation_volume",  # multi-way join+agg  ~ q5
     "q10_returned_items",  # join+group+topN   ~ q3
