@@ -75,3 +75,27 @@ def test_non_events_tables_unaffected(spark):
     with _foreign_session(spark) as s:
         df = read_table(s, SF_SMOKE, "lineitem")
         assert df.limit(1).count() == 1
+
+
+def test_representative_queries_survive_foreign_session(spark):
+    """One query per surface family runs identically on a session built
+    without ANY engine confs — the driver's harness condition. Catches
+    conf dependencies beyond the events/nanos class (timezone-sensitive
+    date math, corpus hashing, pandas-UDF ops)."""
+    from dns_log_transformer_spark.queries import ALL_QUERIES
+
+    names = [
+        "q1_pricing_summary",          # agg
+        "q_date_functions",            # tz-sensitive date math
+        "q_window_native",             # events + event-time window
+        "dns_bind9_lines",             # full DNS pipeline
+        "corpus_split",                # hash-derived corpus op
+        "corpus_pack_sequences",       # applyInPandas op
+        "sim_lsh_buckets",             # pandas-UDF embedding op
+    ]
+    for name in names:
+        q = ALL_QUERIES[name].fn
+        baseline = {tuple(r) for r in q(spark, SF_SMOKE).collect()}
+        with _foreign_session(spark) as s:
+            foreign = {tuple(r) for r in q(s, SF_SMOKE).collect()}
+        assert foreign == baseline, f"{name} diverges on a foreign session"
