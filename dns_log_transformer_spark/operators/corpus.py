@@ -229,3 +229,57 @@ def pack_sequences(
         id_col, tokens_col, (F.col(id_col) % n_shards).alias("shard")
     )
     return sharded.groupBy("shard").applyInPandas(_pack, schema=schema)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram collision (the GPT-3 /
+    Llama recipe: a training doc is contaminated if any of its n-grams
+    appears in a held-out eval set).
+
+    Every corpus doc gets ``n_shingles`` (distinct n-grams), ``n_hits``
+    (how many appear in the benchmark's shingle set), ``contam_frac``
+    and the ``is_contaminated`` drop flag (any hit).
+
+    Shape at scale: the benchmark side is tiny relative to the corpus,
+    so its distinct shingle set is BROADCAST — the corpus side is one
+    narrow shingle-explode plus a single (id) aggregation; the corpus is
+    never shuffled on the shingle key and never self-joined.
+    explode_outer keeps sub-n-token docs in the output with zero counts.
+    """
+    from dns_log_transformer_spark.operators.dedup import with_shingles
+
+    corpus_sh = with_shingles(df, id_col, text_col, n)
+    posting = corpus_sh.select(
+        id_col, "n_shingles", F.explode_outer("shingles").alias("shingle")
+    )
+    bench_set = (
+        with_shingles(benchmark, bench_id_col, bench_text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        posting.join(F.broadcast(bench_set), "shingle", "left")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"))
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_hits",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(F.col("n_hits") / F.col("n_shingles"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contam_frac"),
+        (F.col("n_hits") > 0).alias("is_contaminated"),
+    )

@@ -193,3 +193,114 @@ def winnow_fingerprints(
         ),
     ).otherwise(F.array(F.array_min(g)))
     return hashed.select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1): the
+    per-document duplication stats used to drop boilerplate/spam from
+    training corpora.
+
+    - ``dup_word_frac``     fraction of tokens that are repeats
+                            (1 - distinct/total);
+    - ``top2_gram``/``top2_count``/``top2_char_frac``
+                            the most frequent word 2-gram and the fraction
+                            of (normalized) characters it accounts for;
+    - ``dup5_char_frac``    fraction of characters inside word 5-grams
+                            that occur more than once;
+    - ``flag_repetitive``   the drop decision at the standard-ish
+                            thresholds (top2 > 0.15 or dup5 > 0.30).
+
+    Shape at scale: grams come from the compiled ml.NGram sliding window
+    (narrow); each stat is explode -> partial+final count on (id, gram)
+    -> per-doc aggregate — uniform keys, ordinary shuffles, no all-pairs
+    step. Tie-break for the top 2-gram is (count, gram) struct-max ==
+    highest count then lexicographically largest gram, which the oracle
+    mirrors as ORDER BY cnt DESC, gram DESC.
+    """
+    from pyspark.ml.feature import NGram
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    grams = NGram(n=2, inputCol="_toks", outputCol="_g2").transform(
+        NGram(n=5, inputCol="_toks", outputCol="_g5").transform(toked)
+    )
+    # three consumers (base stats + 2-gram counts + 5-gram counts): persist
+    # so tokenize+NGram runs once, not per branch (PLANS.md rule 4)
+    grams = grams.persist()
+
+    base = grams.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.length(F.array_join("_toks", " ")).cast("long").alias("n_chars"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("_n_distinct"),
+    )
+    c2 = (
+        grams.select(F.col(id_col), F.explode("_g2").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_m"))
+        .select(
+            F.col(id_col),
+            F.col("_m.gram").alias("top2_gram"),
+            F.col("_m.cnt").cast("long").alias("top2_count"),
+        )
+    )
+    c5 = (
+        grams.select(F.col(id_col), F.explode("_g5").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.length("gram")).cast("long").alias("_dup5_chars")
+        )
+    )
+    out = (
+        base.join(c2, id_col, "left")
+        .join(c5, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    (F.col("n_tokens") - F.col("_n_distinct"))
+                    / F.col("n_tokens"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_word_frac"),
+            "top2_gram",
+            F.coalesce(F.col("top2_count"), F.lit(0)).cast("long").alias(
+                "top2_count"
+            ),
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(
+                    F.coalesce(F.col("top2_count"), F.lit(0))
+                    * F.length(F.coalesce(F.col("top2_gram"), F.lit("")))
+                    / F.col("n_chars"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top2_char_frac"),
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(
+                    F.coalesce(F.col("_dup5_chars"), F.lit(0))
+                    / F.col("n_chars"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup5_char_frac"),
+        )
+    )
+    return out.withColumn(
+        "flag_repetitive",
+        (F.col("top2_char_frac") > 0.15) | (F.col("dup5_char_frac") > 0.30),
+    )

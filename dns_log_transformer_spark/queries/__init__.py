@@ -24,6 +24,8 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 _DEPRIORITIZED = [
     "q_scalar_functions",  # scalar-fn gallery ~ exercised by every query; green r1
     "q_above_customer_avg",  # window-vs-avg   ~ q_topk_parts_per_brand; green r1
+    "text_fingerprint",  # doc fingerprint    ~ text_winnow (strictly stronger algo)
+    "q_approx_distinct",  # HLL approx        ~ q_distinct_and_percentiles; green r1
     "q_cube_returnflag",  # cube              ~ q_rollup_order_status + q_grouping_sets
     "q5_region_supplier_volume",  # star join+agg ~ q3 (broadcast dims asserted in pytest)
     "q_sliding_native",  # sliding window     ~ q_window_native (tumbling) + q_session_native

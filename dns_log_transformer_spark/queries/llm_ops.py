@@ -905,3 +905,109 @@ def corpus_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
     context-length chunking step; narrow posexplode, no shuffle."""
     docs = table(spark, sf, "documents")
     return corpus.chunk_windows(docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + repetition filters
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # word n-gram width for contamination matching
+
+_DECON_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, _DECON_N + 1))
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=rf"""
+    WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {_DECON_N}
+                  THEN list_distinct(list_transform(
+                         range(len(w) - {_DECON_N - 1}), i -> {_DECON_GRAM}))
+                  ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM toked),
+    bench AS (SELECT flatten(list(s)) AS bl FROM sh WHERE doc_id % 97 = 0),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(s) AS BIGINT) AS n_shingles,
+             CAST(len(list_intersect(s, b.bl)) AS BIGINT) AS n_hits
+      FROM sh, bench b)
+    SELECT doc_id, n_shingles, n_hits,
+           CASE WHEN n_shingles > 0
+                THEN ROUND(n_hits * 1.0 / n_shingles, 4) ELSE 0.0 END
+             AS contam_frac,
+           n_hits > 0 AS is_contaminated
+    FROM stats
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: every ~97th doc poses as the held-out
+    eval set; any training doc sharing an 8-gram with it is flagged (the
+    GPT-3/Llama contamination rule). Benchmark shingle set is broadcast;
+    the corpus is never shuffled on the shingle key."""
+    docs = table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus.decontaminate(docs, bench, n=_DECON_N)
+
+
+@register(
+    "text_repetition",
+    oracle=rf"""
+    WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(array_to_string(w, ' ')) AS BIGINT) AS n_chars,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+      FROM toked),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+               i -> w[i+1] || ' ' || w[i+2])) AS gram
+      FROM toked WHERE len(w) >= 2),
+    c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    top2 AS (
+      SELECT doc_id, gram AS top2_gram, cnt AS top2_count
+      FROM (SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram DESC) AS rn
+            FROM c2)
+      WHERE rn = 1),
+    g5 AS (
+      SELECT doc_id, unnest(list_transform(range(len(w) - 4),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                    w[i+4] || ' ' || w[i+5])) AS gram
+      FROM toked WHERE len(w) >= 5),
+    c5 AS (
+      SELECT doc_id, CAST(sum(cnt * len(gram)) AS BIGINT) AS dup5_chars
+      FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram)
+      WHERE cnt > 1 GROUP BY doc_id),
+    stats AS (
+      SELECT b.doc_id, b.n_tokens,
+             CASE WHEN b.n_tokens > 0
+                  THEN ROUND((b.n_tokens - b.n_distinct) * 1.0 / b.n_tokens, 4)
+                  ELSE 0.0 END AS dup_word_frac,
+             t.top2_gram,
+             CAST(COALESCE(t.top2_count, 0) AS BIGINT) AS top2_count,
+             CASE WHEN b.n_chars > 0
+                  THEN ROUND(COALESCE(t.top2_count, 0)
+                             * len(COALESCE(t.top2_gram, '')) * 1.0
+                             / b.n_chars, 4)
+                  ELSE 0.0 END AS top2_char_frac,
+             CASE WHEN b.n_chars > 0
+                  THEN ROUND(COALESCE(c.dup5_chars, 0) * 1.0 / b.n_chars, 4)
+                  ELSE 0.0 END AS dup5_char_frac
+      FROM base b
+      LEFT JOIN top2 t ON t.doc_id = b.doc_id
+      LEFT JOIN c5 c ON c.doc_id = b.doc_id)
+    SELECT *, (top2_char_frac > 0.15 OR dup5_char_frac > 0.30)
+             AS flag_repetitive
+    FROM stats
+    """,
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition stats + drop flag per document (dup-word
+    fraction, top-2-gram character fraction, duplicated-5-gram character
+    fraction)."""
+    docs = table(spark, sf, "documents")
+    return text.repetition_stats(docs)

@@ -118,3 +118,55 @@ def test_chunk_windows_no_shuffle(spark):
     assert "Exchange" not in physical_plan(
         corpus.chunk_windows(docs, size=32, stride=24), "simple"
     )
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A doc sharing an 8-gram with the benchmark is flagged; disjoint
+    docs are not; sub-8-token docs survive with zero shingles."""
+    rows = [
+        (1, "a b c d e f g h i j"),          # shares a b..h with bench
+        (2, "q r s t u v w x y z"),          # disjoint
+        (3, "tiny doc"),                     # < 8 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "Z z a b c d e f g h")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in corpus.decontaminate(docs, bench).collect()}
+    assert out[1]["is_contaminated"] and out[1]["n_hits"] == 1
+    assert out[1]["n_shingles"] == 3
+    assert not out[2]["is_contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["n_shingles"] == 0 and out[3]["contam_frac"] == 0.0
+    assert len(out) == 3
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — the corpus side is
+    never shuffled on the shingle key."""
+    from dns_log_transformer_spark.plans import physical_plan
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    p = physical_plan(corpus.decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Stats on a doc small enough to verify by hand."""
+    #         tokens: x y x y z  -> 2-grams: "x y"(2) "y x"(1) "y z"(1)
+    docs = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 5
+    assert r1["dup_word_frac"] == pytest.approx((5 - 3) / 5, abs=1e-9)
+    assert r1["top2_gram"] == "x y" and r1["top2_count"] == 2
+    # "x y" twice = 6 chars of 9 normalized chars
+    assert r1["top2_char_frac"] == pytest.approx(6 / 9, abs=1e-4)
+    assert r1["dup5_char_frac"] == 0.0  # only one 5-gram, not duplicated
+    assert r1["flag_repetitive"]
+    r2 = out[2]
+    assert r2["n_tokens"] == 0 and not r2["flag_repetitive"]
+    assert r2["top2_count"] == 0 and r2["top2_gram"] is None
