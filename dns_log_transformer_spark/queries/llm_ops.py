@@ -916,9 +916,7 @@ _DECON_N = 8  # word n-gram width for contamination matching
 _DECON_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, _DECON_N + 1))
 
 
-@register(
-    "corpus_decontaminate",
-    oracle=rf"""
+_DECON_ORACLE = rf"""
     WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
     sh AS (
       SELECT doc_id,
@@ -939,8 +937,10 @@ _DECON_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, _DECON_N + 1))
              AS contam_frac,
            n_hits > 0 AS is_contaminated
     FROM stats
-    """,
-)
+    """
+
+
+@register("corpus_decontaminate", oracle=_DECON_ORACLE)
 def corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: every ~97th doc poses as the held-out
     eval set; any training doc sharing an 8-gram with it is flagged (the
@@ -951,9 +951,7 @@ def corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.decontaminate(docs, bench, n=_DECON_N)
 
 
-@register(
-    "text_repetition",
-    oracle=rf"""
+_REPETITION_ORACLE = rf"""
     WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
     base AS (
       SELECT doc_id,
@@ -1003,11 +1001,123 @@ def corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     SELECT *, (top2_char_frac > 0.15 OR dup5_char_frac > 0.30)
              AS flag_repetitive
     FROM stats
-    """,
-)
+    """
+
+
+@register("text_repetition", oracle=_REPETITION_ORACLE)
 def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition stats + drop flag per document (dup-word
     fraction, top-2-gram character fraction, duplicated-5-gram character
     fraction)."""
     docs = table(spark, sf, "documents")
     return text.repetition_stats(docs)
+
+
+@register(
+    "corpus_prepare_funnel",
+    oracle=rf"""
+    WITH dec AS ({_DECON_ORACLE}),
+    rep AS ({_REPETITION_ORACLE}),
+    tok AS (SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents),
+    s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents
+           GROUP BY md5({_SQL_NORM})),
+    s2 AS (SELECT s1.doc_id FROM s1 JOIN dec USING (doc_id)
+           WHERE NOT dec.is_contaminated),
+    s3 AS (SELECT s2.doc_id FROM s2 JOIN rep USING (doc_id)
+           WHERE NOT rep.flag_repetitive),
+    sp AS (SELECT doc_id,
+                  CASE WHEN {_sql_bucket('doc_id', 42)} < 9000 THEN 'train'
+                       WHEN {_sql_bucket('doc_id', 42)} < 9500 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM s3)
+    SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM tok
+    UNION ALL
+    SELECT 'dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+    FROM s1 JOIN tok USING (doc_id)
+    UNION ALL
+    SELECT 'decontaminated', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT)
+    FROM s2 JOIN tok USING (doc_id)
+    UNION ALL
+    SELECT 'clean', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+    FROM s3 JOIN tok USING (doc_id)
+    UNION ALL
+    SELECT 'split:' || split, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT)
+    FROM sp JOIN tok USING (doc_id) GROUP BY split
+    """,
+)
+def corpus_prepare_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus preparation as one attested pipeline — the
+    funnel a real training-data run ships: exact dedup (keep min-id per
+    normalized-content hash) -> benchmark decontamination (drop any doc
+    sharing an 8-gram with the held-out set) -> repetition filter (drop
+    Gopher-flagged docs) -> deterministic train/val/test split. Output is
+    the doc/token funnel per stage plus per-split totals.
+
+    Shape at scale: each stage is a semi-join on doc_id against a flag
+    table computed by the already-scale-audited operators; stage
+    intermediates are persisted because each feeds both its summary row
+    and the next stage (PLANS.md rule 4).
+    """
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    toks = (
+        text.with_token_counts(docs)
+        .select("doc_id", "n_tokens")
+        .persist()
+    )
+    keep = dedup.exact_dup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    dec = corpus.decontaminate(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), n=_DECON_N
+    ).select("doc_id", "is_contaminated")
+    rep = text.repetition_stats(docs).select("doc_id", "flag_repetitive")
+
+    s1 = keep.persist()
+    s2 = (
+        s1.join(dec, "doc_id")
+        .filter(~F.col("is_contaminated"))
+        .select("doc_id")
+        .persist()
+    )
+    s3 = (
+        s2.join(rep, "doc_id")
+        .filter(~F.col("flag_repetitive"))
+        .select("doc_id")
+        .persist()
+    )
+
+    def summarize(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.join(toks, "doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+            .select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+        )
+
+    funnel = (
+        summarize(docs.select("doc_id"), "raw")
+        .unionAll(summarize(s1, "dedup"))
+        .unionAll(summarize(s2, "decontaminated"))
+        .unionAll(summarize(s3, "clean"))
+    )
+    per_split = (
+        corpus.with_split(s3)
+        .join(toks, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.concat(F.lit("split:"), F.col("split")).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    return funnel.unionAll(per_split)
