@@ -420,3 +420,95 @@ def embedding_neardup_pairs(
             )
 
     return tiles.mapInPandas(tile_pairs, "id_a bigint, id_b bigint, cos_sim double")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster, then dedup within cluster)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_cell(codebook: list[tuple[int, np.ndarray]]):
+    """pandas UDF: vector -> single nearest cell by cosine against the
+    broadcast codebook. Scores accumulate dimension-by-dimension in array
+    order (the same sequential fold as `dot`/DuckDB list_sum) so the
+    assignment — including its fp behavior near ties — is reproducible by
+    the oracle; exact ties break toward the lowest cell id (np.argmax
+    first-match == ORDER BY score DESC, cell ASC)."""
+    cells = np.array([c for c, _ in codebook])
+    order = np.argsort(cells)
+    cells = cells[order]
+    mat = np.vstack([v for _, v in codebook]).astype(np.float64)[order]
+    cnorm = np.zeros(mat.shape[0], dtype=np.float64)
+    for d in range(mat.shape[1]):
+        cnorm = cnorm + mat[:, d] * mat[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(v: pd.Series) -> pd.Series:
+        vecs = np.vstack(v.to_numpy()).astype(np.float64)
+        scores = np.zeros((vecs.shape[0], mat.shape[0]), dtype=np.float64)
+        for d in range(vecs.shape[1]):
+            scores = scores + np.outer(vecs[:, d], mat[:, d])
+        scores = scores / cnorm  # |v| is constant per row: argmax unchanged
+        return pd.Series(cells[np.argmax(scores, axis=1)].astype("int32"))
+
+    return nearest
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    n_cells: int = 10,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus, then enumerate
+    near-duplicate pairs ONLY within each cluster — the clustering-based
+    scale path for embedding dedup (vs the hash-based LSH path).
+
+    Codebook = per-cell mean of a deterministic seed partition
+    (id % n_cells), rounded to 4 decimals so both engines continue from
+    bit-identical centroids. Assignment is one broadcast-codebook pandas
+    UDF pass (O(cells) driver state, corpus never collected); the pair
+    join shuffles on the cell key only.
+
+    Scale: within-cell pairs are (n/c)^2 * c = n^2/c — grow n_cells with
+    the corpus (SemDeDup uses ~sqrt(n) clusters) to bound cell size, and
+    the clusters a real run uses come from k-means; the seed-partition
+    codebook keeps this deterministic for the oracle while exercising
+    the identical plan shape.
+
+    Output: (cell, id_a, id_b, cos_sim >= threshold).
+    """
+    codebook_df = centroid_vectors(emb, n_cells, id_col, vec_col).select(
+        "cell", F.transform("centroid", lambda x: F.round(x, 4)).alias("centroid")
+    )
+    codebook = [
+        (int(r["cell"]), np.array(r["centroid"], dtype=np.float64))
+        for r in codebook_df.collect()
+    ]
+    assigned = with_norm(emb, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("nrm"),
+        _nearest_cell(codebook)(F.col(vec_col)).alias("cell"),
+    )
+    a = assigned.select(
+        "cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    cos = dot_pd(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -27,6 +27,7 @@ _DEPRIORITIZED = [
     "text_fingerprint",  # doc fingerprint    ~ text_winnow (strictly stronger algo)
     "q_approx_distinct",  # HLL approx        ~ q_distinct_and_percentiles; green r1
     "q4_order_priority",  # join+cond-agg     ~ q3 / q12 shapes; green r1
+    "sim_ann_lsh_topk",  # rows-only ANN      ~ sim_lsh_buckets + sim_topk_bruteforce attest the math; emb_semantic_dedup takes the slot with a full oracle
     "q_cube_returnflag",  # cube              ~ q_rollup_order_status + q_grouping_sets
     "q5_region_supplier_volume",  # star join+agg ~ q3 (broadcast dims asserted in pytest)
     "q_sliding_native",  # sliding window     ~ q_window_native (tumbling) + q_session_native

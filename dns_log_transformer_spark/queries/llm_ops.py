@@ -1121,3 +1121,61 @@ def corpus_prepare_funnel(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return funnel.unionAll(per_split)
+
+
+_SEMDEDUP_CELLS = 10
+
+# codebook CTE: per-cell per-dim rounded mean (same recipe emb_centroids
+# attests), re-assembled into an ordered array per cell
+_SEMDEDUP_CB = f"""
+    cb AS (
+      SELECT cell, list(c ORDER BY dim) AS cv FROM (
+        SELECT CAST(vec_id % {_SEMDEDUP_CELLS} AS INT) AS cell,
+               CAST(u.p[1] AS INT) AS dim,
+               ROUND(AVG(u.p[2]), 4) AS c
+        FROM (
+          SELECT vec_id,
+                 unnest(list_zip(range(len(embedding)),
+                        list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                   AS p
+          FROM embeddings) u
+        GROUP BY 1, 2)
+      GROUP BY cell)
+"""
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    {_SEMDEDUP_CB},
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, cb.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_DOT.format(a='e.v', b='cb.cv')}
+                          / sqrt({_SQL_DOT.format(a='cb.cv', b='cb.cv')})
+                          DESC, cb.cell) AS rn
+        FROM e, cb)
+      WHERE rn = 1)
+    SELECT cell, id_a, id_b, cos_sim FROM (
+      SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({_SQL_DOT.format(a='a.v', b='b.v')}
+               / (sqrt({_SQL_DOT.format(a='a.v', b='a.v')})
+                  * sqrt({_SQL_DOT.format(a='b.v', b='b.v')})), 4) AS cos_sim
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id)
+    WHERE cos_sim >= 0.4
+    """,
+)
+def emb_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup: assign every vector to its nearest seed centroid, then
+    exact-cosine near-dup pairs within each cell only — the clustering
+    scale path (pairs bounded by cell size, never corpus-wide)."""
+    emb = table(spark, sf, "embeddings")
+    return similarity.semantic_dedup_pairs(
+        emb, n_cells=_SEMDEDUP_CELLS, threshold=0.4
+    )

@@ -64,3 +64,19 @@ def test_neardup_pairs_block_rows_param(spark):
     rows_a = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in a.collect()}
     rows_b = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in b.collect()}
     assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_semantic_dedup_pairs_within_cell_only(spark):
+    """Pairs come only from co-assigned vectors; assignment is stable
+    across row order; every reported pair clears the threshold."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    out = similarity.semantic_dedup_pairs(emb, n_cells=5, threshold=0.4)
+    rows = out.collect()
+    assert rows, "fixture should produce at least one within-cell pair"
+    assert all(r["cos_sim"] >= 0.4 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    # reshuffled input -> identical pair set (deterministic codebook+assign)
+    again = similarity.semantic_dedup_pairs(
+        emb.orderBy(F.rand(7)), n_cells=5, threshold=0.4
+    )
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
