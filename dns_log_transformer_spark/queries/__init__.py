@@ -27,6 +27,8 @@ _DEPRIORITIZED = [
     "text_fingerprint",  # doc fingerprint    ~ text_winnow (strictly stronger algo)
     "q_approx_distinct",  # HLL approx        ~ q_distinct_and_percentiles; green r1
     "q4_order_priority",  # join+cond-agg     ~ q3 / q12 shapes; green r1
+    "q17_small_quantity",  # decorrelated scalar-avg subquery; repo-parity-attested
+    "q21_sole_returner",  # exists/not-exists semi+anti self-joins; repo-parity-attested
     "sim_ann_lsh_topk",  # rows-only ANN      ~ sim_lsh_buckets + sim_topk_bruteforce attest the math; emb_semantic_dedup takes the slot with a full oracle
     "q_cube_returnflag",  # cube              ~ q_rollup_order_status + q_grouping_sets
     "q5_region_supplier_volume",  # star join+agg ~ q3 (broadcast dims asserted in pytest)

@@ -1303,3 +1303,112 @@ def q_asof_last_click_before_purchase(spark: SparkSession, sf: str) -> DataFrame
         .filter(F.col("event_type") == "purchase")
         .select(F.col("event_id").alias("purchase_id"), "last_click_id")
     )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN pa USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q17-style: correlated per-group scalar average, decorrelated
+    Spark-first into one aggregate + an equi-join back on the group key
+    (never a per-row subquery). The avg comparison is fp-safe here:
+    quantities are integer-valued doubles, so group sums — and therefore
+    the average — are exact and order-independent in both engines; the
+    revenue total is DECIMAL for the same reason (PLANS.md rule 5)."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q21_sole_returner",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R'
+      AND o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_sole_returner(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q21-shape (adapted to this schema: 'returned' stands in for
+    'late'): the EXISTS / NOT EXISTS pair over the same fact table,
+    expressed as left-semi + left-anti self-joins — equi on the order
+    key with a residual supplier-inequality condition, so both resolve
+    to hash/sort-merge joins, never a per-row subquery or nested loop."""
+    li = table(spark, sf, "lineitem")
+    supp = table(spark, sf, "supplier")
+    orders = table(spark, sf, "orders")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    cand = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
