@@ -61,3 +61,65 @@ def write_partitioned(
 
 def drop_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def dataset_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) from the file listing only — no data
+    read. Uses the Hadoop FileSystem API so it works on any supported
+    scheme (local, HDFS, S3A), exactly what a compaction planner may
+    touch at 100 TB: listing, never content."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    n, total = 0, 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+            total += f.getLen()
+    return n, total
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~target-size files.
+
+    Streaming ingest produces one file per micro-batch x task; at scale
+    a day of 30-second batches is ~100k tiny files per table and scans
+    become open/footer-bound. The rewrite plans file count from the
+    listing (ceil(bytes / target)), then either round-robin
+    repartition(n) (even file sizes) or, with ``sort_cols``,
+    repartitionByRange + sortWithinPartitions — re-clustering the data
+    so parquet min/max row-group stats prune future scans.
+
+    Writes to ``dst_path`` (never in place: readers of src are not
+    disturbed; swapping the location is the caller's metastore/manifest
+    operation). Returns before/after file stats.
+    """
+    n_before, total = dataset_file_stats(spark, src_path)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in sort_cols]
+        df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(dst_path)
+    n_after, total_after = dataset_file_stats(spark, dst_path)
+    return {
+        "files_before": n_before,
+        "bytes_before": total,
+        "planned_files": n_out,
+        "files_after": n_after,
+        "bytes_after": total_after,
+    }

@@ -77,3 +77,42 @@ def test_partitioned_scan_prunes(spark, tmp_path):
         assert q.count() == expected
     finally:
         drop_table(spark, "ord_p")
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    """A fragmented dataset compacts to the planned file count with
+    identical content; sort_cols re-clusters for min/max pruning."""
+    from dns_log_transformer_spark.storage.bucketing import (
+        compact_files,
+        dataset_file_stats,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "fragmented")
+    docs.repartition(40).write.parquet(src)
+    n_before, total = dataset_file_stats(spark, src)
+    assert n_before == 40
+
+    dst = str(tmp_path / "compacted")
+    # target = whole dataset in ~2 files
+    stats = compact_files(spark, src, dst, target_file_bytes=total // 2 + 1)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == stats["planned_files"] == 2
+    before = {tuple(r) for r in docs.collect()}
+    after = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert after == before
+
+    # sorted variant: each output file's doc_id range is disjoint
+    dst2 = str(tmp_path / "clustered")
+    compact_files(
+        spark, src, dst2, target_file_bytes=total // 2 + 1, sort_cols=["doc_id"]
+    )
+    ranges = (
+        spark.read.parquet(dst2)
+        .select("doc_id", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
