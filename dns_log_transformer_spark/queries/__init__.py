@@ -48,6 +48,12 @@ _DEPRIORITIZED = [
     "q_date_functions",  # date fns            ~ q_scalar_functions
     "q_event_time_buckets",  # date_trunc agg  ~ q_window_native
     "q_sessionize_events",  # gaps-and-islands ~ q_session_native + lag windows
+    "q13_order_distribution",  # outer-join ON-clause + double agg; pytest-attested
+    "q22_idle_balances",  # scalar-avg + anti join; pytest-attested
+    "q2_min_cost_supplier",  # correlated-min decorrelation; pytest-attested
+    "q16_supplier_count",  # NOT IN + count-distinct; pytest-attested
+    "q11_important_parts",  # HAVING vs global scalar; pytest-attested
+    "q20_heavy_shippers",  # nested semi-joins; pytest-attested
 ]
 
 

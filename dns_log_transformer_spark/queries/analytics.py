@@ -1412,3 +1412,280 @@ def q21_sole_returner(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q13-shape: customer order-count distribution. The load-bearing
+    subtlety is the ON-clause (not WHERE) predicate on the outer join —
+    customers whose only orders are URGENT must still appear with count 0 —
+    expressed Spark-first by filtering the right side *before* the left
+    join. Two cascaded aggregations; both partial+final, no skew (custkey
+    then small-domain count)."""
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q22_idle_balances",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS total,
+             COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,6)) * cnt > total
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_idle_balances(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q22-shape: above-average balances among customers with no
+    URGENT orders. The scalar AVG subquery is decorrelated as a 1-row
+    (SUM, COUNT) aggregate broadcast-cross-joined in, and the comparison
+    is division-free (bal * cnt > total, DECIMAL x BIGINT -> DECIMAL) so
+    both engines compare exact values — AVG itself would come back as
+    DOUBLE in DuckDB but DECIMAL in Spark (PLANS.md rule 5). NOT EXISTS
+    is a left-anti join on the filtered orders side."""
+    cust = table(spark, sf, "customer").withColumn(
+        "bal_dec", F.col("c_acctbal").cast("decimal(18,6)")
+    )
+    orders = table(spark, sf, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("bal_dec").alias("total"), F.count("*").alias("cnt")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(pos))
+        .filter(F.col("bal_dec") * F.col("cnt") > F.col("total"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("bal_dec"), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    mc AS (SELECT l_partkey, MIN(ps_supplycost) AS min_cost
+           FROM ps GROUP BY l_partkey)
+    SELECT p_partkey, s_name, n_name,
+           CAST(ROUND(ps_supplycost, 4) AS DOUBLE) AS supply_cost
+    FROM ps JOIN mc USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE ps_supplycost = min_cost AND p_size = 10
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q2-shape: cheapest supplier per part (partsupp derived from
+    lineitem as MIN(unit price) per part-supplier pair — the fixture set
+    has no partsupp table). The correlated MIN subquery is decorrelated
+    into a per-part aggregate joined back on the part key; the equality
+    compares bit-identical doubles (same division, MIN is
+    order-independent). Dim joins broadcast; ties keep all rows in both
+    engines."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        )
+    )
+    mc = ps.groupBy("l_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        ps.join(mc, "l_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(
+            F.broadcast(part.filter(F.col("p_size") == 10)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.round("ps_supplycost", 4).cast("double").alias("supply_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q16-shape: distinct supplier count per (brand, size) with a
+    NOT IN exclusion list. NOT IN is a left-anti join (s_suppkey is
+    non-null, so the NULL-semantics trap of NOT IN doesn't bite); the
+    exclusion side is tiny and broadcast. DISTINCT pairs first (one
+    shuffle), then count-distinct aggregates (Spark plans the standard
+    two-phase distinct expand)."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    supp = table(spark, sf, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        ps.join(
+            F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_brand") != "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+               AS part_value
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(part_value) AS total FROM pv)
+    SELECT l_partkey,
+           CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE part_value * 1250 > total
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q11-shape: parts whose inventory value exceeds a fraction of
+    the global total (HAVING vs a global scalar subquery). The global
+    total is a 1-row aggregate broadcast in; the 0.08% threshold is
+    expressed division-free (value * 1250 > total) so the DECIMAL
+    comparison is exact in both engines. Per-row cast to DECIMAL before
+    SUM keeps the aggregate order-independent (PLANS.md rule 5)."""
+    li = table(spark, sf, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                "decimal(18,6)"
+            )
+        ).alias("part_value")
+    )
+    tot = pv.agg(F.sum("part_value").alias("total"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("part_value") * 1250 > F.col("total"))
+        .select(
+            "l_partkey",
+            F.round("part_value", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM ps
+      WHERE qty > 50
+        AND l_partkey IN
+          (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'))
+    ORDER BY s_name
+    """,
+)
+def q20_heavy_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q20-shape: nested IN subqueries — suppliers who shipped more
+    than a threshold of any red part in 1995. Both IN levels become
+    left-semi joins (part-filter semi into the aggregated pair table,
+    then the pair table semi into supplier), so the plan is two hash
+    semi-joins over one aggregation; quantity sums are integer-valued
+    doubles (exact, order-independent)."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    supp = table(spark, sf, "supplier")
+    ps = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    heavy = ps.filter(F.col("qty") > 50).join(
+        F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    return (
+        supp.join(
+            heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name")
+        .orderBy("s_name")
+    )
