@@ -512,3 +512,70 @@ def semantic_dedup_pairs(
         .select("cell", "id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _argmin_assigner(codebook: list[np.ndarray]):
+    """pandas UDF factory: vector -> index of the nearest centroid by
+    squared L2, accumulated dimension-by-dimension in array order (the
+    same sequential fold DuckDB's list_sum uses, so assignment decisions
+    are bit-reproducible for the oracle). Ties resolve to the lowest
+    cell (np.argmin first occurrence)."""
+    cents = [np.asarray(c, dtype=np.float64) for c in codebook]
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        vecs = np.vstack(v.to_numpy()).astype(np.float64)
+        dists = np.empty((vecs.shape[0], len(cents)), dtype=np.float64)
+        for ci, c in enumerate(cents):
+            acc = np.zeros(vecs.shape[0], dtype=np.float64)
+            for d in range(vecs.shape[1]):
+                diff = vecs[:, d] - c[d]
+                acc = acc + diff * diff
+            dists[:, ci] = acc
+        return pd.Series(np.argmin(dists, axis=1).astype("int32"))
+
+    return assign
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column; returns the final
+    (id, cell) assignment.
+
+    Scale shape: the codebook (k x dim doubles) is the ONLY driver-side
+    state — the IVF-codebook pattern; the corpus never leaves the
+    executors. Each round is one narrow assignment pass plus one
+    posexplode + partial/final average (a single shuffle on (cell, dim),
+    k*dim result rows), so lineage stays flat across rounds — every
+    round's plan reads `emb` directly with a fresh broadcast codebook,
+    no iterative plan nesting (cf. PLANS.md on iterative lineage).
+
+    Deterministic for the DuckDB oracle: init = the k lowest-id vectors;
+    squared-L2 folded in array order; argmin ties -> lowest cell;
+    updated centroids rounded to 4 decimals; empty cells keep their
+    previous centroid.
+    """
+    e = emb.select(id_col, _as_double(F.col(vec_col)).alias("v"))
+    init = e.orderBy(id_col).limit(k).collect()
+    codebook = [np.asarray(r["v"], dtype=np.float64) for r in init]
+    for _ in range(n_iter):
+        assigned = e.withColumn("cell", _argmin_assigner(codebook)(F.col("v")))
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("cd"))
+            .collect()
+        )
+        upd: dict[int, np.ndarray] = {}
+        for r in stats:
+            upd.setdefault(r["cell"], np.zeros(len(codebook[0])))[r["dim"]] = r["cd"]
+        codebook = [upd.get(i, codebook[i]) for i in range(k)]
+    return (
+        e.withColumn("cell", _argmin_assigner(codebook)(F.col("v")))
+        .select(id_col, "cell")
+    )

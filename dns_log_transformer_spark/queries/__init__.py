@@ -54,6 +54,7 @@ _DEPRIORITIZED = [
     "q16_supplier_count",  # NOT IN + count-distinct; pytest-attested
     "q11_important_parts",  # HAVING vs global scalar; pytest-attested
     "q20_heavy_shippers",  # nested semi-joins; pytest-attested
+    "emb_kmeans",  # iterative Lloyd ~ emb_centroids + sim_ann_ivf attest the parts
 ]
 
 

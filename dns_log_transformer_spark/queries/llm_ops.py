@@ -1179,3 +1179,73 @@ def emb_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.semantic_dedup_pairs(
         emb, n_cells=_SEMDEDUP_CELLS, threshold=0.4
     )
+
+
+_SQL_L2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+
+@register(
+    "emb_kmeans",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             v AS c
+      FROM e ORDER BY vec_id LIMIT 8),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c0.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2.format(a='e.v', b='c0.c')}, c0.cell) AS rn
+        FROM e, c0)
+      WHERE rn = 1),
+    m1 AS (
+      SELECT cell, CAST(p[1] AS INT) AS dim, ROUND(AVG(p[2]), 4) AS cd
+      FROM (
+        SELECT a1.cell,
+               unnest(list_zip(range(len(e.v)), e.v)) AS p
+        FROM a1 JOIN e USING (vec_id))
+      GROUP BY 1, 2),
+    c1u AS (SELECT cell, list(cd ORDER BY dim) AS c FROM m1 GROUP BY cell),
+    c1 AS (
+      SELECT c0.cell, COALESCE(c1u.c, c0.c) AS c
+      FROM c0 LEFT JOIN c1u USING (cell)),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c1.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2.format(a='e.v', b='c1.c')}, c1.cell) AS rn
+        FROM e, c1)
+      WHERE rn = 1),
+    m2 AS (
+      SELECT cell, CAST(p[1] AS INT) AS dim, ROUND(AVG(p[2]), 4) AS cd
+      FROM (
+        SELECT a2.cell,
+               unnest(list_zip(range(len(e.v)), e.v)) AS p
+        FROM a2 JOIN e USING (vec_id))
+      GROUP BY 1, 2),
+    c2u AS (SELECT cell, list(cd ORDER BY dim) AS c FROM m2 GROUP BY cell),
+    c2 AS (
+      SELECT c1.cell, COALESCE(c2u.c, c1.c) AS c
+      FROM c1 LEFT JOIN c2u USING (cell))
+    SELECT vec_id, cell FROM (
+      SELECT e.vec_id, c2.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_SQL_L2.format(a='e.v', b='c2.c')}, c2.cell) AS rn
+      FROM e, c2)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def emb_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8) over the embeddings table;
+    int-only (vec_id, cell) output. The oracle unrolls both iterations in
+    SQL with the identical deterministic rules (lowest-id init, in-order
+    L2 fold, lowest-cell tie-break, 4-decimal centroid rounding)."""
+    emb = table(spark, sf, "embeddings")
+    return similarity.kmeans_assign(emb, k=8, n_iter=2)

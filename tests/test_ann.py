@@ -80,3 +80,47 @@ def test_semantic_dedup_pairs_within_cell_only(spark):
         emb.orderBy(F.rand(7)), n_cells=5, threshold=0.4
     )
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
+
+
+def _sse(vecs: dict, cents, assign: dict) -> float:
+    import numpy as np
+
+    return sum(
+        float(((np.asarray(vecs[i]) - cents[c]) ** 2).sum())
+        for i, c in assign.items()
+    )
+
+
+def test_kmeans_deterministic_and_improving(spark):
+    """Assignment is stable under input row order, covers every vector,
+    and two Lloyd rounds do not increase total SSE vs the init
+    assignment (Lloyd's invariant, modulo 4-decimal centroid rounding)."""
+    import numpy as np
+
+    from dns_log_transformer_spark.operators.similarity import kmeans_assign
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a2 = {r["vec_id"]: r["cell"] for r in kmeans_assign(emb, k=8, n_iter=2).collect()}
+    assert len(a2) == emb.count()
+    assert set(a2.values()) <= set(range(8))
+    shuffled = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(emb.orderBy(F.rand(3)), k=8, n_iter=2).collect()
+    }
+    assert shuffled == a2
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    init_ids = sorted(vecs)[:8]
+    cents0 = [vecs[i] for i in init_ids]
+    a0 = {r["vec_id"]: r["cell"] for r in kmeans_assign(emb, k=8, n_iter=0).collect()}
+    # recompute the final centroids implied by a2 to evaluate its SSE
+    cents2 = []
+    for c in range(8):
+        members = [vecs[i] for i, cell in a2.items() if cell == c]
+        cents2.append(
+            np.round(np.mean(members, axis=0), 4) if members else cents0[c]
+        )
+    assert _sse(vecs, cents2, a2) <= _sse(vecs, cents0, a0) * (1 + 1e-6)
