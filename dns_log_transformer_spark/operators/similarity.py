@@ -272,18 +272,28 @@ def ann_topk_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single nearest
     cell; each query probes its n_probe nearest cells; exact cosine +
     window top-k run inside the probed cells only (an equi-join on cell —
     ~n_probe/n_cells of the corpus per query instead of all of it).
 
+    ``train_iters > 0`` refines the seed codebook with that many Lloyd
+    rounds (:func:`kmeans_codebook`) before building the index — tighter
+    cells, same query plan.
+
     Output: (query_id, vec_id, cos_sim, rnk).
     """
-    codebook = [
-        (r["cell"], np.array(r["centroid"]))
-        for r in centroid_vectors(emb, n_cells, id_col, vec_col).collect()
-    ]
+    if train_iters > 0:
+        codebook = list(
+            enumerate(kmeans_codebook(emb, n_cells, train_iters, id_col, vec_col))
+        )
+    else:
+        codebook = [
+            (r["cell"], np.array(r["centroid"]))
+            for r in centroid_vectors(emb, n_cells, id_col, vec_col).collect()
+        ]
     assign1 = _cell_assigner(codebook, 1)
     assignp = _cell_assigner(codebook, n_probe)
 
@@ -537,15 +547,15 @@ def _argmin_assigner(codebook: list[np.ndarray]):
     return assign
 
 
-def kmeans_assign(
+def kmeans_codebook(
     emb: DataFrame,
     k: int = 8,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means over an embedding column; returns the final
-    (id, cell) assignment.
+) -> list[np.ndarray]:
+    """Run ``n_iter`` Lloyd rounds and return the trained codebook
+    (index = cell id).
 
     Scale shape: the codebook (k x dim doubles) is the ONLY driver-side
     state — the IVF-codebook pattern; the corpus never leaves the
@@ -575,6 +585,21 @@ def kmeans_assign(
         for r in stats:
             upd.setdefault(r["cell"], np.zeros(len(codebook[0])))[r["dim"]] = r["cd"]
         codebook = [upd.get(i, codebook[i]) for i in range(k)]
+    return codebook
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column; returns the final
+    (id, cell) assignment against the trained codebook (see
+    :func:`kmeans_codebook` for the scale/determinism contract)."""
+    codebook = kmeans_codebook(emb, k, n_iter, id_col, vec_col)
+    e = emb.select(id_col, _as_double(F.col(vec_col)).alias("v"))
     return (
         e.withColumn("cell", _argmin_assigner(codebook)(F.col("v")))
         .select(id_col, "cell")

@@ -124,3 +124,21 @@ def test_kmeans_deterministic_and_improving(spark):
             np.round(np.mean(members, axis=0), 4) if members else cents0[c]
         )
     assert _sse(vecs, cents2, a2) <= _sse(vecs, cents0, a0) * (1 + 1e-6)
+
+
+def test_ivf_trained_codebook(spark):
+    """Lloyd-trained IVF answers every query with full k and holds the
+    same recall floor as the seed codebook; training must not change the
+    query-side plan contract (query_id, vec_id, cos_sim, rnk)."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = _topk_sets(similarity.brute_force_topk(emb, queries, k=5))
+    trained = similarity.ann_topk_ivf(
+        emb, queries, k=5, n_cells=8, n_probe=4, train_iters=2
+    )
+    assert trained.columns == ["query_id", "vec_id", "cos_sim", "rnk"]
+    got = _topk_sets(trained)
+    assert set(got) == set(exact) and all(len(v) == 5 for v in got.values())
+    hits = sum(len(exact[q] & got[q]) for q in exact)
+    recall = hits / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.5, f"trained IVF recall@5 = {recall:.2f}"
