@@ -37,6 +37,21 @@ def tokens(text: Column) -> Column:
     )
 
 
+def rebalance_for_fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism — but only
+    when the upstream scan yields fewer splits than cores. Gram/hash ops
+    multiply compute per input byte ~100x, so a compact input (one small
+    parquet file locally; post-compaction files fewer than executors at
+    cluster scale) would serialize the expensive stage behind a handful
+    of tasks. Rebalancing BEFORE the fan-out shuffles only the small
+    pre-explosion rows; when the scan is already well-split this is a
+    no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_tokens (whitespace) and n_bpe_tokens (regex pre-tokenizer
     count — the cheap proxy for BPE token count used for doc budgeting)."""
@@ -180,7 +195,8 @@ def winnow_fingerprints(
     # CollapseProject keeps this stage separate, so each window's slice
     # reads the computed array attribute.
     hashed = (
-        df.select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+        rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
         .filter(F.length("_norm") >= k)
         .select(F.col(id_col), grams.alias("grams"))
     )
@@ -221,7 +237,9 @@ def repetition_stats(
     """
     from pyspark.ml.feature import NGram
 
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    toked = rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
     grams = NGram(n=2, inputCol="_toks", outputCol="_g2").transform(
         NGram(n=5, inputCol="_toks", outputCol="_g5").transform(toked)
     )
