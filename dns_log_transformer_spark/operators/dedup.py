@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dns_log_transformer_spark.operators.text import normalized, tokens
+from dns_log_transformer_spark.operators.text import (
+    normalized,
+    rebalance_for_fanout,
+    tokens,
+)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -69,7 +73,9 @@ def with_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     dropped), identical output to `shingles()` but JVM-fast."""
     from pyspark.ml.feature import NGram
 
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    toked = rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
     grams = NGram(n=n, inputCol="_toks", outputCol="_grams").transform(toked)
     return grams.select(
         F.col(id_col), F.array_distinct("_grams").alias("shingles")
@@ -328,7 +334,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     a long. Near-dup candidates = pairs within small Hamming distance; see
     simhash_pairs for the banded join.
     """
-    toks = df.select(
+    toks = rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
