@@ -84,3 +84,27 @@ def test_salt_join_rejects_small_side_preserving_how(spark):
     for how in ("right", "full_outer", "full"):
         with pytest.raises(ValueError, match="inner/left"):
             skew.salt_join(df, df, "k", how=how)
+
+
+def test_subquery_shape_plans(spark):
+    """The decorrelated TPC-H shapes must plan the way their docstrings
+    claim: broadcast dims, hash semi/anti joins, no nested-loop fallbacks
+    beyond the deliberate 1-row scalar cross joins."""
+    from dns_log_transformer_spark.queries import ALL_QUERIES
+
+    sf = SF_SMOKE
+    # q2: per-part min decorrelation — part/supplier/nation broadcast
+    p2 = plans.physical_plan(ALL_QUERIES["q2_min_cost_supplier"].fn(spark, sf))
+    assert "BroadcastHashJoin" in p2
+    # q16: NOT IN as broadcast anti join, distinct as Expand-free two-phase
+    p16 = plans.physical_plan(ALL_QUERIES["q16_supplier_count"].fn(spark, sf))
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    # q20: both IN levels as semi joins
+    p20 = plans.physical_plan(ALL_QUERIES["q20_heavy_shippers"].fn(spark, sf))
+    assert p20.count("LeftSemi") >= 2
+    # q22: anti join + 1-row broadcast scalar, never a per-row subquery
+    p22 = plans.physical_plan(ALL_QUERIES["q22_idle_balances"].fn(spark, sf))
+    assert "LeftAnti" in p22
+    # q13: ON-clause filter must NOT turn the outer join inner
+    p13 = plans.physical_plan(ALL_QUERIES["q13_order_distribution"].fn(spark, sf))
+    assert "LeftOuter" in p13
