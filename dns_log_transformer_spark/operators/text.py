@@ -162,6 +162,24 @@ def sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def sentences_fast(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hot-path twin of :func:`sentences`: identical output, pure codegen
+    (split -> trim -> filter -> posexplode), zero Python. Use this in
+    pipelines; the UDTF variant exists to exercise the table-function
+    surface. Equivalence is pinned in tests."""
+    segs = F.filter(
+        F.transform(F.split(F.col(text_col), r"\."), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(segs).alias("sent_no", "sentence"))
+        .select(id_col, F.col("sent_no").cast("int").alias("sent_no"), "sentence")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

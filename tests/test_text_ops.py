@@ -50,3 +50,23 @@ def test_connected_components_raises_on_non_convergence(spark):
     ok = dedup.connected_components(chain, max_iter=20)
     comps = {r["component"] for r in ok.collect()}
     assert comps == {1}
+
+
+def test_sentences_fast_matches_udtf(spark):
+    """The codegen'd hot-path splitter and the UDTF surface demo must
+    produce identical rows (same ids, numbering, trimming, drops)."""
+    from dns_log_transformer_spark.operators.text import sentences, sentences_fast
+
+    docs = spark.createDataFrame(
+        [
+            (1, "One. Two.  Three."),
+            (2, "...leading. dots..."),
+            (3, ""),
+            (4, None),
+            (5, "no terminal period"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {tuple(r) for r in sentences(docs).collect()}
+    b = {tuple(r) for r in sentences_fast(docs).collect()}
+    assert a == b and (5, 0, "no terminal period") in a
