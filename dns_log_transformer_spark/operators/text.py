@@ -37,6 +37,12 @@ def tokens(text: Column) -> Column:
     )
 
 
+#: (session id, sorted input files) -> under-split decision. The probe
+#: (`df.rdd.getNumPartitions()`) costs a ~1 s no-op job per NEW plan, so
+#: ops sharing an input table must share one probe.
+_REBALANCE_CACHE: dict[tuple[int, tuple[str, ...]], bool] = {}
+
+
 def rebalance_for_fanout(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's parallelism — but only
     when the upstream scan yields fewer splits than cores. Gram/hash ops
@@ -47,9 +53,20 @@ def rebalance_for_fanout(df: DataFrame) -> DataFrame:
     pre-explosion rows; when the scan is already well-split this is a
     no-op (no shuffle added)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    key = None
+    try:
+        files = df.inputFiles()  # driver-side listing, no job
+        if files:
+            key = (id(df.sparkSession), tuple(sorted(files)))
+    except Exception:
+        pass
+    if key is not None and key in _REBALANCE_CACHE:
+        need = _REBALANCE_CACHE[key]
+    else:
+        need = df.rdd.getNumPartitions() < target
+        if key is not None:
+            _REBALANCE_CACHE[key] = need
+    return df.repartition(target) if need else df
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
