@@ -55,6 +55,7 @@ _DEPRIORITIZED = [
     "q11_important_parts",  # HAVING vs global scalar; pytest-attested
     "q20_heavy_shippers",  # nested semi-joins; pytest-attested
     "emb_kmeans",  # iterative Lloyd ~ emb_centroids + sim_ann_ivf attest the parts
+    "q_profile_columns",  # per-column profiling aggs; pytest-attested
 ]
 
 

@@ -1689,3 +1689,46 @@ def q20_heavy_shippers(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity',
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+           CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate',
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+           CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-profiling pass over four lineitem columns of four different
+    types (bigint, double, string, timestamp) — null counts, exact
+    cardinality, stringified min/max. Per-column pruned scans, no
+    multi-distinct Expand (operators/profile.py)."""
+    from dns_log_transformer_spark.operators.profile import profile_columns
+
+    li = table(spark, sf, "lineitem")
+    return profile_columns(
+        li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    )
