@@ -56,6 +56,7 @@ _DEPRIORITIZED = [
     "q20_heavy_shippers",  # nested semi-joins; pytest-attested
     "emb_kmeans",  # iterative Lloyd ~ emb_centroids + sim_ann_ivf attest the parts
     "q_profile_columns",  # per-column profiling aggs; pytest-attested
+    "q_variant_props",  # VariantType JSON ~ q_json_props family; pytest-attested
 ]
 
 

@@ -1732,3 +1732,39 @@ def q_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     return profile_columns(
         li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
     )
+
+
+@register(
+    "q_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_variant_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VariantType: try_parse_json
+    once into a variant column (a single binary-encoded parse, unlike
+    repeated get_json_object calls), then typed variant_get extraction.
+    The parse is materialized as its own projection so downstream
+    references hit the variant attribute, not a re-parse (PLANS.md
+    rule 1)."""
+    ev = table(spark, sf, "events")
+    v = ev.select("event_type", F.try_parse_json("props").alias("pv"))
+    k = F.variant_get("pv", "$.k", "long")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.count("k").cast("long").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
