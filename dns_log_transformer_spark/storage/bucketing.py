@@ -19,6 +19,7 @@ analytics surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -123,3 +124,37 @@ def compact_files(
         "files_after": n_after,
         "bytes_after": total_after,
     }
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> None:
+    """Materialize a training-ready corpus as exactly ``n_shards``
+    parquet shard directories (shard=K/part-*.parquet) with rows
+    order-randomized by a seeded md5 key — the layout sharded data
+    loaders consume.
+
+    Shape at scale: shard id = md5-bucket of (seed, id) mod n_shards
+    (uniform, deterministic, no skew); one repartition ON the shard
+    column puts each shard in one task, and sortWithinPartitions on the
+    shuffle key fixes intra-shard order, so the written bytes are
+    reproducible end-to-end. Exactly one file per shard: a task holding
+    several shards writes one file into each shard's directory.
+    """
+    from dns_log_transformer_spark.operators.corpus import hash_bucket
+
+    keyed = df.withColumn("_shuf", hash_bucket(F.col(id_col), seed)).withColumn(
+        "shard", (F.col("_shuf") % n_shards).cast("int")
+    )
+    (
+        keyed.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("_shuf", id_col)
+        .drop("_shuf")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -170,3 +170,44 @@ def test_repetition_stats_hand_computed(spark):
     r2 = out[2]
     assert r2["n_tokens"] == 0 and not r2["flag_repetitive"]
     assert r2["top2_count"] == 0 and r2["top2_gram"] is None
+
+
+def test_quality_filter_runs_under_streaming(spark, tmp_path):
+    """Corpus operators are plain DataFrame->DataFrame functions, so the
+    same code path must run unchanged under readStream — the engine's
+    'one code path for batch and streaming' contract, proven here for
+    the LLM-ops side (quality scoring + filter)."""
+    from dns_log_transformer_spark.operators.text import with_quality_score
+    from dns_log_transformer_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    batch_docs = read_table(spark, SF_SMOKE, "documents")
+    expected = {
+        r["doc_id"]
+        for r in with_quality_score(batch_docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id")
+        .collect()
+    }
+    assert expected, "fixture should pass some docs"
+
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+    )
+    q = (
+        with_quality_score(stream)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("quality_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM quality_stream_sink").collect()}
+    assert got == expected

@@ -116,3 +116,35 @@ def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
     )
     spans = sorted((r["lo"], r["hi"]) for r in ranges)
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_write_training_shards(spark, tmp_path):
+    """Exactly n shard dirs, one file each, all rows present exactly
+    once, assignment deterministic across writes, sizes near-uniform."""
+    import glob
+
+    from dns_log_transformer_spark.storage.bucketing import write_training_shards
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    total = docs.count()
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8)
+
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 8
+    for d in dirs:
+        assert len(glob.glob(d + "/*.parquet")) == 1
+
+    back = spark.read.parquet(out)
+    assert back.count() == total
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    sizes = [r["n"] for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert min(sizes) > 0 and max(sizes) < 3 * total / 8
+
+    write_training_shards(docs, str(tmp_path / "shards2"), n_shards=8)
+    again = spark.read.parquet(str(tmp_path / "shards2"))
+    a = {(r["doc_id"], r["shard"]) for r in back.collect()}
+    b = {(r["doc_id"], r["shard"]) for r in again.collect()}
+    assert a == b
