@@ -12,9 +12,19 @@ from dns_log_transformer_spark.operators import (
     dedup,
     joins,
     multimodal,
+    profile,
     similarity,
     skew,
     text,
 )
 
-__all__ = ["corpus", "dedup", "joins", "multimodal", "similarity", "skew", "text"]
+__all__ = [
+    "corpus",
+    "dedup",
+    "joins",
+    "multimodal",
+    "profile",
+    "similarity",
+    "skew",
+    "text",
+]

@@ -92,6 +92,9 @@ def test_representative_queries_survive_foreign_session(spark):
         "corpus_split",                # hash-derived corpus op
         "corpus_pack_sequences",       # applyInPandas op
         "sim_lsh_buckets",             # pandas-UDF embedding op
+        "emb_kmeans",                  # iterative collect-per-round op
+        "q_variant_props",             # VariantType extraction
+        "q_profile_columns",           # per-column profiling aggs
     ]
     for name in names:
         q = ALL_QUERIES[name].fn
