@@ -57,6 +57,8 @@ _DEPRIORITIZED = [
     "emb_kmeans",  # iterative Lloyd ~ emb_centroids + sim_ann_ivf attest the parts
     "q_profile_columns",  # per-column profiling aggs; pytest-attested
     "q_variant_props",  # VariantType JSON ~ q_json_props family; pytest-attested
+    "q8_market_share",  # conditional-share ratio; pytest-attested
+    "q9_product_profit",  # multi-join profit rollup; pytest-attested
 ]
 
 

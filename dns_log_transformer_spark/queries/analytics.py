@@ -1768,3 +1768,141 @@ def q_variant_props(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS v,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA')
+    SELECT o_year,
+           CAST(ROUND(
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN v
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE), 4) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q8-shape: one nation's share of a region's purchase volume
+    per year — the conditional-share ratio over a 6-way join. Volumes
+    accumulate as per-row-cast DECIMAL (exact, order-independent); the
+    final share divides the two exact totals as doubles, identically in
+    both engines (PLANS.md rule 5). Dims broadcast; the two fact joins
+    shuffle on their keys."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    region = table(spark, sf, "region")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("v"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", F.col("v")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("v").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(
+             l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN ps USING (l_partkey, l_suppkey)
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%gizmo%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q9-shape: profit per supplier nation per year over a 5-way
+    join, with supplycost derived from lineitem (no partsupp in the
+    fixture schema — min unit price per part-supplier pair, the q2
+    derivation). Per-row profit is cast to DECIMAL before summing (the
+    raw doubles are bit-identical in both engines: same multiply/
+    subtract on the same inputs), so the aggregate is exact and
+    order-independent (PLANS.md rule 5)."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    orders = table(spark, sf, "orders")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(ps, ["l_partkey", "l_suppkey"])
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("%gizmo%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("pr"),
+        )
+        .groupBy("n_name", "o_year")
+        .agg(F.round(F.sum("pr"), 2).cast("double").alias("profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
