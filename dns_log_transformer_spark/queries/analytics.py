@@ -1754,9 +1754,15 @@ def q_variant_props(spark: SparkSession, sf: str) -> DataFrame:
     repeated get_json_object calls), then typed variant_get extraction.
     The parse is materialized as its own projection so downstream
     references hit the variant attribute, not a re-parse (PLANS.md
-    rule 1)."""
+    rule 1), and the input is rebalanced before the parse — the variant
+    encoder is heavy per row and a compact scan would serialize it
+    (PLANS.md rule 7; 4.1s -> 1.1s at sf0.1)."""
+    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
+
     ev = table(spark, sf, "events")
-    v = ev.select("event_type", F.try_parse_json("props").alias("pv"))
+    v = rebalance_for_fanout(ev.select("event_type", "props")).select(
+        "event_type", F.try_parse_json("props").alias("pv")
+    )
     k = F.variant_get("pv", "$.k", "long")
     return (
         v.select("event_type", k.alias("k"))
