@@ -140,3 +140,46 @@ def frame_offsets(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> D
             .alias("byte_offset"),
         )
     )
+
+
+#: Output schema of the Arrow-native digest pass.
+BLOB_DIGEST_SCHEMA = "doc_id bigint, n_bytes bigint, digest string"
+
+
+def blob_digest(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload md5 + byte length via ``mapInArrow`` — the zero-copy
+    Arrow RecordBatch surface (vs mapInPandas' pandas conversion): byte
+    lengths come from ``pyarrow.compute`` without touching Python
+    objects; only the digest itself walks values (hashing is inherently
+    per-value, batch-amortized). The content-addressing pass a multimodal
+    lakehouse runs at ingest (dedup key / integrity check).
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    blobs = df if "blob" in df.columns else attach_blob(df)
+
+    def digest(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            blob = batch.column(batch.schema.get_field_index("blob"))
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pc.binary_length(blob).cast(pa.int64()),
+                    pa.array(
+                        [
+                            None if v is None else hashlib.md5(v).hexdigest()
+                            for v in blob.to_pylist()
+                        ],
+                        pa.string(),
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "digest"],
+            )
+
+    return blobs.select(F.col(id_col), "blob").mapInArrow(
+        digest, BLOB_DIGEST_SCHEMA
+    )

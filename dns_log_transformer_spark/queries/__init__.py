@@ -59,6 +59,7 @@ _DEPRIORITIZED = [
     "q_variant_props",  # VariantType JSON ~ q_json_props family; pytest-attested
     "q8_market_share",  # conditional-share ratio; pytest-attested
     "q9_product_profit",  # multi-join profit rollup; pytest-attested
+    "mm_blob_digest",  # mapInArrow surface ~ mm_image_meta family; pytest-attested
 ]
 
 

@@ -1249,3 +1249,20 @@ def emb_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     L2 fold, lowest-cell tie-break, 4-decimal centroid rounding)."""
     emb = table(spark, sf, "embeddings")
     return similarity.kmeans_assign(emb, k=8, n_iter=2)
+
+
+@register(
+    "mm_blob_digest",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def mm_blob_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-addressing over binary payloads through mapInArrow (the
+    zero-copy Arrow batch surface; operators/multimodal.py). The blob is
+    the utf-8 encoding of text, so DuckDB's md5(text) hashes the same
+    bytes."""
+    docs = table(spark, sf, "documents")
+    return multimodal.blob_digest(docs)
