@@ -573,6 +573,9 @@ def kmeans_codebook(
     e = emb.select(id_col, _as_double(F.col(vec_col)).alias("v"))
     init = e.orderBy(id_col).limit(k).collect()
     codebook = [np.asarray(r["v"], dtype=np.float64) for r in init]
+    if not codebook:
+        raise ValueError("kmeans_codebook: input has no rows")
+    k = len(codebook)  # corpus smaller than k -> one cell per vector
     for _ in range(n_iter):
         assigned = e.withColumn("cell", _argmin_assigner(codebook)(F.col("v")))
         stats = (
