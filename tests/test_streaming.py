@@ -446,3 +446,41 @@ def test_transform_with_state_eviction(spark, tmp_path):
     assert (1, 3, 17.5, False) in got  # batch 2 carried state forward
     assert (1, 3, 17.5, True) in got  # timer fired: final row, evicted
     assert (2, 1, 1.0, False) in got
+
+
+def test_progress_listener_and_health(spark, tmp_path):
+    """ProgressCapture sees every completed batch; query_health reports
+    liveness + latest batch metrics (the reference's /health upgraded
+    with actual throughput visibility)."""
+    from dns_log_transformer_spark.streaming.health import (
+        ProgressCapture,
+        query_health,
+    )
+
+    listener = ProgressCapture()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 100)
+            .load()
+            .writeStream.format("memory")
+            .queryName("health_probe_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 30
+            while time.time() < deadline and not listener.batches:
+                time.sleep(0.5)
+            health = query_health(q)
+            assert health["active"] is True
+        finally:
+            q.stop()
+        assert listener.batches, "listener saw no batch progress"
+        b = listener.batches[-1]
+        assert b["name"] == "health_probe_sink" and b["batch_id"] >= 0
+    finally:
+        spark.streams.removeListener(listener)
