@@ -60,6 +60,7 @@ _DEPRIORITIZED = [
     "q8_market_share",  # conditional-share ratio; pytest-attested
     "q9_product_profit",  # multi-join profit rollup; pytest-attested
     "mm_blob_digest",  # mapInArrow surface ~ mm_image_meta family; pytest-attested
+    "corpus_vocab_topk",  # token histogram ~ text_token_stats family; pytest-attested
 ]
 
 

@@ -1266,3 +1266,32 @@ def mm_blob_digest(spark: SparkSession, sf: str) -> DataFrame:
     bytes."""
     docs = table(spark, sf, "documents")
     return multimodal.blob_digest(docs)
+
+
+@register(
+    "corpus_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 200
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Global vocabulary statistics — the corpus-wide token histogram a
+    BPE/tokenizer training run starts from. explode -> partial+final
+    count (map-side combine collapses each partition to its distinct
+    tokens before the shuffle, so the exchange carries vocabulary-sized
+    data, not corpus-sized) -> global top-k via sort+limit (Spark plans
+    TakeOrderedAndProject: per-partition heaps, no full sort)."""
+    docs = table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(200)
+    )
