@@ -570,6 +570,10 @@ def kmeans_codebook(
     updated centroids rounded to 4 decimals; empty cells keep their
     previous centroid.
     """
+    # NOTE: deliberately NOT rebalance_for_fanout'd — measured 3x SLOWER
+    # when applied here (24.9s vs 7.9s cold at sf0.1): per-row compute is
+    # small (64 dims x k cells), so 32-way pandas-UDF worker spin-up
+    # dominates; real multi-file corpora scan well-split anyway.
     e = emb.select(id_col, _as_double(F.col(vec_col)).alias("v"))
     init = e.orderBy(id_col).limit(k).collect()
     codebook = [np.asarray(r["v"], dtype=np.float64) for r in init]
