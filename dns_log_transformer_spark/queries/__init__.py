@@ -49,18 +49,18 @@ _DEPRIORITIZED = [
     "q_event_time_buckets",  # date_trunc agg  ~ q_window_native
     "q_sessionize_events",  # gaps-and-islands ~ q_session_native + lag windows
     "q13_order_distribution",  # outer-join ON-clause + double agg; pytest-attested
-    "q22_idle_balances",  # scalar-avg + anti join; pytest-attested
     "q2_min_cost_supplier",  # correlated-min decorrelation; pytest-attested
     "q16_supplier_count",  # NOT IN + count-distinct; pytest-attested
     "q11_important_parts",  # HAVING vs global scalar; pytest-attested
     "q20_heavy_shippers",  # nested semi-joins; pytest-attested
-    "emb_kmeans",  # iterative Lloyd ~ emb_centroids + sim_ann_ivf attest the parts
-    "q_profile_columns",  # per-column profiling aggs; pytest-attested
-    "q_variant_props",  # VariantType JSON ~ q_json_props family; pytest-attested
     "q8_market_share",  # conditional-share ratio; pytest-attested
     "q9_product_profit",  # multi-join profit rollup; pytest-attested
-    "mm_blob_digest",  # mapInArrow surface ~ mm_image_meta family; pytest-attested
-    "corpus_vocab_topk",  # token histogram ~ text_token_stats family; pytest-attested
+    "q_customers_without_orders",  # anti join, 0 rows at sf0.01 ~ q22_idle_balances (23-row attest) takes the slot
+    "dedup_simhash_pairs",  # rows-only ~ text_simhash oracle attests the simhash math
+    "sim_ann_ivf_topk",  # rows-only ~ sim_lsh_buckets + sim_topk_bruteforce attest ANN
+    "q_json_props",  # get_json_object ~ q_variant_props (variant surface) takes the slot
+    "mm_resize",  # mapInPandas ~ mm_image_meta same surface; mm_blob_digest adds Arrow
+    "corpus_shuffle",  # hash-bucket ~ corpus_split same primitive; vocab_topk adds coverage
 ]
 
 
