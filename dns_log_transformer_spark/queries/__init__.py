@@ -61,6 +61,7 @@ _DEPRIORITIZED = [
     "q_json_props",  # get_json_object ~ q_variant_props (variant surface) takes the slot
     "mm_resize",  # mapInPandas ~ mm_image_meta same surface; mm_blob_digest adds Arrow
     "corpus_shuffle",  # hash-bucket ~ corpus_split same primitive; vocab_topk adds coverage
+    "q_bitmap_distinct",  # bitmap exact-distinct ~ q_distinct_and_percentiles family; pytest-attested
 ]
 
 

@@ -1912,3 +1912,43 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.sum("pr"), 2).cast("double").alias("profit"))
         .orderBy("n_name", F.col("o_year").desc())
     )
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distinct counts via bitmap aggregation — the scale-out
+    alternative to COUNT DISTINCT: values fold into fixed-size bitmap
+    buckets (bitmap_bit_position within bitmap_bucket_number), so the
+    shuffle carries one bitmap per (group, bucket) instead of every
+    distinct value, and multi-column distincts need no Expand
+    row-multiplication. Two ordinary partial+final aggregations; result
+    bit-for-bit equals the oracle's COUNT(DISTINCT ...)."""
+    li = table(spark, sf, "lineitem")
+
+    def bitmap_distinct(col: str, out: str):
+        return (
+            li.groupBy(
+                "l_returnflag", F.bitmap_bucket_number(F.col(col)).alias("_b")
+            )
+            .agg(
+                F.bitmap_construct_agg(F.bitmap_bit_position(F.col(col))).alias(
+                    "_bm"
+                )
+            )
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.bitmap_count("_bm")).cast("long").alias(out))
+        )
+
+    supp = bitmap_distinct("l_suppkey", "n_suppliers")
+    part = bitmap_distinct("l_partkey", "n_parts")
+    return supp.join(part, "l_returnflag").orderBy("l_returnflag")
