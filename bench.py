@@ -29,8 +29,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
 
+    only = [s for s in os.environ.get("SPARK_GRAFT_BENCH_FILTER", "").split(",") if s]
     timings: dict[str, float] = {}
     for name, q in sorted(ALL_QUERIES.items()):
+        if only and not any(s in name for s in only):
+            continue
         df = q.fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()

@@ -108,3 +108,30 @@ def test_subquery_shape_plans(spark):
     # q13: ON-clause filter must NOT turn the outer join inner
     p13 = plans.physical_plan(ALL_QUERIES["q13_order_distribution"].fn(spark, sf))
     assert "LeftOuter" in p13
+
+
+def test_bench_harness_smoke(spark):
+    """bench.py must keep printing its one-line JSON contract; run it
+    in-process at the smoke SF over two cheap queries via the filter."""
+    import io
+    import json
+    import os
+    import sys
+    from contextlib import redirect_stdout
+
+    import bench
+
+    env = {"SPARK_GRAFT_SF_DIR": SF_SMOKE, "SPARK_GRAFT_BENCH_FILTER": "q1_pricing,dedup_exact"}
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            bench.main()
+    finally:
+        for k, v in saved.items():
+            os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert set(out) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(out["queries"]) == {"q1_pricing_summary", "dedup_exact"}
+    assert out["unit"] == "sec" and out["value"] >= 0
