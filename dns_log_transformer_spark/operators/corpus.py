@@ -65,16 +65,66 @@ def with_split(
     return df.withColumn("split", split)
 
 
+#: monotonically_increasing_id layout: partition_index * 2^33 + local row
+#: index — the local index is recoverable with a modulo.
+_MID_PARTITION_STRIDE = 1 << 33
+
+
 def seeded_shuffle(
-    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Global deterministic shuffle: ``shuffle_rank`` is the row's
-    position in md5('seed:id') order (id tiebreak). One range-partitioned
-    sort; re-running with the same seed reproduces the exact training
-    order, a different seed is a fresh permutation."""
+    position in md5('seed:id') order (id tiebreak). Re-running with the
+    same seed reproduces the exact training order; a different seed is a
+    fresh permutation.
+
+    The rank is computed as a two-pass global index (the zipWithIndex
+    pattern), NOT a partition-less ``row_number().over(Window.orderBy)``
+    — that plan funnels every row through ONE task. Here:
+
+    1. range-partition + sort within partitions on (key, id) — a fully
+       parallel global sort (partition i's keys all precede i+1's);
+    2. stamp each row with its partition id and in-partition position
+       (``monotonically_increasing_id`` above the sort: nondeterministic
+       exprs are never pushed through it);
+    3. one O(num_partitions) count job builds cumulative offsets, inlined
+       as a literal map — rank = offset[partition] + local position + 1.
+
+    The input is persisted after step 2 so the count job and the final
+    plan see identical partition boundaries. Every stage is parallel;
+    driver state is one row-count per partition.
+    """
+    spark = df.sparkSession
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-    w = Window.orderBy(key, F.col(id_col))
-    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    stamped = (
+        df.withColumn("_sfl_key", key)
+        .repartitionByRange(n_parts, "_sfl_key", F.col(id_col))
+        .sortWithinPartitions("_sfl_key", F.col(id_col))
+        .withColumn("_sfl_pid", F.spark_partition_id())
+        .withColumn(
+            "_sfl_local", F.monotonically_increasing_id() % _MID_PARTITION_STRIDE
+        )
+        .persist()
+    )
+    counts = stamped.groupBy("_sfl_pid").count().collect()
+    offsets: list[Column] = []
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_sfl_pid"]):
+        offsets.extend([F.lit(int(r["_sfl_pid"])), F.lit(acc)])
+        acc += r["count"]
+    if not offsets:  # empty input: no partitions to offset
+        return df.withColumn("shuffle_rank", F.lit(None).cast("long"))
+    off_map = F.create_map(*offsets)
+    rank = (off_map[F.col("_sfl_pid")] + F.col("_sfl_local") + 1).cast("long")
+    return stamped.withColumn("shuffle_rank", rank).drop(
+        "_sfl_key", "_sfl_pid", "_sfl_local"
+    )
 
 
 def weighted_sample(
@@ -97,6 +147,75 @@ def weighted_sample(
     return df.filter(hash_bucket(F.col(id_col), seed) < rate)
 
 
+def _cap_survivors(
+    df: DataFrame,
+    k: int,
+    source_col: str,
+    key_col: str,
+    margin: int = 4,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Hash-threshold pre-filter for :func:`capped_sample_per_source`:
+    returns a subset of ``df`` guaranteed to contain every source's k
+    smallest (key, id) rows, with expected ~margin*k survivors per
+    capped source.
+
+    Phase 1 counts rows per source (map-side combined; O(#sources)
+    driver rows). A source with n > margin*k rows gets a numeric
+    threshold on the key's first 8 hex chars keeping an expected
+    margin*k rows; smaller sources pass through whole. Because the full
+    ordering is (hex key asc, id asc) and the threshold cuts on a PREFIX
+    of that key, any row outside the survivor set sorts after every
+    survivor — so as long as a source retains >= min(k, n) survivors,
+    its true top-k is inside the set. That floor is VERIFIED with a
+    second count; on a shortfall (hash-uniformity tail odds) the margin
+    doubles and the filter is recomputed, so the result is exact, not
+    probabilistic.
+    """
+    prefix = F.conv(F.substring(F.col(key_col), 1, 8), 16, 10).cast("long")
+    counts = {
+        r["src"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    full = 1 << 32
+    for _ in range(max_rounds):
+        capped = {
+            s: min(full, -(-(margin * k) * full // n))  # ceil(margin*k/n * 2^32)
+            for s, n in counts.items()
+            if n > margin * k
+        }
+        if not capped:
+            return df
+        thr_df = df.sparkSession.createDataFrame(
+            [(s, t) for s, t in sorted(capped.items())],
+            f"{source_col} string, _cap_thr long",
+        )
+        survivors = (
+            df.withColumn("_cap_prefix", prefix)
+            .join(F.broadcast(thr_df), source_col, "left")
+            .filter(
+                F.col("_cap_thr").isNull()
+                | (F.col("_cap_prefix") <= F.col("_cap_thr"))
+            )
+            .drop("_cap_prefix", "_cap_thr")
+        )
+        kept = {
+            r["src"]: r["n"]
+            for r in survivors.groupBy(F.col(source_col).alias("src"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if all(kept.get(s, 0) >= min(k, counts[s]) for s in capped):
+            return survivors
+        margin *= 2  # shortfall: widen and re-derive (rare)
+    raise RuntimeError(
+        "capped_sample_per_source: survivor floor not met after "
+        f"{max_rounds} margin doublings — non-uniform key hash?"
+    )
+
+
 def capped_sample_per_source(
     df: DataFrame,
     k: int,
@@ -106,14 +225,27 @@ def capped_sample_per_source(
 ) -> DataFrame:
     """At most ``k`` docs per source, drawn uniformly and deterministically
     (the batch equivalent of per-key reservoir sampling): rank rows within
-    each source by a seeded hash and keep rank <= k. One shuffle on the
-    source key; no full sort — each partition ranks only its sources.
-    Adds ``sample_rank`` (1-based)."""
+    each source by a seeded hash and keep rank <= k. Adds ``sample_rank``
+    (1-based).
+
+    Skew shape: real corpora are source-skewed (one web crawl can be 90%
+    of rows), and a bare ``Window.partitionBy(source)`` sorts each
+    source's ENTIRE data in one task. Instead, a hash-threshold
+    pre-filter (:func:`_cap_survivors`) first cuts every heavy source
+    down to ~4k expected survivors as a narrow broadcast-join filter —
+    verified to retain each source's true top-k, escalating the margin
+    on a shortfall — and only the survivors are ranked. The window input
+    is O(k) per source regardless of skew; output is byte-identical to
+    ranking the full data.
+    """
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+    keyed = df.withColumn("_cap_key", key)
+    survivors = _cap_survivors(keyed, k, source_col, "_cap_key")
+    w = Window.partitionBy(source_col).orderBy(F.col("_cap_key"), F.col(id_col))
     return (
-        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
+        .drop("_cap_key")
     )
 
 

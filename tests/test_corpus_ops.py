@@ -48,6 +48,73 @@ def test_seeded_shuffle_is_a_permutation(spark):
     assert pairs != {(r["doc_id"], r["shuffle_rank"]) for r in other.collect()}
 
 
+def test_seeded_shuffle_matches_global_sort_order(spark):
+    """The two-pass global index must equal the rank a (non-scalable)
+    global row_number would produce: position in (md5 key, id) order."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus.seeded_shuffle(docs, seed=42, num_partitions=7).collect()
+    }
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string"))).alias("k"),
+    ).collect()
+    expected = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(sorted(keyed, key=lambda r: (r["k"], r["doc_id"])))
+    }
+    assert got == expected
+
+
+def test_seeded_shuffle_has_no_window(spark):
+    """The scale contract: no WindowExec anywhere in the plan (a
+    partition-less Window would funnel all rows through one task). The
+    rank must come from the parallel sort + offset arithmetic."""
+    from dns_log_transformer_spark.plans import physical_plan
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    plan = physical_plan(corpus.seeded_shuffle(docs, seed=1))
+    assert "Window" not in plan, plan
+
+
+def test_capped_sample_skewed_source_prefilter(spark):
+    """One source holding ~95% of rows: the hash-threshold pre-filter
+    must shrink the window input to O(k) for that source, and the result
+    must be byte-identical to ranking the full data."""
+    from pyspark.sql import Window
+
+    n = 4000
+    rows = [(i, "web" if i % 20 != 0 else f"src{i % 5}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    k = 10
+
+    keyed = df.withColumn(
+        "_cap_key",
+        F.md5(F.concat(F.lit("13:"), F.col("doc_id").cast("string"))),
+    )
+    survivors = corpus._cap_survivors(keyed, k, "source", "_cap_key")
+    surv_counts = {r["source"]: r["count"] for r in survivors.groupBy("source").count().collect()}
+    # the heavy source's window input is bounded (expected ~4k=40, allow slack)
+    assert surv_counts["web"] < 200, surv_counts
+    assert surv_counts["web"] >= k
+
+    got = {
+        (r["doc_id"], r["source"], r["sample_rank"])
+        for r in corpus.capped_sample_per_source(df, k=k, seed=13).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.col("_cap_key"), F.col("doc_id"))
+    naive = {
+        (r["doc_id"], r["source"], r["sample_rank"])
+        for r in keyed.withColumn(
+            "sample_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("sample_rank") <= k)
+        .collect()
+    }
+    assert got == naive
+
+
 def test_pii_redact_order_matters(spark):
     """An email's digits must be swallowed by <EMAIL>, not re-matched as
     a long number; counts are taken on the text each stage sees."""
