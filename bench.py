@@ -1,12 +1,21 @@
 #!/usr/bin/env python
 """Benchmark: run every registered query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print TWO JSON
+lines:
 
-    {"metric": "...", "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+1. a detail line with per-query seconds and rows-out:
+     {"metric": "...", "value": total_sec, "unit": "sec",
+      "queries": {name: sec, ...}, "rows": {name: rows_out, ...},
+      "sf": 0.1}
+2. a compact summary as the LAST line (no per-query maps, < 200 bytes)
+   so a tail-capture of stdout always parses:
+     {"metric": "...", "value": total_sec, "unit": "sec", "sf": 0.1,
+      "n_queries": N}
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect — measures the engine, not result transfer).
+Rows-out comes from a DataFrame ``observe()`` metric, so a run reports
+per-query output cardinality without a second pass over the data.
 """
 
 from __future__ import annotations
@@ -19,8 +28,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Observation  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from dns_log_transformer_spark.queries import ALL_QUERIES  # noqa: E402
 from dns_log_transformer_spark.session import get_spark  # noqa: E402
+
+METRIC = "total wall time, all registered queries, noop sink"
 
 
 def main() -> None:
@@ -31,22 +45,42 @@ def main() -> None:
 
     only = [s for s in os.environ.get("SPARK_GRAFT_BENCH_FILTER", "").split(",") if s]
     timings: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
     for name, q in sorted(ALL_QUERIES.items()):
         if only and not any(s in name for s in only):
             continue
         df = q.fn(spark, sf_dir)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        rows_out[name] = int(obs.get["rows_out"])
 
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "total wall time, all registered queries, noop sink",
-                "value": round(sum(timings.values()), 3),
+                "metric": METRIC,
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows": rows_out,
                 "sf": sf,
+            }
+        )
+    )
+    # compact summary LAST: a bounded tail of stdout must always contain
+    # one complete, parseable JSON line (the detail line above can exceed
+    # a tail-capture window once the registry is large)
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
             }
         )
     )

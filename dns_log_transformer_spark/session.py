@@ -95,8 +95,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         except Exception:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) fixture read via nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture: naive UTC
+            # wall clock. Session tz is UTC (set above), so the cast maps
+            # each wall-clock value to the same instant DuckDB sees.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

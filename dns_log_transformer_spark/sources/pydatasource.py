@@ -124,23 +124,39 @@ class FirehoseSynthReader(DataSourceReader):
 class FirehoseSynthStreamReader(DataSourceStreamReader):
     """Offset = next envelope index; each trigger advances by
     ``batch_requests`` until ``max_requests`` (bounded so tests and
-    drills terminate; a live deployment would advance unboundedly)."""
+    drills terminate; a live deployment would advance unboundedly).
+
+    Restart semantics (the upgrade over the reference's at-most-once ack,
+    /root/reference/app/app.py:96-102): a fresh reader instance must
+    resume from the checkpointed offset, not ``initialOffset``. The
+    engine replays the last offset-log batch through ``partitions(start,
+    end)`` before asking ``latestOffset`` for a new one (the same
+    contract pyspark's ``_SimpleStreamReaderWrapper.partitions``
+    documents), so both ``partitions`` and ``commit`` fold the offsets
+    they see into ``_cur`` and ``latestOffset`` only ever advances from
+    the restored position — exactly-once across restarts, pinned by
+    ``test_stream_restart_resumes_from_checkpoint``.
+    """
 
     def __init__(self, options: dict):
         self.o = _Opts(options)
+        self._cur = 0
+
+    def _advance_to(self, index: int) -> None:
+        self._cur = max(self._cur, index)
 
     def initialOffset(self):
         return {"index": 0}
 
     def latestOffset(self):
-        # stateless w.r.t. the reader instance: progress is whatever the
-        # engine last committed; advance one batch past it each trigger
-        cur = getattr(self, "_cur", 0)
-        nxt = min(cur + self.o.batch_requests, self.o.max_requests)
+        # progress = the furthest offset this instance has seen, seeded
+        # from checkpoint replay via partitions()/commit() on restart
+        nxt = min(self._cur + self.o.batch_requests, self.o.max_requests)
         self._cur = nxt
         return {"index": nxt}
 
     def partitions(self, start: dict, end: dict):
+        self._advance_to(end["index"])
         return [_RangePartition(start["index"], end["index"])]
 
     def read(self, partition: _RangePartition):
@@ -149,7 +165,7 @@ class FirehoseSynthStreamReader(DataSourceStreamReader):
             yield _envelope(o.seed, i, o.records_per_request, o.invalid_every)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._advance_to(end["index"])
 
 
 class FirehoseSynthDataSource(DataSource):

@@ -81,3 +81,42 @@ def test_stream_bounded_and_exact(spark, tmp_path):
     assert out.count() == 6
     ids = sorted(r["requestId"] for r in out.collect())
     assert ids == [f"req-7-{i:06d}" for i in range(6)]
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: a SECOND query over the same
+    checkpoint gets a FRESH reader instance whose progress must be
+    re-seeded from the offset log (the engine replays the last planned
+    batch via partitions(start, end) before asking latestOffset for a
+    new one). A reader that ignored the restored offset would plan an
+    inverted/empty range and either stall or re-emit envelopes 0..N —
+    this asserts the union of both runs is every envelope exactly once.
+
+    This is the durable-resume semantic the reference's fire-and-forget
+    ack cannot provide (/root/reference/app/app.py:96-102)."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(max_requests: int) -> None:
+        q = (
+            spark.readStream.format("firehose_synth")
+            .option("batch_requests", 2)
+            .option("max_requests", max_requests)
+            .option("records_per_request", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(4)   # first life: envelopes 0..3 land, offset 4 checkpointed
+    run(10)  # restart, fresh reader: must resume at 4, emit 4..9 only
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["requestId"] for r in rows)
+    assert ids == [f"req-7-{i:06d}" for i in range(10)], ids

@@ -111,8 +111,10 @@ def test_subquery_shape_plans(spark):
 
 
 def test_bench_harness_smoke(spark):
-    """bench.py must keep printing its one-line JSON contract; run it
-    in-process at the smoke SF over two cheap queries via the filter."""
+    """bench.py's JSON contract: a detail line with per-query timings and
+    rows-out, then a compact (< 200 byte) summary as the LAST line so a
+    bounded tail-capture of stdout always parses. Run in-process at the
+    smoke SF over two cheap queries via the filter."""
     import io
     import json
     import os
@@ -131,7 +133,20 @@ def test_bench_harness_smoke(spark):
     finally:
         for k, v in saved.items():
             os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
-    out = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert set(out) == {"metric", "value", "unit", "queries", "sf"}
-    assert set(out["queries"]) == {"q1_pricing_summary", "dedup_exact"}
-    assert out["unit"] == "sec" and out["value"] >= 0
+    lines = buf.getvalue().strip().splitlines()
+    summary = json.loads(lines[-1])
+    assert set(summary) == {"metric", "value", "unit", "sf", "n_queries"}
+    assert summary["unit"] == "sec" and summary["value"] >= 0
+    assert summary["n_queries"] == 2
+    # the tail-proof guarantee: the last line stays bounded no matter how
+    # many queries are registered (it carries no per-query maps)
+    assert len(lines[-1]) < 200, lines[-1]
+
+    detail = json.loads(lines[-2])
+    assert set(detail) == {"metric", "value", "unit", "queries", "rows", "sf"}
+    assert set(detail["queries"]) == {"q1_pricing_summary", "dedup_exact"}
+    assert detail["value"] == summary["value"]
+    # observe()-based cardinality: q1 is the 6-row pricing summary,
+    # dedup_exact is one row per document
+    assert detail["rows"]["q1_pricing_summary"] == 6
+    assert detail["rows"]["dedup_exact"] > 0
