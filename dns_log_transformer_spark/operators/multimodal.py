@@ -142,8 +142,12 @@ def frame_offsets(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> D
     )
 
 
-#: Output schema of the Arrow-native digest pass.
+#: Output schema of the Arrow-native digest pass (default id column).
 BLOB_DIGEST_SCHEMA = "doc_id bigint, n_bytes bigint, digest string"
+
+
+def _blob_digest_schema(id_col: str) -> str:
+    return f"{id_col} bigint, n_bytes bigint, digest string"
 
 
 def blob_digest(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -177,9 +181,9 @@ def blob_digest(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         pa.string(),
                     ),
                 ],
-                names=["doc_id", "n_bytes", "digest"],
+                names=[id_col, "n_bytes", "digest"],
             )
 
     return blobs.select(F.col(id_col), "blob").mapInArrow(
-        digest, BLOB_DIGEST_SCHEMA
+        digest, _blob_digest_schema(id_col)
     )

@@ -33,6 +33,19 @@ EMBEDDING_DIM = 64
 NUM_PLANES = 16
 
 
+def _bc(value):
+    """sc.broadcast for codebook-sized state captured by pandas UDFs.
+
+    A codebook embedded directly in a UDF closure is serialized into
+    every task; at k ~ sqrt(n) cells on a real corpus that is megabytes
+    per task. A broadcast ships it once per executor and the closure
+    carries only the handle."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    return sess.sparkContext.broadcast(value)
+
+
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
@@ -251,11 +264,16 @@ def _cell_assigner(codebook: list[tuple[int, np.ndarray]], n_probe: int):
     """pandas UDF factory: vector -> its n_probe nearest cells (by dot
     with the broadcast codebook — O(cells) driver-side state, standard
     IVF practice; the corpus itself never leaves the executors)."""
-    cells = np.array([c for c, _ in codebook])
-    mat = np.vstack([v for _, v in codebook]).astype(np.float64)  # cells x dim
+    bc = _bc(
+        (
+            np.array([c for c, _ in codebook]),
+            np.vstack([v for _, v in codebook]).astype(np.float64),  # cells x dim
+        )
+    )
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(v: pd.Series) -> pd.Series:
+        cells, mat = bc.value
         vecs = np.vstack(v.to_numpy()).astype(np.float64)
         scores = vecs @ mat.T  # batch x cells
         order = np.argsort(-scores, axis=1)[:, :n_probe]
@@ -451,10 +469,11 @@ def _nearest_cell(codebook: list[tuple[int, np.ndarray]]):
     cnorm = np.zeros(mat.shape[0], dtype=np.float64)
     for d in range(mat.shape[1]):
         cnorm = cnorm + mat[:, d] * mat[:, d]
-    cnorm = np.sqrt(cnorm)
+    bc = _bc((cells, mat, np.sqrt(cnorm)))
 
     @F.pandas_udf(T.IntegerType())
     def nearest(v: pd.Series) -> pd.Series:
+        cells, mat, cnorm = bc.value
         vecs = np.vstack(v.to_numpy()).astype(np.float64)
         scores = np.zeros((vecs.shape[0], mat.shape[0]), dtype=np.float64)
         for d in range(vecs.shape[1]):
@@ -530,10 +549,11 @@ def _argmin_assigner(codebook: list[np.ndarray]):
     same sequential fold DuckDB's list_sum uses, so assignment decisions
     are bit-reproducible for the oracle). Ties resolve to the lowest
     cell (np.argmin first occurrence)."""
-    cents = [np.asarray(c, dtype=np.float64) for c in codebook]
+    bc = _bc([np.asarray(c, dtype=np.float64) for c in codebook])
 
     @F.pandas_udf(T.IntegerType())
     def assign(v: pd.Series) -> pd.Series:
+        cents = bc.value
         vecs = np.vstack(v.to_numpy()).astype(np.float64)
         dists = np.empty((vecs.shape[0], len(cents)), dtype=np.float64)
         for ci, c in enumerate(cents):
@@ -582,10 +602,22 @@ def kmeans_codebook(
     k = len(codebook)  # corpus smaller than k -> one cell per vector
     for _ in range(n_iter):
         assigned = e.withColumn("cell", _argmin_assigner(codebook)(F.col("v")))
+        # DECIMAL sum (exact, combine-order-independent) instead of
+        # F.avg over doubles: partial-aggregation merge order is
+        # nondeterministic, and a mean landing near a 0.00005 boundary
+        # could flip the 4-decimal rounding run-to-run (the q7/q15
+        # precedent, PLANS.md rule 5). |x| <= ~1 so decimal(27,14)
+        # holds ~1e13 rows per (cell, dim) without overflow.
         stats = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.round(F.avg("x"), 4).alias("cd"))
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(27,14)")).cast("double")
+                    / F.count("x"),
+                    4,
+                ).alias("cd")
+            )
             .collect()
         )
         upd: dict[int, np.ndarray] = {}

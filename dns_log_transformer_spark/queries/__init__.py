@@ -18,50 +18,57 @@ from dns_log_transformer_spark.queries import dns_pipeline  # noqa: E402,F401
 from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 
 # The external correctness harness checks the first 50 registered queries
-# in iteration order. Keep one exemplar per SURVEY §2 operator family plus
-# ALL LLM-pipeline ops inside that window; redundant TPC-H gallery
-# variants (same operator shapes, pytest-pinned regardless) go last.
+# in iteration order. Round-3 rotation: every query that has NEVER had a
+# green driver row (19 — round-2 additions plus previously deprioritized
+# ones) is in the window, together with the 21 queries last attested in
+# round 1; the 40 below all hold a green CORRECTNESS_r02 row (rows +
+# schema + hash) and remain pytest-pinned by test_oracle_parity, so a
+# regression there still fails CI even while the driver skips them.
+# Ten round-2-green family exemplars (q1, q3, dns_bind9_lines,
+# dns_quarantine_stats, q_window_native, dedup_exact, dedup_minhash_lsh,
+# sim_lsh_buckets, emb_kmeans, corpus_prepare_funnel) stay in-window for
+# continuity across rounds.
 _DEPRIORITIZED = [
-    "q_scalar_functions",  # scalar-fn gallery ~ exercised by every query; green r1
-    "q_above_customer_avg",  # window-vs-avg   ~ q_topk_parts_per_brand; green r1
-    "text_fingerprint",  # doc fingerprint    ~ text_winnow (strictly stronger algo)
-    "q_approx_distinct",  # HLL approx        ~ q_distinct_and_percentiles; green r1
-    "q4_order_priority",  # join+cond-agg     ~ q3 / q12 shapes; green r1
-    "q17_small_quantity",  # decorrelated scalar-avg subquery; repo-parity-attested
-    "q21_sole_returner",  # exists/not-exists semi+anti self-joins; repo-parity-attested
-    "sim_ann_lsh_topk",  # rows-only ANN      ~ sim_lsh_buckets + sim_topk_bruteforce attest the math; emb_semantic_dedup takes the slot with a full oracle
-    "q_cube_returnflag",  # cube              ~ q_rollup_order_status + q_grouping_sets
-    "q5_region_supplier_volume",  # star join+agg ~ q3 (broadcast dims asserted in pytest)
-    "q_sliding_native",  # sliding window     ~ q_window_native (tumbling) + q_session_native
-    "q_grouping_sets",  # grouping sets       ~ q_rollup_order_status (same Expand operator)
-    "q_ship_within_week",  # theta join       ~ q_pure_range_join
-    "q_customer_running_totals",  # running agg window ~ q_topk + q_above_customer_avg
-    "q6_revenue_delta",  # filter+agg          ~ q1 / q19
-    "q7_nation_volume",  # multi-way join+agg  ~ q5
-    "q10_returned_items",  # join+group+topN   ~ q3
-    "q12_priority_lines",  # join+cond-agg     ~ q3 / q4
-    "q14_promo_revenue",  # cond-agg ratio     ~ q19
-    "q15_top_supplier",  # agg+max-join        ~ q_topk_parts_per_brand
-    "q18_large_orders",  # having+join         ~ q10 family
-    "q19_disjunctive",  # disjunctive pushdown kept late: q14-adjacent
-    "q_customer_order_counts",  # left-join count ~ q_full_outer_yearly
-    "q_date_functions",  # date fns            ~ q_scalar_functions
-    "q_event_time_buckets",  # date_trunc agg  ~ q_window_native
-    "q_sessionize_events",  # gaps-and-islands ~ q_session_native + lag windows
-    "q13_order_distribution",  # outer-join ON-clause + double agg; pytest-attested
-    "q2_min_cost_supplier",  # correlated-min decorrelation; pytest-attested
-    "q16_supplier_count",  # NOT IN + count-distinct; pytest-attested
-    "q11_important_parts",  # HAVING vs global scalar; pytest-attested
-    "q20_heavy_shippers",  # nested semi-joins; pytest-attested
-    "q8_market_share",  # conditional-share ratio; pytest-attested
-    "q9_product_profit",  # multi-join profit rollup; pytest-attested
-    "q_customers_without_orders",  # anti join, 0 rows at sf0.01 ~ q22_idle_balances (23-row attest) takes the slot
-    "dedup_simhash_pairs",  # rows-only ~ text_simhash oracle attests the simhash math
-    "sim_ann_ivf_topk",  # rows-only ~ sim_lsh_buckets + sim_topk_bruteforce attest ANN
-    "q_json_props",  # get_json_object ~ q_variant_props (variant surface) takes the slot
-    "mm_resize",  # mapInPandas ~ mm_image_meta same surface; mm_blob_digest adds Arrow
-    "corpus_shuffle",  # hash-bucket ~ corpus_split same primitive; vocab_topk adds coverage
-    "q_bitmap_distinct",  # bitmap exact-distinct ~ q_distinct_and_percentiles family; pytest-attested
+    "q_full_outer_yearly",
+    "q_segment_set_ops",
+    "q_topk_parts_per_brand",
+    "q_rollup_order_status",
+    "q_distinct_and_percentiles",
+    "q_pivot_status_qty",
+    "q_pure_range_join",
+    "q_session_native",
+    "q_sql_surface",
+    "q_asof_last_click_before_purchase",
+    "q22_idle_balances",
+    "q_profile_columns",
+    "q_variant_props",
+    "dns_ms_lines",
+    "dns_reply_stats",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_sentences",
+    "text_winnow",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_keep_list",
+    "text_simhash",
+    "sim_topk_bruteforce",
+    "emb_neardup_pairs",
+    "emb_centroids",
+    "mm_image_meta",
+    "mm_frame_offsets",
+    "corpus_split",
+    "corpus_weighted_sample",
+    "corpus_pii_redact",
+    "corpus_pack_sequences",
+    "corpus_capped_per_source",
+    "corpus_chunk_windows",
+    "corpus_decontaminate",
+    "text_repetition",
+    "emb_semantic_dedup",
+    "mm_blob_digest",
+    "corpus_vocab_topk",
 ]
 
 

@@ -142,10 +142,13 @@ def _make_session_processor(idle_timeout_ms: int):
 def sessionized_user_totals(
     events: DataFrame, idle_timeout_ms: int = 60_000
 ) -> DataFrame:
-    """``transformWithStateInPandas`` variant of ``running_user_totals``
-    with timeout-based state eviction (the Spark-4 API the older
-    ``applyInPandasWithState`` predates: named state variables, explicit
-    timers, TTL support).
+    """EXPERIMENTAL — ``transformWithStateInPandas`` variant of
+    ``running_user_totals`` with timeout-based state eviction (the
+    Spark-4 API the older ``applyInPandasWithState`` predates: named
+    state variables, explicit timers, TTL support). Marked experimental
+    because this environment lacks ``protobuf``, so the op is shipped
+    but has never executed here; run it only where the dependency below
+    is satisfied.
 
     Requires the RocksDB state store provider — set
     ``spark.sql.streaming.stateStore.providerClass`` to

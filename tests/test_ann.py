@@ -142,3 +142,20 @@ def test_ivf_trained_codebook(spark):
     hits = sum(len(exact[q] & got[q]) for q in exact)
     recall = hits / sum(len(exact[q]) for q in exact)
     assert recall >= 0.5, f"trained IVF recall@5 = {recall:.2f}"
+
+
+def test_blob_digest_custom_id_col(spark):
+    """blob_digest must honor a non-default id column in both the output
+    schema and the Arrow batch names (regression: 'doc_id' was
+    hardcoded)."""
+    from dns_log_transformer_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"xy")], "item_id long, blob binary"
+    )
+    out = multimodal.blob_digest(df, id_col="item_id")
+    assert out.columns == ["item_id", "n_bytes", "digest"]
+    rows = {r["item_id"]: (r["n_bytes"], r["digest"]) for r in out.collect()}
+    import hashlib
+    assert rows[1] == (3, hashlib.md5(b"abc").hexdigest())
+    assert rows[2] == (2, hashlib.md5(b"xy").hexdigest())
