@@ -415,3 +415,219 @@ def decontaminate(
         .alias("contam_frac"),
         (F.col("n_hits") > 0).alias("is_contaminated"),
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style duplicate-span removal: cut every doc into consecutive
+    ``span_tokens``-token spans, keep only the corpus-wide FIRST
+    occurrence of each distinct span (lowest (id, span_idx)), and report
+    per-doc survival. C4 does this at line granularity ("we removed any
+    duplicate three-sentence span"); span = fixed token window here
+    because the unit is configurable, not newline-bound.
+
+    Scale shape: first-occurrence is groupBy(span_text).agg(min(struct))
+    — a map-side-combined aggregate, so a span duplicated a billion
+    times still ships ONE candidate per map partition (a window over
+    span_text would put that span's every instance in one task). The
+    join back is an equi-join on the same key Catalyst already
+    partitioned, then one (id) aggregation. No driver state.
+
+    Output: (id, n_spans, n_kept, kept_text) where kept_text is the
+    doc's surviving spans in order.
+    """
+    from dns_log_transformer_spark.operators.text import tokens
+
+    toked = df.select(
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    ).select(id_col, "_toks", F.size("_toks").alias("_n"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(span_tokens)
+    )
+    spans = (
+        toked.filter(F.col("_n") > 0)
+        .select(id_col, "_toks", F.posexplode(starts).alias("span_idx", "_start"))
+        .select(
+            id_col,
+            F.col("span_idx").cast("long").alias("span_idx"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start") + 1, span_tokens), " "
+            ).alias("span_text"),
+        )
+    )
+    first = spans.groupBy("span_text").agg(
+        F.min(F.struct(id_col, "span_idx")).alias("_first")
+    )
+    flagged = spans.join(first, "span_text").select(
+        id_col,
+        "span_idx",
+        "span_text",
+        (
+            (F.col("_first")[id_col] == F.col(id_col))
+            & (F.col("_first.span_idx") == F.col("span_idx"))
+        ).alias("_kept"),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("_kept").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"),
+                                F.struct("span_idx", "span_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+#: Feature-hash buckets for DSIR importance weights.
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: Column,
+    buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: int = 1,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hash each doc's
+    word bigrams into ``buckets`` features, build target vs raw unigram-
+    of-features histograms, and score each doc by how target-like its
+    features are. Docs scoring high are up-sampled when assembling a
+    domain-targeted training mix.
+
+    Integer formulation for engine-exactness: instead of summing
+    per-feature log-likelihood ratios (float fold-order would diverge
+    between engines), the score is the ratio of two EXACT integer sums —
+    sum over the doc's bigram instances of (target_count[f] + s) and of
+    (raw_count[f] + s) — divided once at the end (a single IEEE division
+    both engines round identically). Monotone in the same direction as
+    the log formulation for docs of equal length.
+
+    Scale shape: one bigram fan-out (compiled ml.NGram, not an
+    interpreted transform() lambda — PLANS.md rule 3 — behind
+    rebalance_for_fanout so an under-split scan doesn't serialize the
+    md5-per-gram stage), one histogram aggregation that
+    map-side-combines to ``buckets`` rows and broadcasts, one (id)
+    aggregation. The hashed gram table feeds both the histogram and the
+    scoring join, so it is persisted (rule 4). Driver holds nothing.
+
+    Output: (id, n_grams, target_mass, raw_mass, weight).
+    """
+    from pyspark.ml.feature import NGram
+
+    from dns_log_transformer_spark.operators.text import (
+        rebalance_for_fanout,
+        tokens,
+    )
+
+    toked = rebalance_for_fanout(
+        df.select(F.col(id_col), target_filter.alias("_is_target"), F.col(text_col))
+    ).select(id_col, "_is_target", tokens(F.col(text_col)).alias("_toks"))
+    grams = (
+        NGram(n=2, inputCol="_toks", outputCol="_grams")
+        .transform(toked)
+        .select(id_col, "_is_target", F.explode("_grams").alias("_gram"))
+        .select(
+            id_col,
+            "_is_target",
+            (
+                F.conv(F.substring(F.md5(F.col("_gram")), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % buckets
+            ).alias("_f"),
+        )
+        .persist()
+    )
+    hist = grams.groupBy("_f").agg(
+        F.sum(F.col("_is_target").cast("long")).alias("_t_cnt"),
+        F.count(F.lit(1)).alias("_r_cnt"),
+    )
+    scored = grams.join(F.broadcast(hist), "_f").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.col("_t_cnt") + smoothing).cast("long").alias("target_mass"),
+        F.sum(F.col("_r_cnt") + smoothing).cast("long").alias("raw_mass"),
+    )
+    return scored.select(
+        id_col,
+        "n_grams",
+        "target_mass",
+        "raw_mass",
+        F.round(F.col("target_mass") / F.col("raw_mass"), 4).alias("weight"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Temperature-balanced source sampling (the multilingual-LM mixing
+    recipe, alpha = 0.5): source s gets a quota proportional to
+    sqrt(n_s), so heavy sources are down-weighted and light sources
+    up-weighted relative to natural frequency, then each source
+    contributes its quota of hash-ranked docs.
+
+    Determinism for the oracle: sqrt is IEEE-correctly-rounded in both
+    engines, each sqrt is rounded to 6 decimals and summed as DECIMAL
+    (exact, order-independent), and the quota is
+    max(1, floor(total * srt_s / srt_sum)) evaluated in double — every
+    step identical in Spark, Python (driver), and DuckDB.
+
+    Scale shape: per-source counts map-side-combine to O(#sources) rows
+    (the only driver state); selection reuses the skew-immune
+    hash-threshold pre-filter from :func:`capped_sample_per_source`, so
+    no source's full data ever sorts in one task.
+
+    Output: input columns + sample_rank (1-based within source).
+    """
+    from decimal import Decimal
+    import math
+
+    counts = {
+        r["src"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.withColumn("sample_rank", F.lit(1).cast("long")).limit(0)
+    srt = {s: Decimal(str(round(math.sqrt(n), 6))) for s, n in counts.items()}
+    denom = float(sum(srt.values()))
+    quota = {
+        s: max(1, math.floor(total * float(v) / denom)) for s, v in srt.items()
+    }
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    keyed = df.withColumn("_cap_key", key)
+    survivors = _cap_survivors(keyed, max(quota.values()), source_col, "_cap_key")
+    quota_df = df.sparkSession.createDataFrame(
+        [(s, q) for s, q in sorted(quota.items())],
+        f"{source_col} string, _quota long",
+    )
+    w = Window.partitionBy(source_col).orderBy(F.col("_cap_key"), F.col(id_col))
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(quota_df), source_col)
+        .filter(F.col("sample_rank") <= F.col("_quota"))
+        .drop("_cap_key", "_quota")
+    )

@@ -24,11 +24,17 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # round 1; the 40 below all hold a green CORRECTNESS_r02 row (rows +
 # schema + hash) and remain pytest-pinned by test_oracle_parity, so a
 # regression there still fails CI even while the driver skips them.
-# Ten round-2-green family exemplars (q1, q3, dns_bind9_lines,
-# dns_quarantine_stats, q_window_native, dedup_exact, dedup_minhash_lsh,
-# sim_lsh_buckets, emb_kmeans, corpus_prepare_funnel) stay in-window for
-# continuity across rounds.
+# Seven round-2-green family exemplars (q1, q3, dns_bind9_lines,
+# dns_quarantine_stats, q_window_native, dedup_exact,
+# corpus_prepare_funnel) stay in-window for continuity across rounds;
+# three more (dedup_minhash_lsh, sim_lsh_buckets, emb_kmeans) ceded
+# their slots to the round-3 operators (corpus_span_dedup,
+# corpus_dsir_weights, corpus_temperature_sample) so the new ops get
+# driver rows this round.
 _DEPRIORITIZED = [
+    "dedup_minhash_lsh",
+    "sim_lsh_buckets",
+    "emb_kmeans",
     "q_full_outer_yearly",
     "q_segment_set_ops",
     "q_topk_parts_per_brand",

@@ -1295,3 +1295,123 @@ def corpus_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: span-level exact dedup (C4), DSIR importance
+# weights, temperature-balanced source sampling
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKENS = 8
+
+
+@register(
+    "corpus_span_dedup",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w, len({_SQL_TOKENS}) AS n
+      FROM documents),
+    spans AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1
+               AS BIGINT) AS span_idx,
+             array_to_string(w[s + 1 : s + {_SPAN_TOKENS}], ' ') AS span_text
+      FROM toked, UNNEST(range(0, greatest(n - 1, 0) + 1, {_SPAN_TOKENS}))
+        AS t(s)
+      WHERE n > 0),
+    flagged AS (
+      SELECT doc_id, span_idx, span_text,
+             ROW_NUMBER() OVER (PARTITION BY span_text
+                                ORDER BY doc_id, span_idx) = 1 AS kept
+      FROM spans)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(
+             list(CASE WHEN kept THEN span_text END ORDER BY span_idx)
+               FILTER (WHERE kept), ' '), '') AS kept_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def corpus_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style duplicate-span removal: corpus-wide first occurrence of
+    each 8-token span survives; per-doc span survival + surviving text.
+    Map-side-combined first-occurrence agg, no window over span keys."""
+    docs = table(spark, sf, "documents")
+    return corpus.span_dedup(docs, span_tokens=_SPAN_TOKENS)
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, lang = 'en' AS is_target, {_SQL_TOKENS} AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, is_target,
+             CAST('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8) AS BIGINT)
+               % {corpus.DSIR_BUCKETS} AS f
+      FROM toked, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2),
+    hist AS (
+      SELECT f,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt,
+             COUNT(*) AS r_cnt
+      FROM grams GROUP BY f)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(h.t_cnt + 1) AS BIGINT) AS target_mass,
+           CAST(SUM(h.r_cnt + 1) AS BIGINT) AS raw_mass,
+           ROUND(CAST(SUM(h.t_cnt + 1) AS DOUBLE)
+                 / CAST(SUM(h.r_cnt + 1) AS DOUBLE), 4) AS weight
+    FROM grams g JOIN hist h USING (f)
+    GROUP BY g.doc_id
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights with English docs as the target domain:
+    hashed-bigram histograms (target vs raw), per-doc target-likeness as
+    a ratio of exact integer masses. Histograms map-side-combine to 1024
+    rows and broadcast; the corpus never shuffles on the feature key."""
+    docs = table(spark, sf, "documents")
+    return corpus.dsir_weights(docs, target_filter=F.col("lang") == "en")
+
+
+_TEMP_TOTAL = 120
+
+
+@register(
+    "corpus_temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    srt AS (
+      SELECT source, n, CAST(ROUND(sqrt(n), 6) AS DECIMAL(20,6)) AS s
+      FROM counts),
+    quota AS (
+      SELECT source,
+             GREATEST(1, CAST(floor({_TEMP_TOTAL}
+               * CAST(s AS DOUBLE)
+               / CAST((SELECT SUM(s) FROM srt) AS DOUBLE)) AS BIGINT))
+               AS q
+      FROM srt),
+    ranked AS (
+      SELECT d.*,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('29:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS BIGINT) AS sample_rank
+      FROM documents d)
+    SELECT r.doc_id, r.text, r.lang, r.source, r.n_chars, r.sample_rank
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.sample_rank <= q.q
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-balanced (alpha=0.5) source mixing: each source's
+    quota is proportional to sqrt of its row count; quota-many docs per
+    source selected by seeded hash rank through the skew-immune
+    pre-filter (no full-source sorts)."""
+    docs = table(spark, sf, "documents")
+    return corpus.temperature_sample(docs, total=_TEMP_TOTAL)

@@ -278,3 +278,79 @@ def test_quality_filter_runs_under_streaming(spark, tmp_path):
         q.stop()
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM quality_stream_sink").collect()}
     assert got == expected
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """Hand-built corpus: doc 0 and doc 2 share a span; only doc 0's
+    instance survives. Within one doc, a repeated span keeps its first
+    index."""
+    rows = [
+        (0, "a b c d e f g h x y z"),        # span0 = 'a b c d e f g h'
+        (1, "p q r s t u v w"),              # unique
+        (2, "a b c d e f g h only tail"),    # span0 duplicates doc 0's
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.span_dedup(df, span_tokens=8).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_kept"] == 2
+    assert out[1]["n_kept"] == 1
+    # doc 2 loses its first span to doc 0, keeps its own tail span
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["kept_text"] == "only tail"
+
+
+def test_span_dedup_has_no_window(spark):
+    """First-occurrence must be the map-side-combinable min(struct) agg,
+    never a window over the span key (a hyper-duplicated span would land
+    one task)."""
+    from dns_log_transformer_spark.plans import physical_plan
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    assert "Window" not in physical_plan(corpus.span_dedup(docs), "simple")
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs made of target-domain bigrams must outscore docs of
+    raw-only bigrams."""
+    rows = [
+        (0, "the quick brown fox", True),
+        (1, "the quick brown fox", True),
+        (2, "the quick brown fox", False),   # target-like, not labeled
+        (3, "zz yy xx ww vv uu", False),     # pure raw
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r["weight"]
+        for r in corpus.dsir_weights(df, target_filter=F.col("tgt")).collect()
+    }
+    assert out[2] > out[3]
+    assert out[0] == out[1] == out[2]
+
+
+def test_dsir_histogram_is_broadcast(spark):
+    """The feature histogram must broadcast — the corpus never shuffles
+    on the feature key."""
+    from dns_log_transformer_spark.plans import physical_plan
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    plan = physical_plan(
+        corpus.dsir_weights(docs, target_filter=F.col("lang") == "en"), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_sample_quotas_follow_sqrt(spark):
+    """A source with 4x the rows gets ~2x the quota (alpha=0.5), and
+    every source contributes at least one doc."""
+    rows = [(i, f"doc {i}", "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus.temperature_sample(df, total=90, source_col="source")
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == {"big", "small"}
+    # sqrt(400)=20, sqrt(100)=10 -> quotas 60 and 30
+    assert got["big"] == 60 and got["small"] == 30
+    # deterministic under re-run
+    again = corpus.temperature_sample(df, total=90, source_col="source")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
