@@ -392,11 +392,15 @@ def simhash_pairs(
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    # hamming filter BEFORE the pair-dedup: byte-band collisions are
+    # mostly coincidental (256 keys/band), so filtering on the cheap
+    # xor+bit_count first means the dropDuplicates shuffle carries only
+    # true near-dup pairs, not every collision
     return (
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )

@@ -516,30 +516,49 @@ def semantic_dedup_pairs(
         (int(r["cell"]), np.array(r["centroid"], dtype=np.float64))
         for r in codebook_df.collect()
     ]
-    assigned = with_norm(emb, vec_col).select(
+    assigned = emb.select(
         F.col(id_col),
-        F.col(vec_col),
-        F.col("nrm"),
+        _as_double(F.col(vec_col)).alias("_v"),
         _nearest_cell(codebook)(F.col(vec_col)).alias("cell"),
     )
-    a = assigned.select(
-        "cell",
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        F.col("nrm").alias("_na"),
-    )
-    b = assigned.select(
-        "cell",
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col("nrm").alias("_nb"),
-    )
-    cos = dot_pd(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("cell", "id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+
+    # Within-cell pairs as ONE grouped gram matrix per cell instead of a
+    # cell self-join: the join shuffles every vector twice, re-derives
+    # the assignment UDF on both sides, and materializes m^2 pair rows
+    # carrying two 64-dim arrays each before computing cosine. Here each
+    # vector shuffles once and only qualifying (id_a, id_b, cos) rows
+    # materialize. fp parity with the oracle is preserved because the
+    # gram matrix accumulates dimension-by-dimension in array order
+    # (acc += outer(V[:,d], V[:,d]) — per pair the identical sequential
+    # fold as dot_pd/list_sum), norms come off its diagonal (same fold
+    # as dot(a,a)), and the denominator is one multiply per pair. The
+    # group-fits-in-a-worker bound is the same cell-size bound the pair
+    # join's (cell) shuffle partition already imposed — and the SemDeDup
+    # contract (cells ~sqrt(n)) is what bounds cells.
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        m = V.shape[0]
+        gram = np.zeros((m, m), dtype=np.float64)
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            gram = gram + np.outer(col, col)
+        nrm = np.sqrt(np.diag(gram))
+        cos = np.round(gram / np.outer(nrm, nrm), 4)
+        ia, ib = np.triu_indices(m, k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "cell": np.full(int(keep.sum()), pdf["cell"].iloc[0]),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": cos[ia, ib][keep],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_pairs, "cell int, id_a long, id_b long, cos_sim double"
     )
 
 
