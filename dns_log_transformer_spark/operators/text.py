@@ -357,3 +357,149 @@ def repetition_stats(
         "flag_repetitive",
         (F.col("top2_char_frac") > 0.15) | (F.col("dup5_char_frac") > 0.30),
     )
+
+
+#: Feature-hash buckets / weight range for the linear quality classifier.
+QC_BUCKETS = 512
+QC_WEIGHT_SPAN = 17  # weights uniform in [-8, 8]
+
+
+def quality_classifier(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed unigram
+    features — the model-based corpus filter (GPT-3/LLaMA style: score
+    every doc against a trained linear model, keep high scorers). The
+    weight vector here is a deterministic md5-derived stand-in (integer
+    weights in [-8, 8] per bucket) so both engines share it exactly; a
+    real deployment swaps in trained weights via the same join-free
+    expression (weight = lookup(hash(token))).
+
+    Exact-integer margins: the per-doc score sums integer weights (no
+    float fold-order concerns), divided once for the per-token mean.
+
+    Shape at scale: token fan-out (narrow, rebalanced) -> one (id)
+    aggregation; weights are computed inline from md5, so there is no
+    weight table to join or broadcast at all.
+
+    Output: (id, n_tokens, margin, score, keep).
+    """
+    toks = rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    f = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+        % QC_BUCKETS
+    )
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), f.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % QC_WEIGHT_SPAN
+        - (QC_WEIGHT_SPAN // 2)
+    )
+    per_doc = toks.select(F.col(id_col), w.alias("_w")).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_w").cast("long").alias("margin"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "margin",
+        F.round(F.col("margin") / F.col("n_tokens"), 4).alias("score"),
+        (F.col("margin") > 0).alias("keep"),
+    )
+
+
+#: BM25 constants (standard Robertson/Sparck-Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance top-k for a fixed term query — the lexical
+    retrieval path (quality mining / seed-document search) complementing
+    the embedding ANN path.
+
+    Determinism: per-term tf and df are exact integer aggregations; the
+    per-doc score is an EXPLICIT ordered sum over the query terms (a
+    fixed expression tree, never an aggregation fold), so the only fp
+    ops are a handful of identically-ordered multiply/divide/ln both
+    engines evaluate the same way.
+
+    Shape at scale: one token fan-out filtered to the query terms (the
+    filter prunes before the shuffle: only matching tokens move), a
+    per-(id) conditional-sum aggregation, corpus constants (N, total
+    tokens, df per term) as one broadcast row. Top-k is
+    TakeOrderedAndProject (per-partition heaps), not a full sort.
+
+    Output: (id, score, plus per-term tfs) for the k best docs,
+    (score desc, id asc)-ordered.
+    """
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be non-empty and distinct")
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), "_toks", F.size("_toks").alias("_len"))
+    toked = toked.persist()  # doc-length row + term-hit explode both read it
+
+    lens = toked.select(id_col, "_len")
+    hits = (
+        toked.select(F.col(id_col), F.explode("_toks").alias("_tok"))
+        .filter(F.col("_tok").isin(*terms))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum((F.col("_tok") == t).cast("long")).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    hits = hits.persist()  # read by the df aggregate AND the scoring join
+    consts = toked.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_docs"),
+        F.sum("_len").cast("long").alias("_tot_len"),
+    )
+    dfs = hits.agg(
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ]
+    )
+    scored = (
+        lens.join(hits, id_col)
+        .crossJoin(F.broadcast(consts))
+        .crossJoin(F.broadcast(dfs))
+    )
+    avgdl = F.col("_tot_len") / F.col("_n_docs")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("_n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        term_score = idf * (
+            tf
+            * (BM25_K1 + 1)
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("_len") / avgdl))
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        scored.select(
+            id_col,
+            F.round(score, 4).alias("score"),
+            *[F.col(f"tf_{i}").alias(f"tf_{i}") for i in range(len(terms))],
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -24,17 +24,20 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # round 1; the 40 below all hold a green CORRECTNESS_r02 row (rows +
 # schema + hash) and remain pytest-pinned by test_oracle_parity, so a
 # regression there still fails CI even while the driver skips them.
-# Seven round-2-green family exemplars (q1, q3, dns_bind9_lines,
-# dns_quarantine_stats, q_window_native, dedup_exact,
-# corpus_prepare_funnel) stay in-window for continuity across rounds;
-# three more (dedup_minhash_lsh, sim_lsh_buckets, emb_kmeans) ceded
+# Five round-2-green family exemplars (q1, q3, dns_bind9_lines,
+# dns_quarantine_stats, corpus_prepare_funnel) stay in-window for
+# continuity across rounds; five more (dedup_minhash_lsh,
+# sim_lsh_buckets, emb_kmeans, dedup_exact, q_window_native) ceded
 # their slots to the round-3 operators (corpus_span_dedup,
-# corpus_dsir_weights, corpus_temperature_sample) so the new ops get
-# driver rows this round.
+# corpus_dsir_weights, corpus_temperature_sample,
+# text_quality_classifier, text_bm25_topk) so the new ops get driver
+# rows this round.
 _DEPRIORITIZED = [
     "dedup_minhash_lsh",
     "sim_lsh_buckets",
     "emb_kmeans",
+    "dedup_exact",
+    "q_window_native",
     "q_full_outer_yearly",
     "q_segment_set_ops",
     "q_topk_parts_per_brand",

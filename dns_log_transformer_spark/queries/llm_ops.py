@@ -1415,3 +1415,88 @@ def corpus_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     pre-filter (no full-source sorts)."""
     docs = table(spark, sf, "documents")
     return corpus.temperature_sample(docs, total=_TEMP_TOTAL)
+
+
+_QC_B = text.QC_BUCKETS
+_QC_S = text.QC_WEIGHT_SPAN
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_QC_B} AS f
+      FROM toked),
+    weighted AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 8)
+               AS BIGINT) % {_QC_S} - {_QC_S // 2} AS w
+      FROM feat)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS margin,
+           ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 4) AS score,
+           SUM(w) > 0 AS keep
+    FROM weighted
+    GROUP BY doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear (fastText-style) quality scoring with a deterministic
+    hashed weight vector: exact integer margins, join-free weights, one
+    fan-out + one (id) aggregation."""
+    docs = table(spark, sf, "documents")
+    return text.quality_classifier(docs)
+
+
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w, len({_SQL_TOKENS}) AS _len
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+             {', '.join(
+                 f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+                 f" AS tf_{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM (SELECT doc_id, unnest(w) AS tok FROM toked)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(_len) AS BIGINT) AS tot_len
+      FROM toked),
+    dfs AS (
+      SELECT {', '.join(
+          f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+          f" AS df_{i}" for i in range(len(_BM25_TERMS)))}
+      FROM hits)
+    SELECT t.doc_id,
+           ROUND(
+             {' + '.join(
+                 f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+                 f" * (CAST(tf_{i} AS DOUBLE) * (1.2 + 1)"
+                 f" / (CAST(tf_{i} AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75"
+                 f" * t._len / (CAST(tot_len AS DOUBLE) / n_docs))))"
+                 for i in range(len(_BM25_TERMS)))},
+             4) AS score,
+           {', '.join(f"h.tf_{i}" for i in range(len(_BM25_TERMS)))}
+    FROM toked t
+    JOIN hits h USING (doc_id), consts, dfs
+    ORDER BY score DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query: exact-integer tf/df, one
+    broadcast constants row, explicit ordered score expression (no float
+    aggregation fold), TakeOrderedAndProject top-k."""
+    docs = table(spark, sf, "documents")
+    return text.bm25_topk(docs, terms=_BM25_TERMS, k=20)

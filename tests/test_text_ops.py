@@ -70,3 +70,40 @@ def test_sentences_fast_matches_udtf(spark):
     a = {tuple(r) for r in sentences(docs).collect()}
     b = {tuple(r) for r in sentences_fast(docs).collect()}
     assert a == b and (5, 0, "no terminal period") in a
+
+
+def test_quality_classifier_margins_are_exact(spark):
+    """Margins must be exact integer sums of per-token weights; same doc
+    -> same margin; score = margin / n_tokens."""
+    from dns_log_transformer_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "alpha")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in t.quality_classifier(df).collect()}
+    assert out[0]["margin"] == out[1]["margin"]
+    assert out[0]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+    assert out[0]["score"] == round(out[0]["margin"] / 3, 4)
+    # the weight model is a pure function of the tokens: rerun matches
+    again = {r["doc_id"]: r["margin"] for r in t.quality_classifier(df).collect()}
+    assert again == {d: r["margin"] for d, r in out.items()}
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """A doc saturated with the query terms must outrank one with a
+    single hit; docs with no hits are absent."""
+    from dns_log_transformer_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark join window spark join window spark"),
+            (1, "spark filler filler filler filler filler"),
+            (2, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = t.bm25_topk(df, terms=("spark", "join", "window"), k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 0 and 1 in ids and 2 not in ids
+    assert rows[0]["score"] > rows[1]["score"] > 0
