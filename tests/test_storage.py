@@ -148,3 +148,54 @@ def test_write_training_shards(spark, tmp_path):
     a = {(r["doc_id"], r["shard"]) for r in back.collect()}
     b = {(r["doc_id"], r["shard"]) for r in again.collect()}
     assert a == b
+
+
+def test_zorder_compaction_clusters_all_columns(spark, tmp_path):
+    """Z-order vs lexicographic: after zorder compaction EVERY clustered
+    column has per-file value locality (small min/max spans -> row-group
+    pruning on any filtered column); a lexicographic sort only localizes
+    the leading column."""
+    import itertools
+
+    from dns_log_transformer_spark.storage import bucketing
+
+    src = str(tmp_path / "src")
+    # two independent uniform columns
+    rows = [(i, (i * 7919) % 10000, (i * 104729) % 10000) for i in range(20000)]
+    spark.createDataFrame(rows, "id long, x long, y long").repartition(4).write.parquet(src)
+
+    def file_spans(path, col):
+        import glob
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            t = pq.read_table(f, columns=[col])
+            vals = t.column(col).to_pylist()
+            spans.append(max(vals) - min(vals))
+        return spans
+
+    zdst = str(tmp_path / "zorder")
+    stats = bucketing.compact_files_zorder(
+        spark, src, zdst, ["x", "y"], target_file_bytes=10_000, bits=8
+    )
+    assert stats["files_after"] >= 16
+
+    lexdst = str(tmp_path / "lex")
+    bucketing.compact_files(
+        spark, src, lexdst, target_file_bytes=10_000, sort_cols=["x", "y"]
+    )
+
+    gspan = 10000
+    z_x = sum(file_spans(zdst, "x")) / stats["files_after"]
+    z_y = sum(file_spans(zdst, "y")) / stats["files_after"]
+    lex_y = file_spans(lexdst, "y")
+    lex_y_avg = sum(lex_y) / len(lex_y)
+    # zorder: BOTH dims localized well below the global span (a Morton
+    # range covers ~sqrt of each dim; quadrant-boundary files inflate the
+    # average, hence 0.6 not sqrt(1/F))
+    assert z_x < 0.6 * gspan and z_y < 0.6 * gspan, (z_x, z_y)
+    # lexicographic: the trailing column stays ~global per file — the
+    # pruning gap zorder exists to close
+    assert lex_y_avg > 0.9 * gspan
+    assert z_y < 0.7 * lex_y_avg
