@@ -503,3 +503,55 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+#: Dimensions of the hashed bag-of-words embedding.
+HASH_EMBED_DIM = 64
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = HASH_EMBED_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed bag-of-words embedding (the "hashing trick",
+    Weinberger et al. 2009): every token hashes to a dimension and a
+    sign; the doc vector is the signed count per dimension. The
+    model-free way to get a similarity-searchable vector from raw text —
+    feeds the ANN/SemDeDup/k-means family without a trained encoder
+    (swap in a real encoder at the same (id, embedding) interface).
+
+    Exact-integer construction: dimension = md5 bucket, sign = one md5
+    bit, per-dim values are integer sums — no floats until the caller
+    normalizes, so the DuckDB oracle matches bit-for-bit.
+
+    Shape at scale: token fan-out -> ONE (id) aggregation of ``dim``
+    codegen'd conditional sums assembled straight into the array — a
+    fixed-width (dim longs) map-side-combined shuffle payload per doc,
+    no second gather stage, no interpreted map/transform lambdas
+    (PLANS.md rule 3), no UDF, no driver state.
+
+    Output: (id, embedding array<long> of length ``dim``).
+    """
+    toks = rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+    cells = toks.select(
+        F.col(id_col),
+        (h % dim).cast("int").alias("_d"),
+        # the hash is 32 bits; bit 20 decides the sign (independent
+        # of the low bits that pick the dimension)
+        (F.shiftright(h, 20).bitwiseAND(F.lit(1)) * 2 - 1).alias("_s"),
+    )
+    return cells.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("_d") == i, F.col("_s"))), F.lit(0)
+                ).cast("long")
+                for i in range(dim)
+            ]
+        ).alias("embedding")
+    )

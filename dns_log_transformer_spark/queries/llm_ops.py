@@ -1500,3 +1500,37 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     aggregation fold), TakeOrderedAndProject top-k."""
     docs = table(spark, sf, "documents")
     return text.bm25_topk(docs, terms=_BM25_TERMS, k=20)
+
+
+_HE_DIM = text.HASH_EMBED_DIM
+
+
+@register(
+    "text_hashed_embedding",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+      FROM toked),
+    cells AS (
+      SELECT doc_id, CAST(h % {_HE_DIM} AS INT) AS d,
+             CAST(SUM(((h // 1048576) % 2) * 2 - 1) AS BIGINT) AS v
+      FROM hashed GROUP BY 1, 2),
+    gathered AS (
+      SELECT doc_id, list(d ORDER BY d) AS ds, list(v ORDER BY d) AS vs
+      FROM cells GROUP BY doc_id)
+    SELECT doc_id,
+           list_transform(range({_HE_DIM}),
+                          i -> COALESCE(vs[list_position(ds, CAST(i AS INT))], 0))
+             AS embedding
+    FROM gathered
+    """,
+)
+def text_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashed bag-of-words doc embeddings (signed 64-dim integer
+    vectors) — text-to-vector without a model, feeding the ANN family at
+    the same (id, embedding) interface."""
+    docs = table(spark, sf, "documents")
+    return text.hashed_embedding(docs)

@@ -107,3 +107,28 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     ids = [r["doc_id"] for r in rows]
     assert ids[0] == 0 and 1 in ids and 2 not in ids
     assert rows[0]["score"] > rows[1]["score"] > 0
+
+
+def test_hashed_embedding_feeds_ann(spark):
+    """The hashed embedding output plugs into the ANN family at the
+    (id, embedding) interface: docs sharing tokens land near each other,
+    and the LSH top-k runs end-to-end on text-derived vectors."""
+    from dns_log_transformer_spark.operators import similarity
+    from dns_log_transformer_spark.operators import text as t
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark window join agg filter scan"),
+            (1, "spark window join agg filter scan"),      # exact twin of 0
+            (2, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = t.hashed_embedding(df).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    out = similarity.brute_force_topk(emb, emb.filter("vec_id = 0"), k=2)
+    ranked = [r["vec_id"] for r in out.orderBy("rnk").collect()]
+    assert ranked[0] == 1  # the twin is the nearest neighbor
