@@ -163,9 +163,9 @@ def write_training_shards(
 def zorder_key(cols: list["Column"], bits: int = 16) -> "Column":
     """Z-order (Morton) interleave of ``cols`` as one sortable long.
 
-    Each column is rank-normalized to ``bits`` bits by the caller (see
-    :func:`compact_files_zorder`, which uses percent_rank so arbitrary
-    distributions map uniformly), then the bits interleave:
+    Each column is grid-normalized to ``bits`` bits by the caller (see
+    :func:`compact_files_zorder`'s min/max width_bucket grid), then the
+    bits interleave:
     key = sum over b of (col_i bit b) << (b * n_cols + i). Sorting on
     the interleaved key clusters rows so EVERY indexed column has
     locality within a file — parquet min/max row-group stats then prune
@@ -254,3 +254,59 @@ def compact_files_zorder(
         "files_after": n_after,
         "bytes_after": total_after,
     }
+
+
+def write_dedup_index(
+    df: DataFrame,
+    table: str,
+    path: str | None = None,
+    num_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the corpus's exact-dedup index: (content_md5 of
+    normalized text, id), bucketed on the hash. The historical side of
+    incremental ingestion — written once, grown by appends, and NEVER
+    re-shuffled at delta-dedup time (see :func:`dedup_delta`)."""
+    from dns_log_transformer_spark.operators.text import normalized
+
+    idx = df.select(
+        F.md5(F.encode(normalized(F.col(text_col)), "UTF-8")).alias("content_md5"),
+        F.col(id_col).alias("first_id"),
+    )
+    write_bucketed(idx, table, ["content_md5"], num_buckets, path)
+
+
+def dedup_delta(
+    spark: SparkSession,
+    delta: DataFrame,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: drop delta docs whose content already
+    exists in the historical index — the daily-ingest pattern at corpus
+    scale, where history is orders of magnitude larger than the delta.
+
+    Scale shape: within-delta duplicates collapse FIRST (one
+    map-side-combined min_by aggregation keeps the lowest-id full row
+    per hash), then ONE left-anti join against the index, whose buckets
+    are read IN PLACE — the plan's only Exchanges hash the (small)
+    delta: once for the collapse, once into the index's bucket layout.
+    100 TB of history is never shuffled per delta.
+    """
+    from dns_log_transformer_spark.operators.text import normalized
+
+    cols = delta.columns
+    hashed = delta.withColumn(
+        "content_md5",
+        F.md5(F.encode(normalized(F.col(text_col)), "UTF-8")),
+    )
+    first = (
+        hashed.groupBy("content_md5")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_r"))
+        .select("content_md5", "_r.*")
+    )
+    return first.join(
+        spark.table(index_table), "content_md5", "left_anti"
+    ).drop("content_md5")

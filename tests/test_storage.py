@@ -199,3 +199,45 @@ def test_zorder_compaction_clusters_all_columns(spark, tmp_path):
     # pruning gap zorder exists to close
     assert lex_y_avg > 0.9 * gspan
     assert z_y < 0.7 * lex_y_avg
+
+
+def test_incremental_dedup_against_bucketed_index(spark, tmp_path, no_broadcast):
+    """Daily-ingest dedup: history's content index is bucketed on the
+    hash, so the delta anti-join reads history IN PLACE — the plan's
+    only hash Exchange is the delta side; 100 TB of history never
+    re-shuffles per delta. Resubmitted content is dropped, within-delta
+    dups collapse to the lowest id."""
+    from dns_log_transformer_spark.storage import bucketing
+
+    history = spark.createDataFrame(
+        [(i, f"historic doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (100, "historic doc number 7"),        # resubmit -> dropped
+            (101, "a genuinely new document"),
+            (102, "A  genuinely   new document"),  # within-delta dup of 101
+            (103, "another new one"),
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        bucketing.write_dedup_index(
+            history, "dedup_idx", str(tmp_path / "idx"), num_buckets=8
+        )
+        out = bucketing.dedup_delta(spark, delta, "dedup_idx")
+        assert sorted(r["doc_id"] for r in out.collect()) == [101, 103]
+
+        from dns_log_transformer_spark.plans import physical_plan
+
+        plan = physical_plan(bucketing.dedup_delta(spark, delta, "dedup_idx"), "simple")
+        # the index scan must carry its bucket layout (no Exchange above it)
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # both hash Exchanges are on the delta's tiny rows (within-delta
+        # collapse + re-hash into the index's bucket layout); the index
+        # relation itself is never under an Exchange (its scan carries
+        # the SelectedBucketsCount marker asserted above)
+        assert plan.count("Exchange hashpartitioning") <= 2
+    finally:
+        bucketing.drop_table(spark, "dedup_idx")
