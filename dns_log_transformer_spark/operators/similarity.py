@@ -263,11 +263,19 @@ def centroid_vectors(
 def _cell_assigner(codebook: list[tuple[int, np.ndarray]], n_probe: int):
     """pandas UDF factory: vector -> its n_probe nearest cells (by dot
     with the broadcast codebook — O(cells) driver-side state, standard
-    IVF practice; the corpus itself never leaves the executors)."""
+    IVF practice; the corpus itself never leaves the executors).
+
+    Scores accumulate dimension-by-dimension in array order (the same
+    sequential fold as dot_pd / DuckDB list_sum — a BLAS matmul's
+    blocked fp order would differ in the last ulp and could flip probe
+    choices near ties against the oracle); ties order by lowest cell id
+    (stable argsort == ORDER BY score DESC, cell ASC)."""
+    cells = np.array([c for c, _ in codebook])
+    order0 = np.argsort(cells)
     bc = _bc(
         (
-            np.array([c for c, _ in codebook]),
-            np.vstack([v for _, v in codebook]).astype(np.float64),  # cells x dim
+            cells[order0],
+            np.vstack([v for _, v in codebook]).astype(np.float64)[order0],
         )
     )
 
@@ -275,8 +283,10 @@ def _cell_assigner(codebook: list[tuple[int, np.ndarray]], n_probe: int):
     def probe_cells(v: pd.Series) -> pd.Series:
         cells, mat = bc.value
         vecs = np.vstack(v.to_numpy()).astype(np.float64)
-        scores = vecs @ mat.T  # batch x cells
-        order = np.argsort(-scores, axis=1)[:, :n_probe]
+        scores = np.zeros((vecs.shape[0], mat.shape[0]), dtype=np.float64)
+        for d in range(vecs.shape[1]):
+            scores = scores + np.outer(vecs[:, d], mat[:, d])
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([cells[row].astype("int32").tolist() for row in order])
 
     return probe_cells
@@ -308,9 +318,17 @@ def ann_topk_ivf(
             enumerate(kmeans_codebook(emb, n_cells, train_iters, id_col, vec_col))
         )
     else:
+        # 4-decimal HALF_UP rounding via F.round (the semantic_dedup
+        # recipe — np.round is banker's and would diverge from DuckDB's
+        # ROUND) so the oracle rebuilds bit-identical centroids
         codebook = [
-            (r["cell"], np.array(r["centroid"]))
-            for r in centroid_vectors(emb, n_cells, id_col, vec_col).collect()
+            (int(r["cell"]), np.array(r["centroid"], dtype=np.float64))
+            for r in centroid_vectors(emb, n_cells, id_col, vec_col)
+            .select(
+                "cell",
+                F.transform("centroid", lambda x: F.round(x, 4)).alias("centroid"),
+            )
+            .collect()
         ]
     assign1 = _cell_assigner(codebook, 1)
     assignp = _cell_assigner(codebook, n_probe)

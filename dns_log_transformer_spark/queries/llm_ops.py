@@ -434,12 +434,28 @@ def text_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(docs)
 
 
-@register("dedup_simhash_pairs", oracle=None)
+@register(
+    "dedup_simhash_pairs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
+      FROM documents),
+    v AS (
+      SELECT doc_id,
+{_SH_VOTES}
+      FROM toks GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SH_PACK} AS simhash FROM v)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3) via byte-band join — the
-    pigeonhole guarantee makes banding exact for <= 3 bit flips.
-    Rows-only check: the banded join is the point; simhash values
-    themselves are oracle-verified by text_simhash."""
+    """SimHash near-dup pairs (Hamming <= 3) via byte-band join. The
+    pigeonhole guarantee makes banding EXACT for <= 3 bit flips, so the
+    oracle can enumerate all pairs directly from the (text_simhash-
+    attested) fingerprints — the band join must find the same set."""
     docs = table(spark, sf, "documents")
     return dedup.simhash_pairs(docs, max_hamming=3)
 
@@ -449,6 +465,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+_SEMDEDUP_CELLS = 10
+
+# codebook CTE: per-cell per-dim rounded mean (same recipe emb_centroids
+# attests), re-assembled into an ordered array per cell
+_SEMDEDUP_CB = f"""
+    cb AS (
+      SELECT cell, list(c ORDER BY dim) AS cv FROM (
+        SELECT CAST(vec_id % {_SEMDEDUP_CELLS} AS INT) AS cell,
+               CAST(u.p[1] AS INT) AS dim,
+               ROUND(AVG(u.p[2]), 4) AS c
+        FROM (
+          SELECT vec_id,
+                 unnest(list_zip(range(len(embedding)),
+                        list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                   AS p
+          FROM embeddings) u
+        GROUP BY 1, 2)
+      GROUP BY cell)
+"""
+
 
 
 @register(
@@ -507,24 +544,87 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.with_lsh_bucket(emb).select("vec_id", "lsh_key")
 
 
-@register("sim_ann_lsh_topk", oracle=None)
+@register(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    keyed AS (
+      SELECT vec_id, v, CAST({_LSH_KEY_SQL} AS INT) AS lsh_key FROM e),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, lsh_key
+      FROM keyed WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, k.vec_id,
+             ROUND({_SQL_DOT.format(a='k.v', b='q.qv')}
+               / (sqrt({_SQL_DOT.format(a='k.v', b='k.v')})
+                  * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) AS cos_sim
+      FROM keyed k JOIN q USING (lsh_key)
+      WHERE k.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
 def sim_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate top-5 via LSH bucket equi-join (the 100 TB path —
-    no cross join). Rows-only check; bucket keys and the exact ranking
-    math are each oracle-verified separately (sim_lsh_buckets,
-    sim_topk_bruteforce)."""
+    """Approximate top-5 via LSH bucket equi-join (the 100 TB path — no
+    cross join). The oracle rebuilds the bucket keys from literal planes
+    (the sim_lsh_buckets recipe) and ranks within buckets exactly."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.ann_topk_lsh(emb, queries, k=5)
 
 
-@register("sim_ann_ivf_topk", oracle=None)
+@register(
+    "sim_ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    {{_IVF_CB}},
+    corpus_cell AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, cb.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_DOT.format(a='e.v', b='cb.cv')} DESC,
+                          cb.cell) AS rn
+        FROM e, cb)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, cb.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_DOT.format(a='e.v', b='cb.cv')} DESC,
+                          cb.cell) AS rn
+        FROM e, cb
+        WHERE e.vec_id % 50 = 0)
+      WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             ROUND({_SQL_DOT.format(a='c.v', b='p.qv')}
+               / (sqrt({_SQL_DOT.format(a='c.v', b='c.v')})
+                  * sqrt({_SQL_DOT.format(a='p.qv', b='p.qv')})), 4) AS cos_sim
+      FROM corpus_cell c JOIN probes p USING (cell)
+      WHERE c.vec_id <> p.query_id)
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """.replace("{_IVF_CB}", _SEMDEDUP_CB),
+)
 def sim_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate top-5 (1 averaging step over deterministic seed
-    cells; queries probe their 2 nearest cells; exact cosine within).
-    Rows-only check, like the LSH variant; the centroid math and the
-    exact ranking math are each oracle-verified (emb_centroids,
-    sim_topk_bruteforce)."""
+    cells, centroids rounded to 4 decimals; queries probe their 2
+    nearest cells by the same dim-ordered dot fold the oracle uses;
+    exact cosine + top-k within the probed cells)."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.ann_topk_ivf(emb, queries, k=5, n_cells=10, n_probe=2)
@@ -1121,27 +1221,6 @@ def corpus_prepare_funnel(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return funnel.unionAll(per_split)
-
-
-_SEMDEDUP_CELLS = 10
-
-# codebook CTE: per-cell per-dim rounded mean (same recipe emb_centroids
-# attests), re-assembled into an ordered array per cell
-_SEMDEDUP_CB = f"""
-    cb AS (
-      SELECT cell, list(c ORDER BY dim) AS cv FROM (
-        SELECT CAST(vec_id % {_SEMDEDUP_CELLS} AS INT) AS cell,
-               CAST(u.p[1] AS INT) AS dim,
-               ROUND(AVG(u.p[2]), 4) AS c
-        FROM (
-          SELECT vec_id,
-                 unnest(list_zip(range(len(embedding)),
-                        list_transform(embedding, x -> CAST(x AS DOUBLE))))
-                   AS p
-          FROM embeddings) u
-        GROUP BY 1, 2)
-      GROUP BY cell)
-"""
 
 
 @register(

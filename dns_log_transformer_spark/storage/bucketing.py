@@ -294,6 +294,12 @@ def dedup_delta(
     are read IN PLACE — the plan's only Exchanges hash the (small)
     delta: once for the collapse, once into the index's bucket layout.
     100 TB of history is never shuffled per delta.
+
+    Sizing rule: Spark declines the one-sided bucketed scan when
+    spark.sql.shuffle.partitions exceeds the bucket count (it refuses to
+    cap join parallelism at the buckets) — set shuffle partitions <=
+    num_buckets for this join, and pick num_buckets ~ cluster cores at
+    deploy time.
     """
     from dns_log_transformer_spark.operators.text import normalized
 

@@ -126,6 +126,15 @@ def test_bench_harness_smoke(spark):
     env = {"SPARK_GRAFT_SF_DIR": SF_SMOKE, "SPARK_GRAFT_BENCH_FILTER": "q1_pricing,dedup_exact"}
     saved = {k: os.environ.get(k) for k in env}
     os.environ.update(env)
+    # bench's get_spark() applies its runtime confs (notably
+    # shuffle.partitions=32) to THIS shared session via getOrCreate —
+    # snapshot and restore so later tests (e.g. bucketed-scan plans,
+    # which Spark skips when shuffle partitions exceed the bucket count)
+    # still see the conftest session they were built for
+    saved_confs = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.session.timeZone")
+    }
     try:
         buf = io.StringIO()
         with redirect_stdout(buf):
@@ -133,6 +142,8 @@ def test_bench_harness_smoke(spark):
     finally:
         for k, v in saved.items():
             os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+        for k, v in saved_confs.items():
+            spark.conf.set(k, v)
     lines = buf.getvalue().strip().splitlines()
     summary = json.loads(lines[-1])
     assert set(summary) == {"metric", "value", "unit", "sf", "n_queries"}

@@ -209,6 +209,13 @@ def test_incremental_dedup_against_bucketed_index(spark, tmp_path, no_broadcast)
     dups collapse to the lowest id."""
     from dns_log_transformer_spark.storage import bucketing
 
+    # Spark declines a one-sided bucketed scan when shuffle partitions
+    # exceed the bucket count (it won't cap join parallelism at the
+    # buckets); pin partitions = buckets, the sizing rule a real
+    # deployment follows for index-side bucket joins
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
     history = spark.createDataFrame(
         [(i, f"historic doc number {i}") for i in range(50)],
         "doc_id long, text string",
@@ -241,3 +248,4 @@ def test_incremental_dedup_against_bucketed_index(spark, tmp_path, no_broadcast)
         assert plan.count("Exchange hashpartitioning") <= 2
     finally:
         bucketing.drop_table(spark, "dedup_idx")
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
