@@ -30,9 +30,12 @@ BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    """Whitespace tokens of trimmed text (empty OR NULL text -> empty
+    array — NULL must not propagate: ml.NGram throws on null input
+    arrays, and every token consumer wants "no tokens" semantics)."""
     t = F.trim(text)
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+    empty = F.array().cast("array<string>")
+    return F.when(t.isNull() | (F.length(t) == 0), empty).otherwise(
         F.split(t, r"\s+")
     )
 

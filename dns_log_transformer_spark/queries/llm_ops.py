@@ -31,7 +31,8 @@ from dns_log_transformer_spark.queries.registry import register, table
 # string_split_regex('') yields [''] (len 1) where Spark's tokens() guard
 # yields [] — mirror the guard here
 _SQL_TOKENS = (
-    r"(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    r"(CASE WHEN trim(text) IS NULL OR trim(text) = '' "
+    r"THEN CAST([] AS VARCHAR[]) "
     r"ELSE string_split_regex(trim(text), '\s+') END)"
 )
 _SQL_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"

@@ -49,3 +49,43 @@ def test_decontaminate_empty_benchmark(spark):
     out = corpus.decontaminate(docs, empty)
     assert out.count() == docs.count()
     assert out.filter(F.col("is_contaminated")).count() == 0
+
+
+def test_round3_ops_on_degenerate_docs(spark):
+    """Round-3 operators must not throw on empty/whitespace/one-token
+    docs, and their outputs must stay consistent (ANSI mode: no silent
+    element_at/division surprises)."""
+    from dns_log_transformer_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "two tokens"), (4, None)],
+        "doc_id long, text string",
+    )
+    # span_dedup: only docs with >= 1 token produce spans
+    spans = {r["doc_id"]: r for r in corpus.span_dedup(df, span_tokens=4).collect()}
+    assert set(spans) == {2, 3}
+    assert spans[2]["n_spans"] == 1 and spans[2]["kept_text"] == "one"
+    # dsir: needs >= 2 tokens for a bigram
+    w = corpus.dsir_weights(df, target_filter=F.lit(True)).collect()
+    assert {r["doc_id"] for r in w} == {3}
+    # quality classifier: empty/null docs have no tokens -> absent
+    qc = {r["doc_id"] for r in t.quality_classifier(df).collect()}
+    assert qc == {2, 3}
+    # hashed embedding: present only for docs with tokens; 64-dim always
+    he = {r["doc_id"]: r["embedding"] for r in t.hashed_embedding(df).collect()}
+    assert set(he) == {2, 3} and all(len(v) == 64 for v in he.values())
+    # bm25 on a corpus with zero term hits: empty result, no throw
+    assert t.bm25_topk(df, terms=("absent",), k=5).count() == 0
+
+
+def test_temperature_sample_single_source_and_tiny_total(spark):
+    """One source, total smaller than the corpus: quota floors at >= 1
+    and the sample is a deterministic subset."""
+    df = spark.createDataFrame(
+        [(i, f"d{i}", "only") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    out = corpus.temperature_sample(df, total=5, source_col="source").collect()
+    assert 1 <= len(out) <= 5
+    again = corpus.temperature_sample(df, total=5, source_col="source").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
