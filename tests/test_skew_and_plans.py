@@ -161,3 +161,25 @@ def test_bench_harness_smoke(spark):
     # dedup_exact is one row per document
     assert detail["rows"]["q1_pricing_summary"] == 6
     assert detail["rows"]["dedup_exact"] > 0
+
+
+def test_round3_op_plan_shapes(spark):
+    """Pin the scale-critical physical-plan properties of the round-3
+    operators (regressions here are silent at sf0.1 and fatal at 100 TB)."""
+    from dns_log_transformer_spark.operators import text as t
+    from dns_log_transformer_spark.plans import physical_plan
+    from dns_log_transformer_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+
+    # bm25: top-k must plan as TakeOrderedAndProject (per-partition
+    # heaps), never a global Sort of all scored docs
+    bm = physical_plan(t.bm25_topk(docs, terms=("spark", "join")), "simple")
+    assert "TakeOrderedAndProject" in bm
+    assert "Sort [score" not in bm
+
+    # hashed embedding: exactly one aggregation exchange — the payload
+    # is the fixed-width 64-slot array, no second gather shuffle
+    he = physical_plan(t.hashed_embedding(docs), "simple")
+    assert he.count("Exchange hashpartitioning") == 1
