@@ -518,15 +518,20 @@ def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
-def _plane_literal(p: int) -> str:
-    return "[" + ", ".join(str(x) for x in similarity.lsh_planes()[p]) + "]"
+def _plane_literal(p: int, num_planes: int = similarity.NUM_PLANES) -> str:
+    planes = similarity.lsh_planes(num_planes)
+    return "[" + ", ".join(str(x) for x in planes[p]) + "]"
 
 
-_LSH_KEY_SQL = " + ".join(
-    f"CASE WHEN {_SQL_DOT.format(a='v', b=_plane_literal(p))} > 0"
-    f" THEN {1 << p} ELSE 0 END"
-    for p in range(similarity.NUM_PLANES)
-)
+def _lsh_key_sql(num_planes: int) -> str:
+    return " + ".join(
+        f"CASE WHEN {_SQL_DOT.format(a='v', b=_plane_literal(p, num_planes))} > 0"
+        f" THEN {1 << p} ELSE 0 END"
+        for p in range(num_planes)
+    )
+
+
+_LSH_KEY_SQL = _lsh_key_sql(similarity.NUM_PLANES)
 
 
 @register(
@@ -1614,3 +1619,78 @@ def text_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
     the same (id, embedding) interface."""
     docs = table(spark, sf, "documents")
     return text.hashed_embedding(docs)
+
+
+_HE_SQL = f"""
+    he AS (
+      SELECT doc_id,
+             list_transform(range({_HE_DIM}),
+                            i -> CAST(COALESCE(
+                              vs[list_position(ds, CAST(i AS INT))], 0)
+                              AS DOUBLE)) AS v
+      FROM (
+        SELECT doc_id, list(d ORDER BY d) AS ds, list(v ORDER BY d) AS vs
+        FROM (
+          SELECT doc_id, CAST(h % {_HE_DIM} AS INT) AS d,
+                 CAST(SUM(((h // 1048576) % 2) * 2 - 1) AS BIGINT) AS v
+          FROM (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents))
+          GROUP BY 1, 2)
+        GROUP BY doc_id))
+"""
+
+
+@register(
+    "dedup_text_embedding_lsh",
+    oracle=f"""
+    WITH {_HE_SQL},
+    keyed AS (
+      SELECT doc_id, v, CAST({_lsh_key_sql(24)} AS INT) AS lsh_key FROM he),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND({_SQL_DOT.format(a='a.v', b='b.v')}
+               / (sqrt({_SQL_DOT.format(a='a.v', b='a.v')})
+                  * sqrt({_SQL_DOT.format(a='b.v', b='b.v')})), 4) AS cos_sim
+      FROM keyed a JOIN keyed b
+        ON a.lsh_key = b.lsh_key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.8
+    """,
+)
+def dedup_text_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-family composition: text -> feature-hashed embeddings ->
+    LSH buckets -> within-bucket exact cosine pairs >= 0.8. The
+    embedding-space near-dup path run entirely from raw text with no
+    trained model — every stage's math is independently oracle-attested
+    (text_hashed_embedding, sim_lsh_buckets), and this query attests the
+    composition end-to-end."""
+    docs = table(spark, sf, "documents")
+    emb = text.hashed_embedding(docs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    keyed = similarity.with_norm(
+        similarity.with_lsh_bucket(emb, num_planes=24), "embedding"
+    ).persist()
+    a = keyed.select(
+        "lsh_key",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    b = keyed.select(
+        "lsh_key",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    cos = similarity.dot_pd(F.col("_va"), F.col("_vb")) / (
+        F.col("_na") * F.col("_nb")
+    )
+    return (
+        a.join(b, "lsh_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.8)
+    )
