@@ -559,3 +559,42 @@ def test_corpus_ingest_funnel(spark, tmp_path):
     keep = gated.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
     batch_ids = sorted(r["doc_id"] for r in keep.collect())
     assert batch_ids == sorted(r["doc_id"] for r in rows)
+
+
+def test_corpus_ingest_restart_resumes(spark, tmp_path):
+    """Two lives over one checkpoint: the restarted funnel must process
+    only the delta that landed while it was down — no reprocessing of
+    batch-1 files (which would duplicate parquet output rows)."""
+    import json as _json
+
+    from dns_log_transformer_spark.streaming import corpus_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    good = "the quick brown fox jumps over the lazy dog and runs away fast"
+
+    def land(i, doc_id, text):
+        (landing / f"delta_{i}.jsonl").write_text(
+            _json.dumps(
+                {"doc_id": doc_id, "text": text, "source": "a",
+                 "ts": f"2024-01-01T00:0{i}:00"}
+            )
+        )
+
+    land(0, 1, good)
+    q = corpus_ingest.start_corpus_ingest(spark, str(landing), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    land(1, 2, good + " but this one is genuinely different")
+    q = corpus_ingest.start_corpus_ingest(spark, str(landing), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
