@@ -31,7 +31,9 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # their slots to the round-3 operators (corpus_span_dedup,
 # corpus_dsir_weights, corpus_temperature_sample,
 # text_quality_classifier, text_bm25_topk) so the new ops get driver
-# rows this round.
+# rows this round. Registered after the window filled (rotate IN next
+# round): text_hashed_embedding, dedup_text_embedding_lsh — both
+# oracle-backed and pytest-pinned meanwhile.
 _DEPRIORITIZED = [
     "dedup_minhash_lsh",
     "sim_lsh_buckets",
