@@ -16,6 +16,13 @@ Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect — measures the engine, not result transfer).
 Rows-out comes from a DataFrame ``observe()`` metric, so a run reports
 per-query output cardinality without a second pass over the data.
+
+Every run also persists its detail locally (the driver's artifact only
+keeps a tail of stdout, which drops the per-query map once the registry
+is large — round-3 lesson): the full detail line is written to
+``BENCH_DETAIL_latest.json`` and appended to ``bench_history.jsonl``
+with a UTC timestamp, so round-over-round per-query diffs never require
+a re-run.
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import Observation  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from dns_log_transformer_spark.operators.caching import release_all  # noqa: E402
 from dns_log_transformer_spark.queries import ALL_QUERIES  # noqa: E402
 from dns_log_transformer_spark.session import get_spark  # noqa: E402
 
@@ -56,20 +64,38 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         rows_out[name] = int(obs.get["rows_out"])
+        # drop operator-internal caches so a 97-query session doesn't
+        # accumulate session-lifetime storage (each query re-creates
+        # what it needs; release is correctness-neutral)
+        release_all()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": METRIC,
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows_out,
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": METRIC,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows_out,
+        "sf": sf,
+    }
+    print(json.dumps(detail))
+    # persist the detail next to the repo (full runs only — a filtered
+    # run would overwrite a complete detail file with a partial one)
+    if not only:
+        import datetime
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        stamped = {
+            "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            **detail,
+        }
+        with open(os.path.join(here, "BENCH_DETAIL_latest.json"), "w") as f:
+            json.dump(stamped, f, indent=1, sort_keys=True)
+            f.write("\n")
+        with open(os.path.join(here, "bench_history.jsonl"), "a") as f:
+            f.write(json.dumps(stamped) + "\n")
     # compact summary LAST: a bounded tail of stdout must always contain
     # one complete, parseable JSON line (the detail line above can exceed
     # a tail-capture window once the registry is large)

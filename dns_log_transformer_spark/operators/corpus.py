@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dns_log_transformer_spark.operators.caching import persist_tracked
+
 #: Hash buckets for split/sampling decisions (4 decimal digits of rate).
 N_BUCKETS = 10_000
 
@@ -93,8 +95,12 @@ def seeded_shuffle(
     3. one O(num_partitions) count job builds cumulative offsets, inlined
        as a literal map — rank = offset[partition] + local position + 1.
 
-    The input is persisted after step 2 so the count job and the final
-    plan see identical partition boundaries. Every stage is parallel;
+    The stamped intermediate is ``localCheckpoint``ed (not persisted)
+    after step 2 so the count job and the final plan see identical,
+    physically frozen partition boundaries — and so the blocks are freed
+    by the ContextCleaner when the returned DataFrame is dropped, rather
+    than pinned in the cache manager for the session (a plain persist
+    here leaked storage across repeated calls). Every stage is parallel;
     driver state is one row-count per partition.
     """
     spark = df.sparkSession
@@ -110,7 +116,7 @@ def seeded_shuffle(
         .withColumn(
             "_sfl_local", F.monotonically_increasing_id() % _MID_PARTITION_STRIDE
         )
-        .persist()
+        .localCheckpoint()
     )
     counts = stamped.groupBy("_sfl_pid").count().collect()
     offsets: list[Column] = []
@@ -538,8 +544,16 @@ def dsir_weights(
         tokens,
     )
 
+    # coalesce: a NULL-evaluating filter (e.g. NULL lang) would make
+    # sum(_is_target) NULL for all-NULL feature groups and NULL then
+    # propagates through target_mass, silently dropping those grams —
+    # while the oracle's CASE WHEN counts them as 0. NULL == not target.
     toked = rebalance_for_fanout(
-        df.select(F.col(id_col), target_filter.alias("_is_target"), F.col(text_col))
+        df.select(
+            F.col(id_col),
+            F.coalesce(target_filter, F.lit(False)).alias("_is_target"),
+            F.col(text_col),
+        )
     ).select(id_col, "_is_target", tokens(F.col(text_col)).alias("_toks"))
     grams = (
         NGram(n=2, inputCol="_toks", outputCol="_grams")
@@ -555,7 +569,7 @@ def dsir_weights(
                 % buckets
             ).alias("_f"),
         )
-        .persist()
+        .transform(persist_tracked)
     )
     hist = grams.groupBy("_f").agg(
         F.sum(F.col("_is_target").cast("long")).alias("_t_cnt"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dns_log_transformer_spark.operators.caching import persist_tracked
 from dns_log_transformer_spark.operators.text import (
     normalized,
     rebalance_for_fanout,
@@ -107,7 +108,7 @@ def ngram_jaccard_pairs(
     # posting feeds two consumers (df-cap agg + pair join); persist so the
     # shingling scan runs once, not once per branch. At warehouse scale
     # this is the same decision as checkpointing the inverted index.
-    posting = posting.persist()
+    posting = persist_tracked(posting)
     rare = (
         posting.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -191,8 +192,14 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
     rows = num_hashes // num_bands
-    sh = with_shingles(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
-    sig = sh.join(minhash_signatures(sh, id_col, num_hashes), id_col)
+    # persisted: consumed by the band-bucket candidate join AND (twice)
+    # by the Jaccard verification re-join below.
+    sh = (
+        persist_tracked(
+            with_shingles(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
+        )
+    )
+    sig = minhash_signatures(sh, id_col, num_hashes)
     bands = F.array(
         *[
             F.struct(
@@ -205,31 +212,38 @@ def minhash_lsh_pairs(
             for k in range(num_bands)
         ]
     )
-    bucketed = sig.select(id_col, "shingles", F.explode(bands).alias("b")).select(
-        id_col, "shingles", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    # Band buckets carry IDS ONLY: a doc pair sharing several bands would
+    # otherwise flow through the candidate-dedup exchange once per band
+    # WITH both full shingle arrays in tow — the corpus's heaviest
+    # columns on the heaviest shuffle. Dedup the bare (doc_a, doc_b) key
+    # first; shingles re-join only for the surviving candidates.
+    bucketed = sig.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    # both sides of the candidate self-join read `bucketed`; persist so
-    # shingling + signatures compute once, not once per side.
-    bucketed = bucketed.persist()
-    left = bucketed.select(
-        F.col("band"), F.col("key"),
-        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"),
-    )
-    right = bucketed.select(
-        F.col("band"), F.col("key"),
-        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"),
-    )
+    bucketed = persist_tracked(bucketed)
+    left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))
+    right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"))
     cand = (
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verify = (
+        cand.join(
+            sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        verify.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -376,7 +390,7 @@ def simhash_pairs(
     sh = simhash(df, id_col, text_col)
     # tiny (one row per doc) and read by both self-join sides: persist so
     # the token explode + hash aggregation runs once.
-    sh = sh.persist()
+    sh = persist_tracked(sh)
     bands = F.array(
         *[
             F.struct(

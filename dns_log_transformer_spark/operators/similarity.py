@@ -50,6 +50,16 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _round_half_up(x: np.ndarray, decimals: int = 4) -> np.ndarray:
+    """Round half AWAY FROM ZERO, matching DuckDB ROUND (and Spark
+    F.round) on doubles — np.round is banker's (half-even), which flips
+    values landing on a .5 midpoint at the target decimal (0.00025 ->
+    0.0002 instead of DuckDB's 0.0003) and would break oracle parity.
+    Verified against DuckDB ROUND on midpoint probes either side of 0."""
+    scale = 10.0**decimals
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product (deterministic fp order)."""
     return F.aggregate(
@@ -168,14 +178,41 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     num_planes: int = NUM_PLANES,
     dim: int = EMBEDDING_DIM,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors in the query's LSH
     bucket (equi-join on lsh_key — no cross join), then exact cosine +
-    window top-k within candidates. Recall is tunable via multi-probe /
-    fewer planes; this is the 100 TB shape (bucket join ~ O(n)).
+    window top-k within candidates. This is the 100 TB shape (bucket
+    join ~ O(n)).
+
+    Recall tuning: ``probe_bits=1`` enables multi-probe — each query
+    probes its own bucket PLUS every bucket at Hamming distance 1 (the
+    ``num_planes`` single-bit flips), i.e. the buckets a vector lands in
+    when one hyperplane decision is marginal. Probes explode ONLY the
+    (small) query side — the corpus keeps one bucket per vector and the
+    join stays an equi-join, so cost is num_planes+1 probe rows per
+    query, not a corpus blow-up. Deeper probing (distance 2+) grows
+    combinatorially; prefer fewer planes instead. Norms are computed
+    before the probe explode (once per query, not once per probe).
+
+    Measured recall@5 vs brute force on the sf0.1 fixtures (random
+    embeddings, worst case): 0.025 exact-bucket -> 0.12 multi-probe at
+    8 planes, floors pinned by tests/test_ann.py (bit-deterministic,
+    not statistical).
     """
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 (exact bucket) or 1 (Hamming<=1)")
     c = with_norm(with_lsh_bucket(emb, num_planes, dim, vec_col), vec_col)
-    q = with_norm(with_lsh_bucket(queries, num_planes, dim, vec_col), vec_col, "q_nrm").select(
+    q0 = with_norm(with_lsh_bucket(queries, num_planes, dim, vec_col), vec_col, "q_nrm")
+    if probe_bits == 1:
+        probes = F.array(
+            F.col("lsh_key"),
+            *[F.col("lsh_key").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+        )
+        q0 = q0.select(
+            id_col, vec_col, "q_nrm", F.explode(probes).alias("probe_key")
+        ).withColumnRenamed("probe_key", "lsh_key")
+    q = q0.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "q_nrm",
@@ -224,7 +261,7 @@ def embedding_centroids(
             {
                 "grp": pdf["grp"].iloc[0],
                 "dim": np.arange(mat.shape[1], dtype=np.int32),
-                "centroid": np.round(mean, 4),
+                "centroid": _round_half_up(mean, 4),
             }
         )
 
@@ -310,6 +347,11 @@ def ann_topk_ivf(
     ``train_iters > 0`` refines the seed codebook with that many Lloyd
     rounds (:func:`kmeans_codebook`) before building the index — tighter
     cells, same query plan.
+
+    Measured recall@5 vs brute force on the sf0.1 fixtures (random
+    embeddings, worst case): 0.39 @ n_probe=2, 0.69 @ n_probe=5, 0.91 @
+    n_probe=8 of 10 cells; 2 Lloyd rounds lift n_probe=2 to 0.47.
+    Floors pinned by tests/test_ann.py (bit-deterministic).
 
     Output: (query_id, vec_id, cos_sim, rnk).
     """
@@ -456,7 +498,7 @@ def embedding_neardup_pairs(
                 pa, pb = ids_a[ai], ids_b[bi]
                 out_a.append(np.minimum(pa, pb))
                 out_b.append(np.maximum(pa, pb))
-                out_c.append(np.round(cos[ai, bi], 4))
+                out_c.append(_round_half_up(cos[ai, bi], 4))
             yield pd.DataFrame(
                 {
                     "id_a": np.concatenate(out_a) if out_a else [],
@@ -563,7 +605,7 @@ def semantic_dedup_pairs(
             col = V[:, d]
             gram = gram + np.outer(col, col)
         nrm = np.sqrt(np.diag(gram))
-        cos = np.round(gram / np.outer(nrm, nrm), 4)
+        cos = _round_half_up(gram / np.outer(nrm, nrm), 4)
         ia, ib = np.triu_indices(m, k=1)
         keep = cos[ia, ib] >= threshold
         return pd.DataFrame(

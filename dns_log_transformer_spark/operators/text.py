@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dns_log_transformer_spark.operators.caching import persist_tracked
+
 #: Stopword sets for the heuristic scorers. Tiny by design: membership of
 #: high-frequency function words is the signal, not coverage.
 EN_STOPWORDS = ("the", "a", "is", "of", "and", "to", "in")
@@ -283,7 +285,7 @@ def repetition_stats(
     )
     # three consumers (base stats + 2-gram counts + 5-gram counts): persist
     # so tokenize+NGram runs once, not per branch (PLANS.md rule 4)
-    grams = grams.persist()
+    grams = persist_tracked(grams)
 
     base = grams.select(
         F.col(id_col),
@@ -452,7 +454,7 @@ def bm25_topk(
     toked = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(F.col(id_col), "_toks", F.size("_toks").alias("_len"))
-    toked = toked.persist()  # doc-length row + term-hit explode both read it
+    toked = persist_tracked(toked)  # doc-length row + term-hit explode both read it
 
     lens = toked.select(id_col, "_len")
     hits = (
@@ -466,7 +468,7 @@ def bm25_topk(
             ]
         )
     )
-    hits = hits.persist()  # read by the df aggregate AND the scoring join
+    hits = persist_tracked(hits)  # read by the df aggregate AND the scoring join
     consts = toked.agg(
         F.count(F.lit(1)).cast("long").alias("_n_docs"),
         F.sum("_len").cast("long").alias("_tot_len"),

@@ -11,9 +11,10 @@ lockstep.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from dns_log_transformer_spark.operators.caching import persist_tracked
 from dns_log_transformer_spark.operators import (
     corpus,
     dedup,
@@ -550,6 +551,9 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.with_lsh_bucket(emb).select("vec_id", "lsh_key")
 
 
+_ANN_PLANES = 8  # 256 buckets: scaled so sf0.01's 500 vectors collide
+
+
 @register(
     "sim_ann_lsh_topk",
     oracle=f"""
@@ -557,10 +561,13 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
     keyed AS (
-      SELECT vec_id, v, CAST({_LSH_KEY_SQL} AS INT) AS lsh_key FROM e),
+      SELECT vec_id, v, CAST({_lsh_key_sql(_ANN_PLANES)} AS INT) AS lsh_key FROM e),
     q AS (
-      SELECT vec_id AS query_id, v AS qv, lsh_key
-      FROM keyed WHERE vec_id % 50 = 0),
+      SELECT query_id, qv, unnest([lsh_key,
+             {', '.join(f'xor(lsh_key, {1 << p})' for p in range(_ANN_PLANES))}
+             ]) AS lsh_key
+      FROM (SELECT vec_id AS query_id, v AS qv, lsh_key
+            FROM keyed WHERE vec_id % 50 = 0)),
     scored AS (
       SELECT q.query_id, k.vec_id,
              ROUND({_SQL_DOT.format(a='k.v', b='q.qv')}
@@ -578,11 +585,17 @@ def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 )
 def sim_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-5 via LSH bucket equi-join (the 100 TB path — no
-    cross join). The oracle rebuilds the bucket keys from literal planes
-    (the sim_lsh_buckets recipe) and ranks within buckets exactly."""
+    cross join), with planes scaled to the corpus (8 planes = 256
+    buckets) and Hamming-1 multi-probe on the query side so the row is
+    non-vacuous: at sf0.01 (500 vectors, 10 queries) every query ranks
+    real candidates. The oracle rebuilds the bucket keys from literal
+    planes (the sim_lsh_buckets recipe), unnests the same probe set, and
+    ranks within buckets exactly."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.ann_topk_lsh(emb, queries, k=5)
+    return similarity.ann_topk_lsh(
+        emb, queries, k=5, num_planes=_ANN_PLANES, probe_bits=1
+    )
 
 
 @register(
@@ -1169,10 +1182,8 @@ def corpus_prepare_funnel(spark: SparkSession, sf: str) -> DataFrame:
     and the next stage (PLANS.md rule 4).
     """
     docs = table(spark, sf, "documents").select("doc_id", "text")
-    toks = (
-        text.with_token_counts(docs)
-        .select("doc_id", "n_tokens")
-        .persist()
+    toks = persist_tracked(
+        text.with_token_counts(docs).select("doc_id", "n_tokens")
     )
     keep = dedup.exact_dup_groups(docs).select(
         F.col("keep_id").alias("doc_id")
@@ -1182,18 +1193,16 @@ def corpus_prepare_funnel(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "is_contaminated")
     rep = text.repetition_stats(docs).select("doc_id", "flag_repetitive")
 
-    s1 = keep.persist()
-    s2 = (
+    s1 = persist_tracked(keep)
+    s2 = persist_tracked(
         s1.join(dec, "doc_id")
         .filter(~F.col("is_contaminated"))
         .select("doc_id")
-        .persist()
     )
-    s3 = (
+    s3 = persist_tracked(
         s2.join(rep, "doc_id")
         .filter(~F.col("flag_repetitive"))
         .select("doc_id")
-        .persist()
     )
 
     def summarize(df: DataFrame, name: str) -> DataFrame:
@@ -1642,18 +1651,27 @@ _HE_SQL = f"""
 """
 
 
+_LSH_BUCKET_CAP = 100  # skew guard: buckets with more members skip the pair join
+
+
 @register(
     "dedup_text_embedding_lsh",
     oracle=f"""
     WITH {_HE_SQL},
     keyed AS (
       SELECT doc_id, v, CAST({_lsh_key_sql(24)} AS INT) AS lsh_key FROM he),
+    kept AS (
+      SELECT doc_id, v, lsh_key FROM (
+        SELECT doc_id, v, lsh_key,
+               COUNT(*) OVER (PARTITION BY lsh_key) AS _c
+        FROM keyed)
+      WHERE _c <= {_LSH_BUCKET_CAP}),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              ROUND({_SQL_DOT.format(a='a.v', b='b.v')}
                / (sqrt({_SQL_DOT.format(a='a.v', b='a.v')})
                   * sqrt({_SQL_DOT.format(a='b.v', b='b.v')})), 4) AS cos_sim
-      FROM keyed a JOIN keyed b
+      FROM kept a JOIN kept b
         ON a.lsh_key = b.lsh_key AND a.doc_id < b.doc_id)
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.8
     """,
@@ -1664,22 +1682,43 @@ def dedup_text_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     embedding-space near-dup path run entirely from raw text with no
     trained model — every stage's math is independently oracle-attested
     (text_hashed_embedding, sim_lsh_buckets), and this query attests the
-    composition end-to-end."""
+    composition end-to-end.
+
+    Skew guard (the ngram_jaccard df_cap analogue): buckets holding more
+    than ``_LSH_BUCKET_CAP`` members are excluded from the pair join —
+    at corpus scale one hot LSH key (typically identical/near-identical
+    content, which no hyperplane can split) would otherwise become a
+    single quadratic join partition. Oversized buckets are exact-dup
+    territory; route them through ``dedup_exact`` instead. The cap is a
+    per-key window count, so it shuffles on the SAME lsh_key the pair
+    join uses — no extra join and no driver-side key list."""
     docs = table(spark, sf, "documents")
     emb = text.hashed_embedding(docs).select(
         F.col("doc_id").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    keyed = similarity.with_norm(
-        similarity.with_lsh_bucket(emb, num_planes=24), "embedding"
-    ).persist()
-    a = keyed.select(
+    # persist BEFORE the window/self-join fan-out so tokenize+md5+matmul
+    # runs once; ownership: the cache backs the returned (lazy) DataFrame,
+    # released on session end / eviction (see PLANS.md persist ownership).
+    keyed = persist_tracked(
+        similarity.with_norm(
+            similarity.with_lsh_bucket(emb, num_planes=24), "embedding"
+        )
+    )
+    kept = (
+        keyed.withColumn(
+            "_c", F.count("*").over(W.partitionBy("lsh_key"))
+        )
+        .filter(F.col("_c") <= _LSH_BUCKET_CAP)
+        .drop("_c")
+    )
+    a = kept.select(
         "lsh_key",
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("_va"),
         F.col("nrm").alias("_na"),
     )
-    b = keyed.select(
+    b = kept.select(
         "lsh_key",
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("_vb"),

@@ -173,6 +173,13 @@ def zorder_key(cols: list["Column"], bits: int = 16) -> "Column":
     only prunes prefixes. Pure bit arithmetic, whole-stage codegen'd.
     """
     n = len(cols)
+    if n * bits > 63:
+        # the interleaved key must fit a signed long: 4+ columns at the
+        # default 16 bits would shift past bit 63 and overflow LongType
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} exceeds the "
+            f"63 usable bits of a signed long; reduce bits to <= {63 // n}"
+        )
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):

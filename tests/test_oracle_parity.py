@@ -79,8 +79,15 @@ ORACLES = entry_mod.oracle_sql()
 
 @pytest.mark.parametrize("name", ALL)
 def test_query_parity(spark, duck, name):
+    from dns_log_transformer_spark.operators.caching import release_all
+
     sdf = entry_mod.queries()[name](spark, SF_ORACLE)
-    spark_pdf = sdf.toPandas()
+    try:
+        spark_pdf = sdf.toPandas()
+    finally:
+        # 97 queries share one session: drop operator-internal caches so
+        # the suite doesn't accumulate session-lifetime storage
+        release_all()
     if name not in ORACLES:
         # rows-only contract: runs and yields a stable schema
         assert spark_pdf is not None

@@ -183,3 +183,37 @@ def test_round3_op_plan_shapes(spark):
     # is the fixed-width 64-slot array, no second gather shuffle
     he = physical_plan(t.hashed_embedding(docs), "simple")
     assert he.count("Exchange hashpartitioning") == 1
+
+
+def test_round4_op_plan_shapes(spark):
+    """Round-4 scale guards: hot-bucket cap ahead of the LSH pair join,
+    id-only MinHash candidate dedup."""
+    from dns_log_transformer_spark.operators import dedup
+    from dns_log_transformer_spark.plans import physical_plan
+    from dns_log_transformer_spark.queries import ALL_QUERIES
+    from dns_log_transformer_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    # dedup_text_embedding_lsh: the per-key window count cap must sit
+    # between the bucketing and the pair join — one hot LSH key would
+    # otherwise become a single quadratic join partition at corpus scale
+    df = ALL_QUERIES["dedup_text_embedding_lsh"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df, "simple")
+    assert "windowspecdefinition(lsh_key" in plan, "bucket-size window cap missing"
+    assert plan.count("(_c") >= 1 and "100" in plan, "cap filter missing"
+
+    # minhash: the candidate-dedup aggregation must carry bare id pairs —
+    # never the shingle arrays (the corpus's heaviest columns) through
+    # the dedup exchange; shingles re-join only for surviving candidates
+    docs = read_table(spark, SF_SMOKE, "documents")
+    mh = physical_plan(dedup.minhash_lsh_pairs(docs), "formatted")
+    import re
+
+    blocks = re.findall(
+        r"HashAggregate.*\n(?:.*\n)*?Keys \[\d+\]: \[doc_a#\d+L?, doc_b#\d+L?\]", mh
+    )
+    assert blocks, "candidate-dedup aggregate not found in plan"
+    for agg_block in blocks:
+        assert "sh_a" not in agg_block and "sh_b" not in agg_block, (
+            "candidate dedup shuffles shingle arrays"
+        )
