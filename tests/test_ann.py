@@ -70,11 +70,16 @@ def test_ann_recall_floors_sf01(spark):
             similarity.ann_topk_lsh(emb, queries, k=5, num_planes=8, probe_bits=1)
         )
     )
+    r_pq = recall(_topk_sets(similarity.pq_adc_topk(emb, queries, k=5)))
     assert r_ivf2 >= 0.35, f"IVF recall@5 n_probe=2 = {r_ivf2:.3f}"
     assert r_ivf5 >= 0.60, f"IVF recall@5 n_probe=5 = {r_ivf5:.3f}"
     assert r_ivf5 > r_ivf2, "more probes must buy recall"
     assert r_lsh1 >= 0.10, f"LSH multi-probe recall@5 = {r_lsh1:.3f}"
     assert r_lsh1 > r_lsh0, "multi-probe must beat exact-bucket recall"
+    # PQ quantizes random vectors with a seed codebook — the hardest
+    # case; measured 0.125 (50x chance). A trained codebook and IVF-PQ
+    # residual encoding are the production recall levers.
+    assert r_pq >= 0.10, f"PQ ADC recall@5 = {r_pq:.3f}"
 
 
 def test_ivf_every_query_answered(spark):

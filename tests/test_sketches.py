@@ -1,0 +1,69 @@
+"""Count-min sketch: the properties that make it a sketch.
+
+Determinism is attested by the DuckDB oracle (test_oracle_parity);
+these tests pin the structural contract: estimates never undercount,
+and the counter grid is bounded by depth x width no matter the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.operators import sketches
+from dns_log_transformer_spark.operators.text import tokens
+from dns_log_transformer_spark.session import read_table
+from tests.conftest import SF_SMOKE
+
+
+def test_cms_never_underestimates(spark):
+    """CMS estimates are upper bounds: collisions only ADD counts, so
+    est >= true for every token — the one-sided error guarantee the
+    min-over-rows construction provides."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    true_counts = {
+        r["tok"]: r["c"]
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    est = {r["tok"]: r["est"] for r in sketches.cms_topk(docs, k=10_000).collect()}
+    assert set(est) == set(true_counts)
+    for tok, e in est.items():
+        assert e >= true_counts[tok], f"{tok}: est {e} < true {true_counts[tok]}"
+
+
+def test_cms_grid_is_bounded(spark):
+    """The counter table never exceeds depth*width rows — the whole
+    point of the sketch: the aggregation payload is the grid, not the
+    vocabulary (fixed at any corpus size)."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    grid = sketches.cms_counters(docs, depth=3, width=16)
+    rows = grid.collect()
+    assert len(rows) <= 3 * 16
+    assert {r["j"] for r in rows} <= set(range(3))
+    assert all(0 <= r["h"] < 16 for r in rows)
+    # mass conservation per row: every instance lands in exactly one
+    # bucket per row, so each row's counters sum to the stream length
+    n_inst = docs.select(F.explode(tokens(F.col("text")))).count()
+    by_row = {}
+    for r in rows:
+        by_row[r["j"]] = by_row.get(r["j"], 0) + r["c"]
+    assert all(v == n_inst for v in by_row.values()), by_row
+
+
+def test_cms_narrower_grid_estimates_dominate(spark):
+    """Halving width can only merge collision classes (8 divides 64, so
+    tokens colliding mod 64 also collide mod 8): every per-row counter,
+    and therefore every min-over-rows estimate, is >= its wide-grid
+    counterpart. Pins that error grows monotonically as the grid
+    shrinks — the knob a 100 TB deployment turns."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    wide = {r["tok"]: r["est"] for r in sketches.cms_topk(docs, k=10_000).collect()}
+    narrow = {
+        r["tok"]: r["est"]
+        for r in sketches.cms_topk(docs, k=10_000, width=8).collect()
+    }
+    assert set(narrow) == set(wide)
+    for tok in wide:
+        assert narrow[tok] >= wide[tok], tok

@@ -217,3 +217,22 @@ def test_round4_op_plan_shapes(spark):
         assert "sh_a" not in agg_block and "sh_b" not in agg_block, (
             "candidate dedup shuffles shingle arrays"
         )
+
+    # CMS top-k: the counter grid joins broadcast (it is d x w rows by
+    # construction) and the top-k plans as per-partition heaps
+    from dns_log_transformer_spark.operators import sketches, similarity
+    from pyspark.sql import functions as F
+
+    cms = physical_plan(sketches.cms_topk(docs), "simple")
+    assert "TakeOrderedAndProject" in cms
+    assert "BroadcastHashJoin" in cms, "counter grid must broadcast"
+
+    # PQ ADC: corpus codes never shuffle for scoring — the (small) query
+    # LUTs broadcast into a nested-loop scan; no sort-merge join anywhere
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    pq = physical_plan(
+        similarity.pq_adc_topk(emb, emb.filter(F.col("vec_id") % 50 == 0)),
+        "simple",
+    )
+    assert "BroadcastNestedLoopJoin" in pq, "query LUTs must broadcast"
+    assert "SortMergeJoin" not in pq
