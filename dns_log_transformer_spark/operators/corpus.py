@@ -423,6 +423,86 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int | None = None,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom bitset instead of an exact
+    broadcast shingle set.
+
+    `decontaminate` broadcasts the benchmark's DISTINCT n-grams as
+    strings — fine while the eval suite is small, but a many-benchmark
+    suite at 100 TB can carry tens of millions of distinct 8-grams,
+    and the broadcast grows with it. This variant compresses the set to
+    a CONSTANT m_bits-bit Bloom filter (8 KB at the default): the probe
+    is k element_at + bit_get tests riding the corpus scan inside one
+    whole-stage-codegen projection — zero joins, zero shuffle on the
+    corpus side before the per-doc aggregation, and the driver/broadcast
+    cost is fixed by the m_bits PARAMETER, never the benchmark size.
+
+    One-sided error: `n_maybe_hits >= n_hits` per doc and
+    `maybe_contaminated` is a superset of `is_contaminated`
+    (tests/test_sketches.py pins both against `decontaminate`) — the
+    right direction for decontamination, where a false positive drops a
+    training doc and a false negative would leak eval data.
+
+    Output: (id_col, n_shingles, n_maybe_hits, maybe_contaminated).
+    """
+    from dns_log_transformer_spark.operators.dedup import with_shingles
+    from dns_log_transformer_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        _bloom_h1h2,
+        bloom_bits_collect,
+        bloom_hit_from_hashes,
+    )
+
+    k = BLOOM_K if k is None else k
+    m_bits = BLOOM_BITS if m_bits is None else m_bits
+
+    bench_set = (
+        with_shingles(benchmark, bench_id_col, bench_text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    words = bloom_bits_collect(bench_set, "shingle", k, m_bits)
+
+    corpus_sh = with_shingles(df, id_col, text_col, n)
+    posting = corpus_sh.select(
+        id_col, "n_shingles", F.explode_outer("shingles").alias("shingle")
+    )
+    h1, h2 = _bloom_h1h2(F.col("shingle"))
+    # md5 materialized once top-level; the k bit tests reuse _h1/_h2
+    hashed = posting.select(
+        id_col, "n_shingles", h1.alias("_h1"), h2.alias("_h2")
+    )
+    probed = hashed.select(
+        id_col,
+        "n_shingles",
+        F.coalesce(
+            bloom_hit_from_hashes(F.col("_h1"), F.col("_h2"), words, k, m_bits),
+            F.lit(False),
+        ).alias("_hit"),
+    )
+    per_doc = (
+        probed.groupBy(id_col, "n_shingles")
+        .agg(F.sum(F.col("_hit").cast("long")).alias("n_maybe_hits"))
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_maybe_hits",
+        (F.col("n_maybe_hits") > 0).alias("maybe_contaminated"),
+    )
+
+
 def span_dedup(
     df: DataFrame,
     span_tokens: int = 8,

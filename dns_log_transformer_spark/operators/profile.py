@@ -36,3 +36,62 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             ).select(F.lit(c).alias("col_name"), "*")
         )
     return reduce(DataFrame.unionAll, parts)
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Pairwise content overlap between corpus sources, estimated from
+    per-source MinHash signatures — the "which of my 200 crawl dumps are
+    re-scrapes of each other" question that decides a training mixture.
+
+    An exact answer intersects per-source shingle SETS — a shuffle of
+    every distinct shingle keyed by source, quadratic joins between the
+    big sets. The sketch answer: minhash each source's shingle union
+    down to `num_hashes` longs (one explode + map-side-combined min-agg,
+    identical shape to doc-level `minhash_signatures` but keyed by
+    source), then compare signatures pairwise. The pair join touches
+    #sources rows of num_hashes longs each — driver-trivial at any
+    corpus size; E[matches/num_hashes] = Jaccard(source_a, source_b) by
+    the MinHash argument. j < num_hashes <= 64 keeps h1 + j*h2 < 2^54 —
+    exact int64 arithmetic both engines reproduce.
+
+    Output: (source_a, source_b, n_sig_matches, est_jaccard) for
+    source_a < source_b.
+    """
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+    from dns_log_transformer_spark.operators.dedup import (
+        minhash_signatures,
+        with_shingles,
+    )
+
+    sh = with_shingles(df, id_col=source_col, text_col=text_col, n=n)
+    # one row per source after the min-agg; persisted because both sides
+    # of the pair self-join consume it (PLANS.md rule 4)
+    sig = persist_tracked(minhash_signatures(sh, id_col=source_col, num_hashes=num_hashes))
+    a = sig.select(
+        F.col(source_col).alias("source_a"),
+        *[F.col(f"m{j}").alias(f"_a{j}") for j in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col(source_col).alias("source_b"),
+        *[F.col(f"m{j}").alias(f"_b{j}") for j in range(num_hashes)],
+    )
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    matches = reduce(
+        lambda x, y: x + y,
+        [
+            (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("long")
+            for j in range(num_hashes)
+        ],
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        matches.alias("n_sig_matches"),
+        F.round(matches / num_hashes, 4).alias("est_jaccard"),
+    )

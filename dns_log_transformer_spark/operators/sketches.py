@@ -1,4 +1,6 @@
-"""Count-min sketch: fixed-size frequency estimation over token streams.
+"""Fixed-size sketches: count-min frequency grid and Bloom membership bits.
+
+Count-min sketch: fixed-size frequency estimation over token streams.
 
 The sketch answer to "what are the hot tokens in 100 TB of text" when an
 exact groupBy(token) would shuffle one row per distinct token: a d x w
@@ -114,3 +116,114 @@ def cms_topk(
         .agg(F.min("c").alias("est"))
     )
     return est.orderBy(F.desc("est"), F.asc("tok")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: constant-size set membership for scan-side pre-filters
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # 65,536 bits ~= 1,041 longs = 8 KB
+BLOOM_K = 4  # hash functions per value (Kirsch-Mitzenmacher double hashing)
+# 63 bits per long, not 64: DuckDB's checked arithmetic rejects
+# 1::BIGINT << 63 (sign-bit overflow), so the oracle could never set
+# bit 63 — keeping every word non-negative costs 1.6% space and removes
+# all signed shift/compare edge cases on both engines.
+_WORD_BITS = 63
+
+
+def _bloom_h1h2(value: Column) -> tuple[Column, Column]:
+    """One md5 per value split into two 48-bit halves — the same
+    Kirsch-Mitzenmacher family the minhash signatures use
+    (operators/dedup.py:165-169), so the DuckDB oracle reproduces every
+    bit position with `CAST('0x' || substr(md5(x), ...) AS BIGINT)`."""
+    h = F.md5(F.encode(value, "UTF-8"))
+    h1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 13, 12), 16, 10).cast("long")
+    return h1, h2
+
+
+def _bloom_positions(value: Column, k: int, m_bits: int) -> list[Column]:
+    """k bit positions for a value: (h1 + j*h2) mod m. h1,h2 < 2^48 and
+    j < k <= 8, so h1 + j*h2 < 2^52 — no long overflow."""
+    h1, h2 = _bloom_h1h2(value)
+    return [((h1 + F.lit(j) * h2) % m_bits).cast("long") for j in range(k)]
+
+
+def bloom_word_rows(
+    values: DataFrame,
+    value_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """(word, bits) rows of the bitset: every value sets k bits; bits are
+    grouped into 64-bit words and OR-combined map-side, so the exchange
+    carries at most m_bits/64 rows per task no matter how many values
+    feed the filter — the build never shuffles the value set."""
+    pos = values.select(
+        F.explode(F.array(*_bloom_positions(F.col(value_col), k, m_bits))).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr(f"cast(p div {_WORD_BITS} as int)").alias("word"),
+            F.expr(f"cast(p % {_WORD_BITS} as int)").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+    )
+
+
+def bloom_bits_collect(
+    values: DataFrame,
+    value_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_BITS,
+) -> list[int]:
+    """Materialize the bitset as a dense Python list of m_bits/64 longs.
+
+    Driver state is bounded by the m_bits PARAMETER (8 KB at the default),
+    never by the value count — the same bounded-collect discipline as the
+    IVF/PQ codebooks. For filters past ~2^20 bits, skip the collect and
+    broadcast-join `bloom_word_rows` on the word index instead (the
+    cms_topk probe shape); the literal-array probe below is the
+    zero-join fast path for broadcast-sized filters."""
+    rows = bloom_word_rows(values, value_col, k, m_bits).collect()
+    words = [0] * (-(-m_bits // _WORD_BITS))
+    for r in rows:
+        words[r["word"]] = r["bits"]
+    return words
+
+
+def bloom_hit_from_hashes(
+    h1: Column,
+    h2: Column,
+    words: list[int],
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_BITS,
+) -> Column:
+    """Membership probe against a literal bitset, from pre-materialized
+    h1/h2 columns (callers project `_bloom_h1h2` ONCE top-level so the
+    md5 isn't re-evaluated per hash function — PLANS.md rule 1): k
+    element_at lookups + bit_get tests, entirely JVM-side in one
+    whole-stage-codegen projection — no join, no shuffle, no Python.
+    NULL hashes probe to NULL (caller coalesces). False positives are
+    deterministic (same md5 positions on both engines), false negatives
+    impossible."""
+    bits = F.lit(words)
+    hit = F.lit(True)
+    for j in range(k):
+        p = (h1 + F.lit(j) * h2) % m_bits
+        # index is provably in [1, ceil(m/63)], but try_element_at keeps
+        # the ANSI-mode convention (never-throwing lookups) repo-wide
+        word = F.try_element_at(bits, F.floor(p / _WORD_BITS).cast("int") + 1)
+        hit = hit & (F.bit_get(word, (p % _WORD_BITS).cast("int")) == 1)
+    return hit
+
+
+def bloom_might_contain(
+    value: Column, words: list[int], k: int = BLOOM_K, m_bits: int = BLOOM_BITS
+) -> Column:
+    """One-shot probe for a value column; prefer materializing
+    `_bloom_h1h2` in a projection and calling `bloom_hit_from_hashes`
+    when the probe feeds filters or aggregations."""
+    h1, h2 = _bloom_h1h2(value)
+    return bloom_hit_from_hashes(h1, h2, words, k, m_bits)

@@ -1962,3 +1962,136 @@ def q_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
     supp = bitmap_distinct("l_suppkey", "n_suppliers")
     part = bitmap_distinct("l_partkey", "n_parts")
     return supp.join(part, "l_returnflag").orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Ordered-event funnel: view -> click -> purchase, strictly in sequence
+# ---------------------------------------------------------------------------
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS t1,
+             list(ts) FILTER (WHERE event_type = 'click')    AS clicks,
+             list(ts) FILTER (WHERE event_type = 'purchase') AS purch
+      FROM events GROUP BY user_id),
+    s1 AS (
+      SELECT user_id, t1, purch,
+             list_min(list_filter(clicks, x -> x > t1)) AS t2
+      FROM per_user),
+    s2 AS (
+      SELECT user_id, t1, t2,
+             list_min(list_filter(purch, x -> x > t2)) AS t3
+      FROM s1),
+    sums AS (
+      SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+             CAST(COUNT(t2) AS BIGINT) AS n2,
+             CAST(COUNT(t3) AS BIGINT) AS n3
+      FROM s2)
+    SELECT 1 AS step_no, 'view' AS step, n1 AS n_users FROM sums
+    UNION ALL
+    SELECT 2, 'click_after_view', n2 FROM sums
+    UNION ALL
+    SELECT 3, 'purchase_after_click', n3 FROM sums
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequenced conversion funnel: users whose first view precedes a
+    click that precedes a purchase (strict event-time order, not mere
+    per-type existence).
+
+    Shape at scale: ONE shuffle (groupBy user_id) collects each user's
+    click/purchase timestamps; the step chase (first view, first click
+    after it, first purchase after that) is per-row array work inside
+    the same stage — no window function, no self-join per step, and the
+    per-user arrays are bounded by individual activity, not corpus
+    size. The final step-count agg reduces to a single row."""
+    events = table(spark, sf, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("_clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("_purch"),
+    )
+    chased = per_user.withColumn(
+        "t2", F.array_min(F.filter("_clicks", lambda x: x > F.col("t1")))
+    ).withColumn(
+        "t3", F.array_min(F.filter("_purch", lambda x: x > F.col("t2")))
+    )
+    sums = chased.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return sums.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step_no"),
+                    F.lit("view").alias("step"),
+                    F.col("n1").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step_no"),
+                    F.lit("click_after_view").alias("step"),
+                    F.col("n2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step_no"),
+                    F.lit("purchase_after_click").alias("step"),
+                    F.col("n3").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.step_no", "s.step", "s.n_users")
+
+
+# ---------------------------------------------------------------------------
+# argmax/argmin aggregates: max_by/min_by with a deterministic tiebreak
+# ---------------------------------------------------------------------------
+@register(
+    "q_argmax_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS top_custkey,
+           arg_min(o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS bottom_custkey,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_argmax_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Who placed each priority class's priciest (and cheapest) order —
+    max_by/min_by argmax aggregates, which replace the join-back-on-max
+    idiom with ONE partial+final aggregation (no second shuffle, no
+    max-value join).
+
+    max_by ties are engine-order nondeterministic, so the ordering key
+    is made unique: cents * 1e7 + o_orderkey (cents < 10^8 at TPC-H
+    scales and o_orderkey < 10^7 at sf<=10, so the packed key is
+    collision-free exact int64 arithmetic on both engines)."""
+    orders = table(spark, sf, "orders")
+    rank_key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10_000_000
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_custkey", rank_key).alias("top_custkey"),
+            F.min_by("o_custkey", rank_key).alias("bottom_custkey"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

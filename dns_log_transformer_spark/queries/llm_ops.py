@@ -1071,6 +1071,132 @@ def corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.decontaminate(docs, bench, n=_DECON_N)
 
 
+# Source-overlap matrix: per-source MinHash signatures (same KM hash
+# family as the doc-level signatures) compared pairwise; the oracle
+# rebuilds all 64 per-source minima and the exact match count.
+_OVERLAP_H = 64
+_OVERLAP_SIG_SQL = ",\n".join(
+    f"             min(h1 + {j} * h2) AS m{j}" for j in range(_OVERLAP_H)
+)
+_OVERLAP_MATCH_SQL = " + ".join(
+    f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(_OVERLAP_H)
+)
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=rf"""
+    WITH toks AS (SELECT source, {_SQL_TOKENS} AS w FROM documents),
+    sh AS (
+      SELECT source,
+             list_distinct(list_transform(range(len(w) - 2),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      FROM toks WHERE len(w) >= 3),
+    posting AS (SELECT source, unnest(s) AS x FROM sh),
+    hp AS (SELECT source,
+             CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)  AS h1,
+             CAST('0x' || substr(md5(x), 13, 12) AS BIGINT) AS h2
+           FROM posting),
+    sig AS (SELECT source,
+{_OVERLAP_SIG_SQL}
+            FROM hp GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({_OVERLAP_MATCH_SQL} AS BIGINT) AS n_sig_matches,
+           ROUND(({_OVERLAP_MATCH_SQL}) / {_OVERLAP_H}.0, 4) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Which sources are re-scrapes of each other: pairwise Jaccard
+    estimated from 64-long per-source MinHash signatures — one min-agg
+    over the corpus, then a #sources^2 signature comparison that never
+    touches the shingle sets again."""
+    from dns_log_transformer_spark.operators.profile import source_overlap
+
+    docs = table(spark, sf, "documents")
+    return source_overlap(docs, num_hashes=_OVERLAP_H)
+
+
+# Bloom-filter decontamination: the oracle rebuilds the EXACT bitset
+# (same md5 h1/h2 halves, same (h1 + j*h2) % m positions, same 64-bit
+# word packing) and probes it with the same coalesce(bit, false)
+# semantics for sub-n-token docs, so a hash match attests the whole
+# sketch, not just the flag.
+_BLOOM_K = 4
+_BLOOM_M = 1 << 16
+
+_BLOOM_DECON_ORACLE = rf"""
+    WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {_DECON_N}
+                  THEN list_distinct(list_transform(
+                         range(len(w) - {_DECON_N - 1}), i -> {_DECON_GRAM}))
+                  ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM toked),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS x FROM sh WHERE doc_id % 97 = 0),
+    bhash AS (
+      SELECT CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)  AS h1,
+             CAST('0x' || substr(md5(x), 13, 12) AS BIGINT) AS h2
+      FROM bench),
+    bpos AS (
+      SELECT (h1 + j * h2) % {_BLOOM_M} AS p
+      FROM bhash, range({_BLOOM_K}) t(j)),
+    words AS (
+      -- 63 bits per word (see operators/sketches.py _WORD_BITS): DuckDB's
+      -- checked << rejects shifting into the sign bit
+      SELECT p // 63 AS w,
+             bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+      FROM bpos GROUP BY 1),
+    posting AS (
+      SELECT doc_id, len(s) AS n_shingles,
+             unnest(CASE WHEN len(s) = 0
+                         THEN [CAST(NULL AS VARCHAR)] ELSE s END) AS shingle
+      FROM sh),
+    phash AS (
+      SELECT doc_id, n_shingles, shingle,
+             CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT)  AS h1,
+             CAST('0x' || substr(md5(shingle), 13, 12) AS BIGINT) AS h2
+      FROM posting),
+    probes AS (
+      SELECT doc_id, n_shingles, shingle, j,
+             (h1 + j * h2) % {_BLOOM_M} AS p
+      FROM phash, range({_BLOOM_K}) t(j)),
+    perbit AS (
+      SELECT pr.doc_id, pr.n_shingles, pr.shingle, pr.j,
+             COALESCE(((w.bits >> CAST(pr.p % 63 AS INT)) & 1) = 1, FALSE)
+               AS bit_hit
+      FROM probes pr LEFT JOIN words w ON w.w = pr.p // 63),
+    pershingle AS (
+      SELECT doc_id, n_shingles, shingle,
+             bool_and(bit_hit) AS hit
+      FROM perbit GROUP BY doc_id, n_shingles, shingle),
+    perdoc AS (
+      SELECT doc_id, n_shingles,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_maybe_hits
+      FROM pershingle GROUP BY doc_id, n_shingles)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_maybe_hits,
+           n_maybe_hits > 0 AS maybe_contaminated
+    FROM perdoc
+    """
+
+
+@register("corpus_bloom_decontaminate", oracle=_BLOOM_DECON_ORACLE)
+def corpus_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination priced for a benchmark suite too big to broadcast
+    exactly: the eval set compresses to a fixed 8 KB Bloom bitset and the
+    corpus probe is k bit tests riding the scan — zero joins before the
+    per-doc agg. One-sided error by construction (supersets
+    corpus_decontaminate's exact flags; pinned in test_sketches.py)."""
+    docs = table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus.bloom_decontaminate(
+        docs, bench, n=_DECON_N, k=_BLOOM_K, m_bits=_BLOOM_M
+    )
+
+
 _REPETITION_ORACLE = rf"""
     WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
     base AS (

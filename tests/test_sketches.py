@@ -52,6 +52,57 @@ def test_cms_grid_is_bounded(spark):
     assert all(v == n_inst for v in by_row.values()), by_row
 
 
+def test_bloom_decontaminate_supersets_exact(spark):
+    """Bloom error is one-sided: per doc, n_maybe_hits >= the exact
+    n_hits and every exactly-contaminated doc is bloom-flagged — a false
+    negative would leak eval data into training, so the sketch must only
+    ever err toward dropping more."""
+    from dns_log_transformer_spark.operators import corpus
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = {
+        r["doc_id"]: (r["n_hits"], r["is_contaminated"])
+        for r in corpus.decontaminate(docs, bench, n=8).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_maybe_hits"], r["maybe_contaminated"])
+        for r in corpus.bloom_decontaminate(docs, bench, n=8).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, (n_hits, flagged) in exact.items():
+        n_maybe, maybe = bloom[doc_id]
+        assert n_maybe >= n_hits, f"doc {doc_id}: bloom {n_maybe} < exact {n_hits}"
+        if flagged:
+            assert maybe, f"doc {doc_id}: exact contaminated but bloom missed it"
+
+
+def test_bloom_probe_plan_is_join_free(spark):
+    """The probe's 100 TB contract: the corpus side reaches its per-doc
+    aggregation through projections only — no join, no extra shuffle.
+    (The bitset is a literal array; membership is element_at + bit_get
+    inside whole-stage codegen.)"""
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.plans import physical_plan
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = physical_plan(corpus.bloom_decontaminate(docs, bench, n=8))
+    assert "Join" not in plan, plan
+
+
+def test_bloom_word_rows_bounded_and_nonnegative(spark):
+    """The bitset build never exceeds ceil(m/63) rows and every word is
+    non-negative (63-bit packing keeps the sign bit clear — the DuckDB
+    oracle's checked shift can reproduce every word)."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    vals = docs.select(F.col("text").alias("v"))
+    rows = sketches.bloom_word_rows(vals, "v", k=4, m_bits=1 << 10).collect()
+    assert len(rows) <= -(-(1 << 10) // 63)
+    assert all(0 <= r["word"] < -(-(1 << 10) // 63) for r in rows)
+    assert all(r["bits"] >= 0 for r in rows)
+
+
 def test_cms_narrower_grid_estimates_dominate(spark):
     """Halving width can only merge collision classes (8 divides 64, so
     tokens colliding mod 64 also collide mod 8): every per-row counter,
