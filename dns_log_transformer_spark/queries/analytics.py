@@ -2095,3 +2095,113 @@ def q_argmax_orders(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame rolling window: per-user trailing-hour activity
+# ---------------------------------------------------------------------------
+@register(
+    "q_rolling_hour",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id, ts_sec,
+           CAST(SUM(cents) OVER w AS BIGINT)  AS hour_cents,
+           CAST(COUNT(*) OVER w AS BIGINT)    AS n_hour
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_hour(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-one-hour event value and count per user at every event —
+    a RANGE-frame window (value-based frame bounds, not row counts), the
+    time-series primitive row-frame windows can't express when events
+    are irregularly spaced.
+
+    One shuffle on user_id; the frame scan is per-partition sorted work.
+    Monetary values fold as exact integer cents so the rolling sum is
+    combine-order-independent (PLANS.md rule 5); tied timestamps are
+    all-in-frame on both engines by RANGE semantics."""
+    events = table(spark, sf, "events")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.sum("cents").over(w).cast("long").alias("hour_cents"),
+        F.count("*").over(w).cast("long").alias("n_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-axis gap fill + forward fill: dense 5-minute buckets
+# ---------------------------------------------------------------------------
+@register(
+    "q_gapfill_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(floor(epoch(ts)) / 300) AS BIGINT) AS bucket,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    actual AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(cents) AS BIGINT) AS max_cents
+      FROM b GROUP BY bucket),
+    span AS (SELECT MIN(bucket) AS mn, MAX(bucket) AS mx FROM actual),
+    axis AS (SELECT unnest(range(mn, mx + 1)) AS bucket FROM span)
+    SELECT a.bucket,
+           CAST(COALESCE(ac.n_events, 0) AS BIGINT) AS n_events,
+           last_value(ac.max_cents IGNORE NULLS) OVER (
+             ORDER BY a.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_max_cents
+    FROM axis a LEFT JOIN actual ac ON ac.bucket = a.bucket
+    """,
+)
+def q_gapfill_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense 5-minute time axis with zero-filled counts and
+    forward-filled last observation — the gap-fill / LOCF primitive of
+    time-series stores, built from sequence()+explode and
+    last(ignorenulls).
+
+    Scale note: the global-order window here runs over the GENERATED
+    AXIS, whose cardinality is time-span / bucket-width — bounded by
+    elapsed time, not data volume (per-key gap-fill would partition the
+    window by that key). The raw events reduce map-side into per-bucket
+    rows before ever meeting the axis."""
+    events = table(spark, sf, "events")
+    b = events.select(
+        F.floor(F.col("ts").cast("long") / 300).cast("long").alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    actual = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+    span = actual.agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    axis = span.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bucket")
+    )
+    joined = axis.join(actual, "bucket", "left")
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("max_cents", ignorenulls=True).over(w).alias("filled_max_cents"),
+    )

@@ -104,6 +104,65 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "text_quality_deciles",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id, source,
+             LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / LENGTH(text) AS alpha_ratio_raw,
+             len(list_filter({_SQL_TOKENS},
+                 t -> t IN ({_in_list(text.EN_STOPWORDS)})))::DOUBLE
+               / len({_SQL_TOKENS}) AS sw_ratio_raw,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             ROUND(0.4 * alpha_ratio_raw
+                   + 0.4 * LEAST(sw_ratio_raw * 5, 1.0)
+                   + 0.2 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality_score
+      FROM q),
+    d AS (
+      SELECT source, quality_score,
+             CAST(ntile(10) OVER (PARTITION BY source
+                                  ORDER BY quality_score, doc_id)
+               AS BIGINT) AS decile
+      FROM scored)
+    SELECT source, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(quality_score) AS min_score,
+           MAX(quality_score) AS max_score
+    FROM d GROUP BY source, decile
+    """,
+)
+def text_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality deciles — the select-the-top-X%-by-score step
+    of model-based data curation, as an NTILE window over the blended
+    quality score (tiebreak doc_id makes bucket assignment exactly
+    reproducible).
+
+    One shuffle on source for the window, one map-side-combined agg;
+    decile stats use min/max (order-independent) so no float fold can
+    diverge from the oracle."""
+    docs = table(spark, sf, "documents")
+    scored = text.with_quality_score(docs).select(
+        "doc_id", "source", "quality_score"
+    )
+    d = scored.select(
+        "source",
+        "quality_score",
+        F.ntile(10)
+        .over(W.partitionBy("source").orderBy("quality_score", "doc_id"))
+        .cast("long")
+        .alias("decile"),
+    )
+    return d.groupBy("source", "decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"),
+    )
+
+
 _LANG_SCORES_SQL = ",\n".join(
     f"           len(list_filter({_SQL_TOKENS}, t -> t IN"
     f" ({_in_list(ws)})))::BIGINT AS score_{lang}"
@@ -2010,3 +2069,189 @@ def sketch_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_sketches.py."""
     docs = table(spark, sf, "documents")
     return sketches.cms_topk(docs, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + hashed-embedding cosine (semantic),
+# fused with reciprocal-rank fusion (round 4)
+# ---------------------------------------------------------------------------
+
+_RRF_K0 = 60  # the standard RRF dampening constant (Cormack et al. 2009)
+_RRF_N = 50  # candidates taken from each retriever before fusion
+
+
+@register(
+    "text_hybrid_rrf",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS w, len({_SQL_TOKENS}) AS _len
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+             {', '.join(
+                 f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+                 f" AS tf_{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM (SELECT doc_id, unnest(w) AS tok FROM toked)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(_len) AS BIGINT) AS tot_len
+      FROM toked),
+    dfs AS (
+      SELECT {', '.join(
+          f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+          f" AS df_{i}" for i in range(len(_BM25_TERMS)))}
+      FROM hits),
+    lex AS (
+      SELECT t.doc_id,
+             ROUND(
+               {' + '.join(
+                   f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+                   f" * (CAST(tf_{i} AS DOUBLE) * (1.2 + 1)"
+                   f" / (CAST(tf_{i} AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75"
+                   f" * t._len / (CAST(tot_len AS DOUBLE) / n_docs))))"
+                   for i in range(len(_BM25_TERMS)))},
+               4) AS score
+      FROM toked t
+      JOIN hits h USING (doc_id), consts, dfs
+      ORDER BY score DESC, t.doc_id
+      LIMIT {_RRF_N}),
+    lexr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS lex_rank
+      FROM lex),
+    {_HE_SQL},
+    qtok AS (
+      SELECT unnest(string_split_regex(
+               trim('{' '.join(_BM25_TERMS)}'), '\\s+')) AS tok),
+    qh AS (
+      SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM qtok),
+    qcells AS (
+      SELECT CAST(h % {_HE_DIM} AS INT) AS d,
+             CAST(SUM(((h // 1048576) % 2) * 2 - 1) AS BIGINT) AS v
+      FROM qh GROUP BY 1),
+    qvec AS (
+      SELECT list_transform(range({_HE_DIM}),
+               i -> CAST(COALESCE(
+                 vs[list_position(ds, CAST(i AS INT))], 0) AS DOUBLE)) AS q
+      FROM (SELECT list(d ORDER BY d) AS ds, list(v ORDER BY d) AS vs
+            FROM qcells)),
+    sem AS (
+      SELECT doc_id,
+             list_sum(list_transform(range({_HE_DIM}),
+                                     i -> v[i+1] * q[i+1]))  AS dot,
+             list_sum(list_transform(range({_HE_DIM}),
+                                     i -> v[i+1] * v[i+1]))  AS n2d,
+             list_sum(list_transform(range({_HE_DIM}),
+                                     i -> q[i+1] * q[i+1]))  AS n2q
+      FROM he, qvec),
+    semtop AS (
+      SELECT doc_id, dot / (sqrt(n2d) * sqrt(n2q)) AS cos
+      FROM sem WHERE n2d > 0 AND dot <> 0
+      ORDER BY cos DESC, doc_id
+      LIMIT {_RRF_N}),
+    semr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+               AS sem_rank
+      FROM semtop)
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K0} + l.lex_rank), 0)
+                 + COALESCE(1.0 / ({_RRF_K0} + s.sem_rank), 0), 6)
+             AS rrf_score,
+           l.lex_rank AS lex_rank,
+           s.sem_rank AS sem_rank
+    FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid search: top-20 documents for the fixed query by
+    reciprocal-rank fusion of a lexical retriever (BM25) and a semantic
+    retriever (hashed-embedding cosine), rrf = sum 1/(k0 + rank) — the
+    standard two-tower fusion recipe.
+
+    Shape at scale: each retriever produces its candidate list with a
+    distributed TakeOrderedAndProject top-N; ranking and fusion then
+    touch only 2N rows (parameter-bounded, so the unpartitioned
+    row_number windows and the full-outer fusion join are
+    constant-size regardless of corpus scale). The semantic scorer is
+    an explicit integer dot/norm expression over the 64 array slots —
+    exact int64 arithmetic until the final divide, so both engines rank
+    identically.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+
+    # lexical candidates: BM25 top-N (rounded score, doc_id tiebreak)
+    lex = text.bm25_topk(docs, terms=_BM25_TERMS, k=_RRF_N).select(
+        "doc_id", "score"
+    )
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+
+    # semantic candidates: cosine against the query's hashed embedding.
+    # The query vector comes from the SAME operator (one-row job at
+    # build time — the single-source-of-truth for the hash recipe).
+    qrow = spark.createDataFrame(
+        [(0, " ".join(_BM25_TERMS))], "doc_id long, text string"
+    )
+    qvec = [int(x) for x in text.hashed_embedding(qrow).collect()[0]["embedding"]]
+    n2q = sum(x * x for x in qvec)
+
+    emb = text.hashed_embedding(docs)
+    e = lambda i: F.try_element_at(F.col("embedding"), F.lit(i + 1))  # noqa: E731
+    dot = None
+    for i, qx in enumerate(qvec):
+        if qx == 0:
+            continue  # zero terms can't change the exact integer sum
+        t = e(i) * F.lit(qx)
+        dot = t if dot is None else dot + t
+    n2d = None
+    for i in range(_HE_DIM):
+        t = e(i) * e(i)
+        n2d = t if n2d is None else n2d + t
+    scored = emb.select(
+        "doc_id",
+        (dot if dot is not None else F.lit(0)).cast("long").alias("_dot"),
+        n2d.cast("long").alias("_n2d"),
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_n2d").cast("double")) * F.sqrt(F.lit(float(n2q)))
+    )
+    sem_top = (
+        scored.filter((F.col("_n2d") > 0) & (F.col("_dot") != 0))
+        .select("doc_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(_RRF_N)
+    )
+    sem_r = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+
+    fused = lex_r.join(sem_r, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id", rrf.alias("rrf_score"), "lex_rank", "sem_rank"
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
