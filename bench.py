@@ -52,6 +52,28 @@ def main() -> None:
     spark = get_spark("bench")
 
     only = [s for s in os.environ.get("SPARK_GRAFT_BENCH_FILTER", "").split(",") if s]
+
+    # Untimed warm-up: the first execution of each engine path (codegen
+    # compilation, shuffle service, Arrow/Python worker pool, parquet
+    # footer cache) costs 3-5x its steady state, and WHICH query pays it
+    # depends on registry ordering — so per-query numbers silently shift
+    # whenever the registry grows (the q5/q6 "regression" of round 3 and
+    # q7's in round 4 were both this). Exercise one exemplar of each
+    # path before the clock starts; timings below are steady-state.
+    for wname in (
+        "q1_pricing_summary",   # agg + codegen
+        "q3_shipping_priority", # join machinery
+        "q_window_native",      # window exec
+        "text_token_stats",     # text fan-out
+        "sim_topk_bruteforce",  # Arrow pandas-UDF worker pool
+        "dedup_minhash_lsh",    # pyspark.ml NGram class load + persist path
+    ):
+        if wname in ALL_QUERIES:
+            ALL_QUERIES[wname].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            release_all()
+
     timings: dict[str, float] = {}
     rows_out: dict[str, int] = {}
     for name, q in sorted(ALL_QUERIES.items()):
