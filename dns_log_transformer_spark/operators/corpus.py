@@ -503,6 +503,55 @@ def bloom_decontaminate(
     )
 
 
+def bloom_verified_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int | None = None,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """EXACT decontamination computed through a Bloom pre-filter — the
+    two-stage shape a 100 TB pipeline actually runs:
+
+    1. the constant-size bitset rides the full corpus scan (join-free,
+       `bloom_decontaminate`) and splits docs into maybe-contaminated
+       suspects and certainly-clean rest (no false negatives, so the
+       rest needs NO further work);
+    2. only the suspects — a small fraction at any realistic
+       contamination rate — pay the exact broadcast-set verification
+       join, and the certainly-clean docs emit zero-hit rows directly
+       from the stage-1 aggregates.
+
+    Output is IDENTICAL to `decontaminate` (same columns, same values;
+    the oracle is literally the exact operator's SQL), which is the
+    point: the sketch changes the PLAN, not the answer.
+    """
+    bloomed = bloom_decontaminate(
+        df, benchmark, n, id_col, text_col, bench_id_col, bench_text_col,
+        k=k, m_bits=m_bits,
+    )
+    bloomed = persist_tracked(bloomed)
+    suspects = df.join(
+        bloomed.filter(F.col("maybe_contaminated")).select(id_col),
+        id_col,
+    )
+    verified = decontaminate(
+        suspects, benchmark, n, id_col, text_col, bench_id_col, bench_text_col
+    )
+    clean = bloomed.filter(~F.col("maybe_contaminated")).select(
+        id_col,
+        F.col("n_shingles"),
+        F.lit(0).cast("long").alias("n_hits"),
+        F.lit(0.0).alias("contam_frac"),
+        F.lit(False).alias("is_contaminated"),
+    )
+    return verified.unionByName(clean)
+
+
 def span_dedup(
     df: DataFrame,
     span_tokens: int = 8,

@@ -39,7 +39,13 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # q8/q9 (the join family keeps q2,q3,q5,q7,q20,q21 in-window),
 # q_grouping_sets (q_cube_returnflag stays), q_customer_running_totals
 # (q_rolling_hour now exercises running/range frames).
+# Batch-4 additions (corpus_bloom_verified_decon, q_approx_percentiles)
+# enter; q16_supplier_count and q_approx_distinct (both r03-green,
+# families still represented — q2/q11 for agg-over-join, the new
+# percentile query for sketch-within-bounds attestation) cede slots.
 _DEPRIORITIZED = [
+    "q16_supplier_count",
+    "q_approx_distinct",
     "q19_disjunctive",
     "q_ship_within_week",
     "q17_small_quantity",

@@ -2205,3 +2205,52 @@ def q_gapfill_buckets(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         F.last("max_cents", ignorenulls=True).over(w).alias("filled_max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (GK sketch) attested within rank-error bounds
+# ---------------------------------------------------------------------------
+@register(
+    "q_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2)  AS median_exact,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 2) AS p95_exact,
+           TRUE AS median_ok,
+           TRUE AS p95_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch — mergeable, bounded
+    memory) checked against the exact interpolated percentile within its
+    rank-error guarantee: with accuracy a, the returned value's rank is
+    within n/a of the target, so it must lie between the exact
+    (q - 1/a) and (q + 1/a) quantiles. Sketch internals differ by
+    engine, so the oracle-comparable output is the exact value + the
+    in-bounds flag — the q_approx_distinct pattern.
+
+    The sketch is the 100 TB path: exact QUANTILE_CONT buffers every
+    group value for a sort; GK folds partial sketches map-side and
+    shuffles fixed-size summaries."""
+    li = table(spark, sf, "lineitem")
+    acc = 100  # rank error <= 1% of each group
+    eps = 1.0 / acc
+
+    def bounds(q: float):
+        lo = F.percentile("l_extendedprice", F.lit(max(q - eps, 0.0)))
+        hi = F.percentile("l_extendedprice", F.lit(min(q + eps, 1.0)))
+        ap = F.percentile_approx("l_extendedprice", F.lit(q), F.lit(acc))
+        return (ap >= lo) & (ap <= hi)
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias(
+            "median_exact"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias(
+            "p95_exact"
+        ),
+        bounds(0.5).alias("median_ok"),
+        bounds(0.95).alias("p95_ok"),
+    )

@@ -1256,6 +1256,23 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The two-stage query's oracle IS the exact operator's oracle: the Bloom
+# pre-filter must not change a single output value, only the plan.
+@register("corpus_bloom_verified_decon", oracle=_DECON_ORACLE)
+def corpus_bloom_verified_decon(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact decontamination through a Bloom pre-filter: the bitset
+    rides the corpus scan and only maybe-contaminated suspects pay the
+    exact verification join (no false negatives, so clean docs emit
+    zero-hit rows straight from the sketch stage). Hash-matches the
+    EXACT operator's oracle — the sketch changes the plan, not the
+    answer."""
+    docs = table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus.bloom_verified_decontaminate(
+        docs, bench, n=_DECON_N, k=_BLOOM_K, m_bits=_BLOOM_M
+    )
+
+
 _REPETITION_ORACLE = rf"""
     WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
     base AS (

@@ -91,6 +91,31 @@ def test_bloom_probe_plan_is_join_free(spark):
     assert "Join" not in plan, plan
 
 
+def test_bloom_verified_decon_matches_exact_and_prefilters(spark):
+    """The two-stage decontaminate returns the EXACT operator's rows
+    value-for-value (the sketch may only change the plan), and the plan
+    shows the sketch doing its job: the bit_get probe appears upstream
+    of the verification join, so the exact shingle join never sees
+    certainly-clean docs."""
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.plans import physical_plan
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = {
+        r["doc_id"]: (r["n_hits"], r["contam_frac"], r["is_contaminated"])
+        for r in corpus.decontaminate(docs, bench, n=8).collect()
+    }
+    two_stage_df = corpus.bloom_verified_decontaminate(docs, bench, n=8)
+    two_stage = {
+        r["doc_id"]: (r["n_hits"], r["contam_frac"], r["is_contaminated"])
+        for r in two_stage_df.collect()
+    }
+    assert two_stage == exact
+    plan = physical_plan(two_stage_df)
+    assert "bit_get" in plan, plan
+
+
 def test_bloom_word_rows_bounded_and_nonnegative(spark):
     """The bitset build never exceeds ceil(m/63) rows and every word is
     non-negative (63-bit packing keeps the sign bit clear — the DuckDB
