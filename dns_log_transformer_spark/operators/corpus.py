@@ -103,34 +103,64 @@ def seeded_shuffle(
     here leaked storage across repeated calls). Every stage is parallel;
     driver state is one row-count per partition.
     """
-    spark = df.sparkSession
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    ranked = global_rank(
+        df.withColumn("_sfl_key", key),
+        ["_sfl_key", id_col],
+        rank_col="shuffle_rank",
+        num_partitions=num_partitions,
+    )
+    return ranked.drop("_sfl_key")
+
+
+def global_rank(
+    df: DataFrame,
+    sort_cols: list,
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank in ``sort_cols`` order WITHOUT the
+    single-task plan ``row_number().over(Window.orderBy(...))`` degrades
+    to — the general zipWithIndex machinery behind ``seeded_shuffle``:
+
+    1. range-partition + sort within partitions (fully parallel global
+       sort: partition i's keys all precede partition i+1's);
+    2. stamp partition id + in-partition position, frozen with
+       ``localCheckpoint`` so the count job and the final plan see the
+       same physical boundaries (and the blocks free with the DataFrame
+       rather than pinning session cache);
+    3. one O(num_partitions) count job -> cumulative offsets inlined as
+       a literal map; rank = offset[pid] + local + 1.
+
+    ``sort_cols`` MUST be a total order (include a unique tiebreak) or
+    tied rows land nondeterministically. Driver state: one row count
+    per partition.
+    """
+    spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
     stamped = (
-        df.withColumn("_sfl_key", key)
-        .repartitionByRange(n_parts, "_sfl_key", F.col(id_col))
-        .sortWithinPartitions("_sfl_key", F.col(id_col))
-        .withColumn("_sfl_pid", F.spark_partition_id())
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
         .withColumn(
-            "_sfl_local", F.monotonically_increasing_id() % _MID_PARTITION_STRIDE
+            "_gr_local", F.monotonically_increasing_id() % _MID_PARTITION_STRIDE
         )
         .localCheckpoint()
     )
-    counts = stamped.groupBy("_sfl_pid").count().collect()
+    counts = stamped.groupBy("_gr_pid").count().collect()
     offsets: list[Column] = []
     acc = 0
-    for r in sorted(counts, key=lambda r: r["_sfl_pid"]):
-        offsets.extend([F.lit(int(r["_sfl_pid"])), F.lit(acc)])
+    for r in sorted(counts, key=lambda r: r["_gr_pid"]):
+        offsets.extend([F.lit(int(r["_gr_pid"])), F.lit(acc)])
         acc += r["count"]
     if not offsets:  # empty input: no partitions to offset
-        return df.withColumn("shuffle_rank", F.lit(None).cast("long"))
+        return df.withColumn(rank_col, F.lit(None).cast("long"))
     off_map = F.create_map(*offsets)
-    rank = (off_map[F.col("_sfl_pid")] + F.col("_sfl_local") + 1).cast("long")
-    return stamped.withColumn("shuffle_rank", rank).drop(
-        "_sfl_key", "_sfl_pid", "_sfl_local"
-    )
+    rank = (off_map[F.col("_gr_pid")] + F.col("_gr_local") + 1).cast("long")
+    return stamped.withColumn(rank_col, rank).drop("_gr_pid", "_gr_local")
 
 
 def weighted_sample(

@@ -43,7 +43,10 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # enter; q16_supplier_count and q_approx_distinct (both r03-green,
 # families still represented — q2/q11 for agg-over-join, the new
 # percentile query for sketch-within-bounds attestation) cede slots.
+# q_global_rank enters (batch 4); q_customers_without_orders cedes
+# (anti-join family stays covered in-window by q21/q20).
 _DEPRIORITIZED = [
+    "q_customers_without_orders",
     "q16_supplier_count",
     "q_approx_distinct",
     "q19_disjunctive",

@@ -2254,3 +2254,51 @@ def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         bounds(0.5).alias("median_ok"),
         bounds(0.95).alias("p95_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global rank without the single-task window (zipWithIndex machinery)
+# ---------------------------------------------------------------------------
+@register(
+    "q_global_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           l_extendedprice, l_quantity,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY l_extendedprice DESC, l_orderkey, l_partkey,
+                      l_suppkey, l_linenumber, l_quantity) AS BIGINT)
+             AS global_rank
+    FROM lineitem
+    """,
+)
+def q_global_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Global 1-based price rank over the full fact table — the oracle
+    states it as the obvious `ROW_NUMBER() OVER (ORDER BY ...)`, whose
+    Spark plan funnels every row through ONE task; the engine computes
+    it with the parallel zipWithIndex machinery instead
+    (`operators/corpus.py global_rank`): range-partitioned sort,
+    per-partition positions, O(num_partitions) offset map. The ordering
+    key includes a unique tiebreak so both engines assign every rank
+    deterministically."""
+    from dns_log_transformer_spark.operators.corpus import global_rank
+
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return global_rank(
+        li,
+        [
+            F.desc("l_extendedprice"),
+            F.asc("l_orderkey"),
+            F.asc("l_partkey"),
+            F.asc("l_suppkey"),
+            F.asc("l_linenumber"),
+            F.asc("l_quantity"),
+        ],
+        rank_col="global_rank",
+    )

@@ -78,6 +78,30 @@ def test_seeded_shuffle_has_no_window(spark):
     assert "Window" not in plan, plan
 
 
+def test_global_rank_parallel_and_total(spark):
+    """global_rank: ranks are exactly 1..n, ordering honors the sort
+    spec (descending key here), and the plan carries NO WindowExec and
+    NO single-partition exchange — the whole point vs
+    row_number().over(Window.orderBy(...))."""
+    from dns_log_transformer_spark.plans import physical_plan
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    ranked = corpus.global_rank(
+        docs, [F.desc("n_chars"), F.asc("doc_id")], num_partitions=7
+    )
+    rows = ranked.select("doc_id", "n_chars", "global_rank").collect()
+    n = len(rows)
+    assert sorted(r["global_rank"] for r in rows) == list(range(1, n + 1))
+    by_rank = sorted(rows, key=lambda r: r["global_rank"])
+    for a, b in zip(by_rank, by_rank[1:]):
+        # rank order == (n_chars desc, doc_id asc) order
+        assert (-a["n_chars"], a["doc_id"]) < (-b["n_chars"], b["doc_id"])
+    plan = physical_plan(ranked)
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_capped_sample_skewed_source_prefilter(spark):
     """One source holding ~95% of rows: the hash-threshold pre-filter
     must shrink the window input to O(k) for that source, and the result
