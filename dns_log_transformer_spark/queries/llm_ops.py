@@ -556,7 +556,7 @@ _SEMDEDUP_CB = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < 2000),
     scored AS (
       SELECT q.query_id, e.vec_id,
              ROUND({_SQL_DOT.format(a='e.v', b='q.qv')}
@@ -572,10 +572,13 @@ _SEMDEDUP_CB = f"""
     """,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact cosine top-5 for every 50th vector as query (broadcast
-    queries x corpus; ranking on rounded cosine with id tie-break)."""
+    """Exact cosine top-5 for a FIXED query workload (every 50th of the
+    first 2000 vectors — the whole ANN family pins the query side so
+    corpus growth scales the scan, never the query x corpus product;
+    broadcast queries x corpus; ranking on rounded cosine with id
+    tie-break)."""
     emb = table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
@@ -627,7 +630,7 @@ _ANN_PLANES = 8  # 256 buckets: scaled so sf0.01's 500 vectors collide
              {', '.join(f'xor(lsh_key, {1 << p})' for p in range(_ANN_PLANES))}
              ]) AS lsh_key
       FROM (SELECT vec_id AS query_id, v AS qv, lsh_key
-            FROM keyed WHERE vec_id % 50 = 0)),
+            FROM keyed WHERE vec_id % 50 = 0 AND vec_id < 2000)),
     scored AS (
       SELECT q.query_id, k.vec_id,
              ROUND({_SQL_DOT.format(a='k.v', b='q.qv')}
@@ -652,7 +655,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     planes (the sim_lsh_buckets recipe), unnests the same probe set, and
     ranks within buckets exactly."""
     emb = table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return similarity.ann_topk_lsh(
         emb, queries, k=5, num_planes=_ANN_PLANES, probe_bits=1
     )
@@ -682,7 +685,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
                  ORDER BY {_SQL_DOT.format(a='e.v', b='cb.cv')} DESC,
                           cb.cell) AS rn
         FROM e, cb
-        WHERE e.vec_id % 50 = 0)
+        WHERE e.vec_id % 50 = 0 AND e.vec_id < 2000)
       WHERE rn <= 2),
     scored AS (
       SELECT p.query_id, c.vec_id,
@@ -705,7 +708,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     nearest cells by the same dim-ordered dot fold the oracle uses;
     exact cosine + top-k within the probed cells)."""
     emb = table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return similarity.ann_topk_ivf(emb, queries, k=5, n_cells=10, n_probe=2)
 
 
@@ -2013,7 +2016,7 @@ def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
       FROM embeddings),
     {_PQ_CB},
     {_PQ_CODES},
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < 2000),
     subsc AS (
       SELECT q.query_id, c.vec_id, c.sub,
              list_sum(list_transform(range({64 // _PQ_M}),
@@ -2040,7 +2043,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     The oracle rebuilds codes and LUT dots from the same rounded
     codebook and folds subspaces in the same order."""
     emb = table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return similarity.pq_adc_topk(emb, queries, k=5, m=_PQ_M, n_cells=_PQ_CELLS)
 
 
