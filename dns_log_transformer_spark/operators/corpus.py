@@ -804,3 +804,92 @@ def temperature_sample(
         .filter(F.col("sample_rank") <= F.col("_quota"))
         .drop("_cap_key", "_quota")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-first selection under a per-source token budget — the "fill
+    my 1B-token mixture with each source's best documents" step that
+    sits between quality scoring and training-shard writing.
+
+    Docs are taken in (quality_score DESC, id) order per source until
+    the running token total would pass ``budget_tokens``: one window
+    cumulative sum per source partition (running sums parallelize per
+    source; the order key is unique so selection is reproducible), one
+    filter. No joins, no driver state.
+
+    Output: (source_col, id_col, quality_score, n_tokens, cum_tokens)
+    for every selected doc.
+    """
+    from dns_log_transformer_spark.operators.text import with_quality_score
+
+    scored = with_quality_score(df, text_col).select(
+        source_col, id_col, "quality_score", "n_tokens"
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.desc("quality_score"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+def negative_pairs(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k pseudo-random contrastive NEGATIVES per document — training-pair
+    generation without sampling nondeterminism or a cross join.
+
+    Ids densify to 1..n with ``global_rank`` (the parallel zipWithIndex;
+    ids need not be contiguous), then partner j of a doc is the md5-
+    derived rank 1 + h(j, id) % n (self-collisions remap to the next
+    rank). Pair materialization is one equi-join on the partner rank —
+    k rows per doc through the shuffle, never the n^2 pair space.
+    Degenerate n=1 corpora yield self-pairs by construction (documented,
+    not guarded).
+
+    Output: (id_col, j, neg_id).
+    """
+    ids = df.select(id_col)
+    ranked = persist_tracked(
+        global_rank(ids, [F.asc(id_col)], rank_col="_rk")
+    )
+    n = ranked.count()  # one bounded job; the mod needs the corpus size
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("_j").cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    p0 = (h % n) + 1
+    partner = F.when(p0 == F.col("_rk"), (p0 % n) + 1).otherwise(p0)
+    probes = (
+        ranked.select(
+            id_col, "_rk", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("_j")
+        )
+        .withColumn("_prk", partner)
+    )
+    b = ranked.select(F.col("_rk").alias("_prk"), F.col(id_col).alias("neg_id"))
+    return (
+        probes.join(b, "_prk")
+        .select(id_col, F.col("_j").cast("int").alias("j"), "neg_id")
+    )

@@ -45,7 +45,13 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # percentile query for sketch-within-bounds attestation) cede slots.
 # q_global_rank enters (batch 4); q_customers_without_orders cedes
 # (anti-join family stays covered in-window by q21/q20).
+# corpus_token_budget + corpus_negative_pairs enter (batch 5);
+# q_date_functions and q_sessionize_events cede (r03-green; the
+# window/session family keeps q_sliding_native, q_event_time_buckets,
+# q_rolling_hour and q_gapfill_buckets in-window).
 _DEPRIORITIZED = [
+    "q_date_functions",
+    "q_sessionize_events",
     "q_customers_without_orders",
     "q16_supplier_count",
     "q_approx_distinct",

@@ -2275,3 +2275,83 @@ def text_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budgeted selection + contrastive negative pairs (round 4)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1500
+
+
+@register(
+    "corpus_token_budget",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id, source,
+             LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / LENGTH(text) AS alpha_ratio_raw,
+             len(list_filter({_SQL_TOKENS},
+                 t -> t IN ({_in_list(text.EN_STOPWORDS)})))::DOUBLE
+               / len({_SQL_TOKENS}) AS sw_ratio_raw,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, n_tokens,
+             ROUND(0.4 * alpha_ratio_raw
+                   + 0.4 * LEAST(sw_ratio_raw * 5, 1.0)
+                   + 0.2 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality_score
+      FROM q),
+    sel AS (
+      SELECT source, doc_id, quality_score, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM scored)
+    SELECT source, doc_id, quality_score, n_tokens, cum_tokens
+    FROM sel WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-first per-source selection under a fixed token budget — the
+    mixture-filling step between quality scoring and shard writing: one
+    per-source cumulative-sum window (unique order key, reproducible
+    cut), one filter, no joins."""
+    docs = table(spark, sf, "documents")
+    return corpus.token_budget_select(docs, budget_tokens=_BUDGET_TOKENS)
+
+
+_NEG_K = 4
+
+
+@register(
+    "corpus_negative_pairs",
+    oracle=rf"""
+    WITH rk AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS _rk
+      FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    probes AS (
+      SELECT r.doc_id, r._rk, t.j, n.n,
+             (CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':'
+                    || CAST(r.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+              % n.n) + 1 AS p0
+      FROM rk r, n, range({_NEG_K}) t(j)),
+    remap AS (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             CASE WHEN p0 = _rk THEN (p0 % n) + 1 ELSE p0 END AS _prk
+      FROM probes)
+    SELECT m.doc_id, m.j, b.doc_id AS neg_id
+    FROM remap m JOIN rk b ON b._rk = m._prk
+    """,
+)
+def corpus_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """k deterministic contrastive negatives per doc: ids densify with
+    the parallel global_rank, partners are md5-derived ranks
+    (self-collisions remap), materialized by one equi-join on the
+    partner rank — k rows per doc through the shuffle, never n^2."""
+    docs = table(spark, sf, "documents")
+    return corpus.negative_pairs(docs, k=_NEG_K)
