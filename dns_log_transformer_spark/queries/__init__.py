@@ -49,7 +49,11 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # q_date_functions and q_sessionize_events cede (r03-green; the
 # window/session family keeps q_sliding_native, q_event_time_buckets,
 # q_rolling_hour and q_gapfill_buckets in-window).
+# q_hll_sketch_merge enters (mergeable-sketch-table shape);
+# q_cube_returnflag cedes (r03-green; rollup/grouping-sets family all
+# pytest-pinned).
 _DEPRIORITIZED = [
+    "q_cube_returnflag",
     "q_date_functions",
     "q_sessionize_events",
     "q_customers_without_orders",

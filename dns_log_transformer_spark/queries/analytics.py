@@ -2302,3 +2302,50 @@ def q_global_rank(spark: SparkSession, sf: str) -> DataFrame:
         ],
         rank_col="global_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches: partial sketch build + union (sketch-table shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q_hll_sketch_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS merged_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Datasketches-HLL built as MERGEABLE partials: per-(group, shard)
+    sketches via hll_sketch_agg, then hll_union_agg across shards, then
+    estimate — the pre-aggregated sketch-table pattern (store binary
+    sketches per partition/day, merge at query time; distinct-count
+    queries never rescan raw data). Sketch bytes differ per engine, so
+    the oracle-comparable output is the exact count + an in-5%-bound
+    flag on the merged estimate (the q_approx_distinct pattern)."""
+    orders = table(spark, sf, "orders")
+    partials = (
+        orders.withColumn("_shard", (F.col("o_orderkey") % 8).cast("int"))
+        .groupBy("o_orderstatus", "_shard")
+        .agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
+    )
+    merged = partials.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    exact = (
+        orders.select("o_orderstatus", "o_custkey")
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count("o_custkey").alias("n_exact"))
+    )
+    return exact.join(merged, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_exact",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("n_exact").cast("double"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("merged_ok"),
+    )
