@@ -52,7 +52,11 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # q_hll_sketch_merge enters (mergeable-sketch-table shape);
 # q_cube_returnflag cedes (r03-green; rollup/grouping-sets family all
 # pytest-pinned).
+# q_unpivot_measures enters (melt/Expand coverage); q_event_time_buckets
+# cedes (r03-green; q_sliding_native + q_rolling_hour + q_gapfill keep
+# the event-time family in-window).
 _DEPRIORITIZED = [
+    "q_event_time_buckets",
     "q_cube_returnflag",
     "q_date_functions",
     "q_sessionize_events",

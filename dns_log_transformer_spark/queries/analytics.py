@@ -2349,3 +2349,48 @@ def q_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
             <= 0.05
         ).alias("merged_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): wide measure columns -> long (measure, value) rows
+# ---------------------------------------------------------------------------
+@register(
+    "q_unpivot_measures",
+    oracle="""
+    WITH long AS (
+      SELECT measure, val FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+                        l_tax
+                 FROM lineitem)
+        ON l_quantity, l_discount, l_tax INTO NAME measure VALUE val))
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           ROUND(MIN(val), 4) AS min_val,
+           ROUND(MAX(val), 4) AS max_val,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS sum_val
+    FROM long GROUP BY measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-to-long reshaping via unpivot/melt (the Expand operator —
+    each input row emits one row per measure, no shuffle until the
+    aggregate), with per-measure stats. Sums fold as exact DECIMAL so
+    combine order can't diverge from the oracle (PLANS.md rule 5)."""
+    li = table(spark, sf, "lineitem")
+    long = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").cast("long").alias("n_vals"),
+        F.round(F.min("val"), 4).alias("min_val"),
+        F.round(F.max("val"), 4).alias("max_val"),
+        F.round(
+            F.sum(F.col("val").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("sum_val"),
+    )
