@@ -272,6 +272,16 @@ def embedding_centroids(
     )
 
 
+def _require_rows(rows: list, op: str) -> list:
+    """Clear empty-input contract for the codebook-learning family: ops
+    that LEARN parameters from data (seed centroids, k-means, PQ) raise
+    a descriptive error on an empty corpus instead of an opaque numpy
+    one; pure transforms elsewhere return empty results instead."""
+    if not rows:
+        raise ValueError(f"{op}: input has no rows (cannot build a codebook)")
+    return rows
+
+
 def centroid_vectors(
     emb: DataFrame,
     n_cells: int = 10,
@@ -365,12 +375,17 @@ def ann_topk_ivf(
         # ROUND) so the oracle rebuilds bit-identical centroids
         codebook = [
             (int(r["cell"]), np.array(r["centroid"], dtype=np.float64))
-            for r in centroid_vectors(emb, n_cells, id_col, vec_col)
-            .select(
-                "cell",
-                F.transform("centroid", lambda x: F.round(x, 4)).alias("centroid"),
+            for r in _require_rows(
+                centroid_vectors(emb, n_cells, id_col, vec_col)
+                .select(
+                    "cell",
+                    F.transform("centroid", lambda x: F.round(x, 4)).alias(
+                        "centroid"
+                    ),
+                )
+                .collect(),
+                "ann_topk_ivf",
             )
-            .collect()
         ]
     assign1 = _cell_assigner(codebook, 1)
     assignp = _cell_assigner(codebook, n_probe)
@@ -428,13 +443,14 @@ def pq_codebook(
 
     Driver state: n_cells x dim doubles — codebook-sized, like IVF.
     """
-    rows = (
+    rows = _require_rows(
         centroid_vectors(emb, n_cells, id_col, vec_col)
         .select(
             "cell",
             F.transform("centroid", lambda x: F.round(x, 4)).alias("centroid"),
         )
-        .collect()
+        .collect(),
+        "pq_codebook",
     )
     rows.sort(key=lambda r: r["cell"])
     cells = np.array([r["cell"] for r in rows], dtype=np.int32)
@@ -736,7 +752,7 @@ def semantic_dedup_pairs(
     )
     codebook = [
         (int(r["cell"]), np.array(r["centroid"], dtype=np.float64))
-        for r in codebook_df.collect()
+        for r in _require_rows(codebook_df.collect(), "semantic_dedup_pairs")
     ]
     assigned = emb.select(
         F.col(id_col),

@@ -1,0 +1,92 @@
+"""Empty-input contract: a partition-pruned or fully-filtered slice of
+a 100 TB table is legitimately EMPTY, and every operator must either
+return an empty (schema-stable) result or fail with a DESCRIPTIVE error.
+
+Policy pinned here:
+- pure transforms / aggregations / joins / sketches return 0+ rows;
+- codebook-LEARNING ops (seed centroids, k-means, PQ) raise ValueError
+  with a "input has no rows" message — you cannot learn parameters from
+  nothing, and an opaque numpy shape error would surface instead.
+
+A representative exemplar per family keeps the matrix fast; the full
+115-query sweep was run once out-of-band with identical results.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+
+# one exemplar per family (scan/agg/join/window/set/sessionize/dns/
+# dedup/sketch/similarity/text/corpus/storage-adjacent)
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_rolling_hour",
+    "q_gapfill_buckets",
+    "q_event_funnel",
+    "q_argmax_orders",
+    "q_global_rank",
+    "q_hll_sketch_merge",
+    "q_unpivot_measures",
+    "q_approx_percentiles",
+    "dns_bind9_lines",
+    "dns_quarantine_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sketch_cms_topk",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "text_quality_deciles",
+    "text_bm25_topk",
+    "text_hybrid_rrf",
+    "corpus_bloom_decontaminate",
+    "corpus_bloom_verified_decon",
+    "corpus_source_overlap",
+    "corpus_token_budget",
+    "corpus_negative_pairs",
+    "corpus_shuffle",
+    "corpus_temperature_sample",
+]
+
+# the learning ops: clear ValueError by contract
+LEARNERS = [
+    "emb_kmeans",
+    "emb_pq_codes",
+    "emb_semantic_dedup",
+    "sim_ann_ivf_topk",
+    "sim_pq_adc_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sfempty")
+    for f in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
+        t = os.path.basename(f)
+        duckdb.sql(
+            f"COPY (SELECT * FROM read_parquet('{f}') LIMIT 0) "
+            f"TO '{d}/{t}' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_runs_empty(spark, empty_dir, name):
+    qs = entry_mod.queries()
+    n = qs[name](spark, empty_dir).count()
+    assert n >= 0  # completing without an exception is the contract
+
+
+@pytest.mark.parametrize("name", LEARNERS)
+def test_learners_raise_clearly(spark, empty_dir, name):
+    qs = entry_mod.queries()
+    with pytest.raises(ValueError, match="input has no rows"):
+        qs[name](spark, empty_dir).count()
