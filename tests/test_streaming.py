@@ -598,3 +598,41 @@ def test_corpus_ingest_restart_resumes(spark, tmp_path):
 
     rows = spark.read.parquet(out).collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2]
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join — the standard streaming enrichment pattern:
+    each micro-batch joins against a (broadcast-size) static dimension;
+    the static side is re-resolvable per batch, needs no watermark, and
+    unmatched stream rows route with a left join instead of dropping.
+    Also exercises a user_id-keyed dim built from a DataFrame, the shape
+    a slowly-changing lookup table takes at scale (broadcast under AQE
+    when it fits, shuffle join when it doesn't)."""
+    src = tmp_path / "events"
+    src.mkdir()
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id bigint, tier string"
+    )
+    stream = read_events_stream(spark, str(src))
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", F.coalesce("tier", F.lit("unknown")).alias("tier")
+    )
+    q = _start_memory(enriched, "enrich_test")
+    try:
+        _write_events(
+            src,
+            "f1.json",
+            [
+                _ev(1, "2024-01-01T00:01:00Z", user_id=1),
+                _ev(2, "2024-01-01T00:02:00Z", user_id=2),
+                _ev(3, "2024-01-01T00:03:00Z", user_id=99),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    assert out == {1: "gold", 2: "silver", 3: "unknown"}
