@@ -1,0 +1,83 @@
+"""Iterative graph algorithms as DataFrame joins.
+
+Connected components (duplicate clusters) lives with the dedup family
+(operators/dedup.py:243+); this module holds the general iterative
+pattern exemplar: PageRank. No reference analog (the reference is a
+record-at-a-time log transformer); this covers the "iterative algorithm
+on a 100 TB edge list" shape — each iteration is two joins and one
+aggregation, all key-partitioned, with per-iteration persists so the
+lineage (and any recomputation) stays one-iteration deep.
+
+Arithmetic is EXACT-INTEGER throughout (scaled ranks, floor division)
+so a DuckDB oracle unrolls the same iterations bit-for-bit: float
+PageRank would fold contributions in nondeterministic order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.operators.caching import persist_tracked
+
+PR_SCALE = 1_000_000  # ranks are fixed-point: 1.0 == PR_SCALE
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = PR_SCALE,
+    d_num: int = 85,
+    d_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list (damping
+    d_num/d_den, simple variant: dangling mass is not redistributed —
+    documented, deterministic).
+
+    Per iteration: contrib(u) = rank(u) DIV outdeg(u) (exact floor
+    division), inc(v) = sum of contribs over in-edges (exact int64
+    sum — combine-order-independent, unlike a float fold), rank'(v) =
+    (1-d)*scale + (d_num * inc) DIV d_den.
+
+    Shape at scale: edges and degrees persist once; each iteration is
+    edges ⋈ degrees ⋈ ranks (all equi-joins on the node key — ranks is
+    the small, #nodes-sized side) and one map-side-combined sum. No
+    driver state, no windows; iteration count bounds lineage depth and
+    each iteration's result persists so failure recovery replays ONE
+    iteration, not the whole chain.
+
+    Output: (node, pr_rank) for every node, pr_rank in scaled units.
+    """
+    e = persist_tracked(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")))
+    nodes = persist_tracked(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    deg = persist_tracked(e.groupBy("_s").agg(F.count("*").alias("_outdeg")))
+    base = scale - (d_num * scale) // d_den
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr_rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "_s")
+            .join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("CAST(pr_rank div _outdeg AS LONG)").alias("_c"),
+            )
+        )
+        inc = contrib.groupBy("node").agg(F.sum("_c").alias("_inc"))
+        ranks = persist_tracked(
+            nodes.join(inc, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST(({d_num} * COALESCE(_inc, 0L)) div {d_den} AS LONG)"
+                    )
+                ).alias("pr_rank"),
+            )
+        )
+    return ranks

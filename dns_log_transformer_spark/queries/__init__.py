@@ -55,7 +55,13 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # q_unpivot_measures enters (melt/Expand coverage); q_event_time_buckets
 # cedes (r03-green; q_sliding_native + q_rolling_hour + q_gapfill keep
 # the event-time family in-window).
+# q_recursive_months + q_pagerank_trade enter (recursive CTE + the
+# iterative-joins family); q_sliding_native and q_above_customer_avg
+# cede (r03-green; event-time and window families keep in-window
+# exemplars).
 _DEPRIORITIZED = [
+    "q_sliding_native",
+    "q_above_customer_avg",
     "q_event_time_buckets",
     "q_cube_returnflag",
     "q_date_functions",

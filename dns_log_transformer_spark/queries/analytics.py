@@ -2394,3 +2394,111 @@ def q_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("val").cast("decimal(18,6)")).cast("double"), 4
         ).alias("sum_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4): ENGINE-PORTABLE SQL — the oracle IS the query
+# ---------------------------------------------------------------------------
+_RECURSIVE_MONTHS_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(EXTRACT(YEAR FROM o_orderdate) * 12
+                  + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS mn,
+             CAST(MAX(EXTRACT(YEAR FROM o_orderdate) * 12
+                  + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS mx
+      FROM orders),
+    months(ym) AS (
+      SELECT mn FROM bounds
+      UNION ALL
+      SELECT ym + 1 FROM months, bounds WHERE ym < mx),
+    counts AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT m.ym AS ym,
+           -- exact integer before the cast: DuckDB CAST(double) rounds
+           -- half-even where Spark truncates, so the quotient must be
+           -- exactly representable (ym - ym % 12 is a multiple of 12)
+           CAST((m.ym - m.ym % 12) / 12 AS BIGINT) AS yr,
+           CAST(COALESCE(c.n_orders, 0) AS BIGINT) AS n_orders
+    FROM months m LEFT JOIN counts c ON c.ym = m.ym
+"""
+
+
+@register("q_recursive_months", oracle=_RECURSIVE_MONTHS_SQL)
+def q_recursive_months(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): a data-dependent
+    month spine from the min to the max order month with zero-filled
+    counts. The SQL text is engine-portable — the oracle string IS the
+    executed query, attesting the recursion semantics themselves match.
+    Recursion depth = elapsed months (bounded by the calendar, not the
+    data volume); the per-month counts reduce map-side before joining
+    the spine."""
+    table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_MONTHS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-point) over the customer<->supplier trade graph
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+
+
+def _pr_iter_cte(i: int, prev: str) -> str:
+    return f"""
+    i{i} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT)
+               AS pr_rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM(r.pr_rank // d.outdeg) AS inc
+        FROM e
+        JOIN deg d ON d.src = e.src
+        JOIN {prev} r ON r.node = e.src
+        GROUP BY e.dst) s ON s.node = n.node)"""
+
+
+_PAGERANK_ORACLE = (
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    i0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr_rank FROM nodes),"""
+    + ",".join(_pr_iter_cte(i, f"i{i - 1}") for i in range(1, _PR_ITERS + 1))
+    + f"""
+    SELECT node, pr_rank FROM i{_PR_ITERS}
+    """
+)
+
+
+@register("q_pagerank_trade", oracle=_PAGERANK_ORACLE)
+def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, d=0.85) over the undirected
+    customer<->supplier trade graph from orders x lineitem — the
+    iterative-algorithm-as-joins pattern (operators/graph.py): each
+    iteration is two equi-joins plus one exact-int64 aggregation; the
+    oracle unrolls the identical integer arithmetic, so the attestation
+    covers every iteration bit-for-bit, not just the fixed point."""
+    from dns_log_transformer_spark.operators.graph import pagerank_int
+
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_int(edges, iters=_PR_ITERS)
