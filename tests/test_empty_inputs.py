@@ -36,6 +36,8 @@ REPRESENTATIVE = [
     "q_hll_sketch_merge",
     "q_unpivot_measures",
     "q_approx_percentiles",
+    "q_recursive_months",
+    "q_pagerank_trade",
     "dns_bind9_lines",
     "dns_quarantine_stats",
     "dedup_exact",
