@@ -880,13 +880,22 @@ def negative_pairs(
         16,
         10,
     ).cast("long")
-    p0 = (h % n) + 1
-    partner = F.when(p0 == F.col("_rk"), (p0 % n) + 1).otherwise(p0)
+    # _p0 materializes as a top-level projection alias BEFORE the
+    # CaseWhen remap references it (condition + both branches) — the
+    # md5/conv chain would otherwise re-evaluate per reference
+    # (PLANS.md rule 1: subexpression elimination does not cross
+    # CaseWhen branches)
     probes = (
         ranked.select(
             id_col, "_rk", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("_j")
         )
-        .withColumn("_prk", partner)
+        .withColumn("_p0", (h % n) + 1)
+        .withColumn(
+            "_prk",
+            F.when(
+                F.col("_p0") == F.col("_rk"), (F.col("_p0") % n) + 1
+            ).otherwise(F.col("_p0")),
+        )
     )
     b = ranked.select(F.col("_rk").alias("_prk"), F.col(id_col).alias("neg_id"))
     return (

@@ -370,23 +370,10 @@ def ann_topk_ivf(
             enumerate(kmeans_codebook(emb, n_cells, train_iters, id_col, vec_col))
         )
     else:
-        # 4-decimal HALF_UP rounding via F.round (the semantic_dedup
-        # recipe — np.round is banker's and would diverge from DuckDB's
-        # ROUND) so the oracle rebuilds bit-identical centroids
-        codebook = [
-            (int(r["cell"]), np.array(r["centroid"], dtype=np.float64))
-            for r in _require_rows(
-                centroid_vectors(emb, n_cells, id_col, vec_col)
-                .select(
-                    "cell",
-                    F.transform("centroid", lambda x: F.round(x, 4)).alias(
-                        "centroid"
-                    ),
-                )
-                .collect(),
-                "ann_topk_ivf",
-            )
-        ]
+        # seed codebook = pq_codebook's recipe (ONE definition of the
+        # 4-decimal HALF_UP rounding that keeps oracles bit-identical)
+        cells0, mat0 = pq_codebook(emb, n_cells, id_col, vec_col)
+        codebook = [(int(c), mat0[i]) for i, c in enumerate(cells0)]
     assign1 = _cell_assigner(codebook, 1)
     assignp = _cell_assigner(codebook, n_probe)
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dns_log_transformer_spark.operators.caching import persist_tracked
 from dns_log_transformer_spark.operators.text import rebalance_for_fanout, tokens
 
 CMS_DEPTH = 4
@@ -41,6 +42,13 @@ def _cms_hash(tok: Column, j: int, width: int) -> Column:
     return (h % width).cast("int")
 
 
+def _token_stream(df: DataFrame, text_col: str) -> DataFrame:
+    """(_tok) instance stream, rebalanced before the fan-out (rule 7)."""
+    return rebalance_for_fanout(df.select(F.col(text_col))).select(
+        F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+
+
 def cms_counters(
     df: DataFrame,
     text_col: str = "text",
@@ -53,9 +61,10 @@ def cms_counters(
     pairs, one aggregation: partial counts combine map-side into at most
     depth*width rows per task, so the exchange carries the grid, never
     the stream."""
-    toks = rebalance_for_fanout(df.select(F.col(text_col))).select(
-        F.explode(tokens(F.col(text_col))).alias("_tok")
-    )
+    return _counters_from(_token_stream(df, text_col), depth, width)
+
+
+def _counters_from(toks: DataFrame, depth: int, width: int) -> DataFrame:
     jh = F.array(
         *[
             F.struct(
@@ -92,10 +101,13 @@ def cms_topk(
     Output: (tok, est) — est is a CMS upper bound on the true count
     (tests/test_sketches.py pins est >= true per token).
     """
-    counters = cms_counters(df, text_col, depth, width)
-    cand = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("tok")).distinct()
-    )
+    # ONE tokenize pass feeds both the counter build and the candidate
+    # set (persisted: two consumers of the same fan-out — rule 4); the
+    # candidate distinct would otherwise re-run the whole explode over
+    # the under-split scan
+    toks = persist_tracked(_token_stream(df, text_col))
+    counters = _counters_from(toks, depth, width)
+    cand = toks.select(F.col("_tok").alias("tok")).distinct()
     probes = cand.select(
         "tok",
         F.explode(

@@ -52,6 +52,27 @@ def _in_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+# Quality-score recipe shared by text_quality / text_quality_deciles /
+# corpus_token_budget (mirrors operators/text.py with_quality_score) —
+# ONE definition so a blend tweak cannot drift a subset of oracles.
+# Both fragments are .format()-ed into oracles at module import.
+_QUALITY_RAW_SQL = rf"""
+      SELECT doc_id, source,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / LENGTH(text) AS alpha_ratio_raw,
+             len(list_filter({_SQL_TOKENS},
+                 t -> t IN ({_in_list(text.EN_STOPWORDS)})))::DOUBLE
+               / len({_SQL_TOKENS}) AS sw_ratio_raw
+      FROM documents"""
+_QUALITY_SCORE_EXPR = (
+    "ROUND(0.4 * alpha_ratio_raw"
+    " + 0.4 * LEAST(sw_ratio_raw * 5, 1.0)"
+    " + 0.2 * LEAST(n_tokens / 100.0, 1.0), 4)"
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -76,22 +97,11 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "text_quality",
     oracle=rf"""
-    WITH q AS (
-      SELECT doc_id,
-             CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
-             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
-             LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-               / LENGTH(text) AS alpha_ratio_raw,
-             len(list_filter({_SQL_TOKENS},
-                 t -> t IN ({_in_list(text.EN_STOPWORDS)})))::DOUBLE
-               / len({_SQL_TOKENS}) AS sw_ratio_raw
-      FROM documents)
+    WITH q AS ({_QUALITY_RAW_SQL})
     SELECT doc_id, n_chars_m, n_tokens,
            ROUND(alpha_ratio_raw, 4) AS alpha_ratio,
            ROUND(sw_ratio_raw, 4)    AS stopword_ratio,
-           ROUND(0.4 * alpha_ratio_raw
-                 + 0.4 * LEAST(sw_ratio_raw * 5, 1.0)
-                 + 0.2 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality_score
+           {_QUALITY_SCORE_EXPR} AS quality_score
     FROM q
     """,
 )
@@ -107,20 +117,10 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "text_quality_deciles",
     oracle=rf"""
-    WITH q AS (
-      SELECT doc_id, source,
-             LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-               / LENGTH(text) AS alpha_ratio_raw,
-             len(list_filter({_SQL_TOKENS},
-                 t -> t IN ({_in_list(text.EN_STOPWORDS)})))::DOUBLE
-               / len({_SQL_TOKENS}) AS sw_ratio_raw,
-             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
-      FROM documents),
+    WITH q AS ({_QUALITY_RAW_SQL}),
     scored AS (
       SELECT doc_id, source,
-             ROUND(0.4 * alpha_ratio_raw
-                   + 0.4 * LEAST(sw_ratio_raw * 5, 1.0)
-                   + 0.2 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality_score
+             {_QUALITY_SCORE_EXPR} AS quality_score
       FROM q),
     d AS (
       SELECT source, quality_score,
@@ -2287,20 +2287,10 @@ _BUDGET_TOKENS = 1500
 @register(
     "corpus_token_budget",
     oracle=rf"""
-    WITH q AS (
-      SELECT doc_id, source,
-             LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-               / LENGTH(text) AS alpha_ratio_raw,
-             len(list_filter({_SQL_TOKENS},
-                 t -> t IN ({_in_list(text.EN_STOPWORDS)})))::DOUBLE
-               / len({_SQL_TOKENS}) AS sw_ratio_raw,
-             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
-      FROM documents),
+    WITH q AS ({_QUALITY_RAW_SQL}),
     scored AS (
       SELECT doc_id, source, n_tokens,
-             ROUND(0.4 * alpha_ratio_raw
-                   + 0.4 * LEAST(sw_ratio_raw * 5, 1.0)
-                   + 0.2 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality_score
+             {_QUALITY_SCORE_EXPR} AS quality_score
       FROM q),
     sel AS (
       SELECT source, doc_id, quality_score, n_tokens,
