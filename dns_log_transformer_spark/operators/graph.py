@@ -41,16 +41,22 @@ def pagerank_int(
     sum — combine-order-independent, unlike a float fold), rank'(v) =
     (1-d)*scale + (d_num * inc) DIV d_den.
 
-    Shape at scale: edges and degrees persist once; each iteration is
-    edges ⋈ degrees ⋈ ranks (all equi-joins on the node key — ranks is
-    the small, #nodes-sized side) and one map-side-combined sum. No
-    driver state, no windows; iteration count bounds lineage depth and
-    each iteration's result persists so failure recovery replays ONE
-    iteration, not the whole chain.
+    Shape at scale: the per-node contribution is computed on the SMALL
+    side first (ranks ⋈ degrees — #nodes rows), so each iteration does
+    exactly ONE join over the edge list (broadcast of the #nodes-sized
+    contributions) plus a map-side-combined sum; the division happens
+    #nodes times, never #edges times. No driver state, no windows;
+    iteration count bounds lineage depth and each iteration's result
+    persists so failure recovery replays ONE iteration, not the chain.
+
+    The caller owns edge caching: `edges` is scanned iters+2 times
+    (nodes, degrees, one per iteration), so persist the expensive part
+    of its lineage upstream — the operator does not re-persist a
+    possibly-already-cached input.
 
     Output: (node, pr_rank) for every node, pr_rank in scaled units.
     """
-    e = persist_tracked(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")))
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     nodes = persist_tracked(
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
@@ -60,15 +66,16 @@ def pagerank_int(
     base = scale - (d_num * scale) // d_den
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr_rank"))
     for _ in range(iters):
-        contrib = (
-            e.join(deg, "_s")
-            .join(ranks.withColumnRenamed("node", "_s"), "_s")
-            .select(
-                F.col("_d").alias("node"),
-                F.expr("CAST(pr_rank div _outdeg AS LONG)").alias("_c"),
-            )
+        per_node = (
+            ranks.withColumnRenamed("node", "_s")
+            .join(deg, "_s")
+            .select("_s", F.expr("CAST(pr_rank div _outdeg AS LONG)").alias("_c"))
         )
-        inc = contrib.groupBy("node").agg(F.sum("_c").alias("_inc"))
+        inc = (
+            e.join(per_node, "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("_c").alias("_inc"))
+        )
         ranks = persist_tracked(
             nodes.join(inc, "node", "left").select(
                 "node",
