@@ -69,6 +69,7 @@ def main() -> None:
         "text_token_stats",     # text fan-out
         "sim_topk_bruteforce",  # Arrow pandas-UDF worker pool
         "dedup_minhash_lsh",    # pyspark.ml NGram class load + persist path
+        "q_distinct_and_percentiles",  # ObjectHashAggregate/percentile machinery
     ):
         if wname in ALL_QUERIES:
             ALL_QUERIES[wname].fn(spark, sf_dir).write.mode("overwrite").format(
