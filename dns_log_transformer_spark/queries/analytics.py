@@ -817,10 +817,15 @@ def q_distinct_and_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_parts"))
     )
+    # array-form percentile: one aggregation buffer for both targets
     pct = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
+        F.percentile("l_extendedprice", F.lit([0.5, 0.95])).alias("_pq"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    ).select(
+        "l_returnflag",
+        F.round(F.col("_pq")[0], 2).alias("median_price"),
+        F.round(F.col("_pq")[1], 2).alias("p95_price"),
+        "sd_qty",
     )
     return (
         pct.join(sup, "l_returnflag")
