@@ -59,7 +59,10 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # iterative-joins family); q_sliding_native and q_above_customer_avg
 # cede (r03-green; event-time and window families keep in-window
 # exemplars).
+# q_iqr_outliers enters (robust-stats family); q15_top_supplier cedes
+# (r03-green; the agg-join family keeps q2/q11/q18/q20/q21 in-window).
 _DEPRIORITIZED = [
+    "q15_top_supplier",
     "q_sliding_native",
     "q_above_customer_avg",
     "q_event_time_buckets",

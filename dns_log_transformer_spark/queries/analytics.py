@@ -2525,3 +2525,65 @@ def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank_int(edges, iters=_PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: IQR outlier fences per group
+# ---------------------------------------------------------------------------
+@register(
+    "q_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             QUANTILE_CONT(o_totalprice, 0.25) AS q1,
+             QUANTILE_CONT(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           ROUND(q.q1, 2) AS q1,
+           ROUND(q.q3, 2) AS q3,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                           OR o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o JOIN q ON q.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority, q.q1, q.q3
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey-fence outlier counts per priority class — the robust-stats
+    screen (quartiles are insensitive to the outliers they detect,
+    unlike mean/stddev z-scores). Two passes: one array-percentile agg
+    for the fences (5 rows, broadcast back), one conditional-sum agg
+    for the counts. Fence comparisons keep the oracle's exact
+    expression shape (q3 + 1.5*(q3-q1), unrounded) so boundary rows
+    classify identically."""
+    orders = table(spark, sf, "orders")
+    q = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit([0.25, 0.75])).alias("_q")
+    ).select(
+        "o_orderpriority",
+        F.col("_q")[0].alias("_q1"),
+        F.col("_q")[1].alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    hi = F.col("_q3") + 1.5 * iqr
+    lo = F.col("_q1") - 1.5 * iqr
+    joined = orders.join(F.broadcast(q), "o_orderpriority")
+    return (
+        joined.groupBy("o_orderpriority", "_q1", "_q3")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                (
+                    (F.col("o_totalprice") > hi) | (F.col("o_totalprice") < lo)
+                ).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round(F.col("_q1"), 2).alias("q1"),
+            F.round(F.col("_q3"), 2).alias("q3"),
+            "n_orders",
+            "n_outliers",
+        )
+    )
