@@ -60,8 +60,8 @@ def main() -> None:
     # whenever the registry grows (the q5/q6 "regression" of round 3 and
     # q7's in round 4 were both this). Exercise one exemplar of each
     # path before the clock starts; timings below are steady-state.
-    # Filtered runs skip it: the quick-iteration loop shouldn't pay six
-    # fixed queries, and its numbers are for relative comparison anyway.
+    # Filtered runs skip it: the quick-iteration loop shouldn't pay the
+    # fixed exemplar queries, and its numbers are for relative comparison anyway.
     for wname in () if only else (
         "q1_pricing_summary",   # agg + codegen
         "q3_shipping_priority", # join machinery

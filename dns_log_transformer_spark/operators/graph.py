@@ -49,8 +49,8 @@ def pagerank_int(
     iteration count bounds lineage depth and each iteration's result
     persists so failure recovery replays ONE iteration, not the chain.
 
-    The caller owns edge caching: `edges` is scanned iters+2 times
-    (nodes, degrees, one per iteration), so persist the expensive part
+    The caller owns edge caching: `edges` is scanned iters+3 times
+    (nodes scans it twice, degrees once, one per iteration), so persist the expensive part
     of its lineage upstream — the operator does not re-persist a
     possibly-already-cached input.
 

@@ -2241,12 +2241,17 @@ def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     shuffles fixed-size summaries."""
     li = table(spark, sf, "lineitem")
     acc = 100  # rank error <= 1% of each group
+    eps = 1.0 / acc
     # ONE exact-percentile aggregate evaluating all six targets and ONE
     # GK sketch evaluating both — array-form percentile() shares a
     # single aggregation buffer per group where six scalar calls would
-    # each build (and codegen) their own, measured 10x cheaper cold
+    # each build (and codegen) their own, measured 10x cheaper cold.
+    # Bound targets derive from acc so tightening the sketch keeps the
+    # attestation window in lockstep.
     exact6 = F.percentile(
-        "l_extendedprice", F.lit([0.49, 0.5, 0.51, 0.94, 0.95, 0.96])
+        "l_extendedprice",
+        F.lit([max(0.5 - eps, 0.0), 0.5, min(0.5 + eps, 1.0),
+               max(0.95 - eps, 0.0), 0.95, min(0.95 + eps, 1.0)]),
     )
     approx2 = F.percentile_approx(
         "l_extendedprice", F.lit([0.5, 0.95]), F.lit(acc)
