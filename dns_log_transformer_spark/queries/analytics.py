@@ -2526,6 +2526,10 @@ def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+    # materialize the cache EAGERLY: the union's two branches otherwise
+    # race to populate it inside one job and partitions compute twice
+    # (measured 2x on the first action); one count pins every partition
+    e0.count()
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
