@@ -31,6 +31,7 @@ from dns_log_transformer_spark.streaming.windows import (
 )
 from dns_log_transformer_spark.streaming.stateful import (
     RUN_EVICT_STATE_STORE,
+    funnel_stages,
     running_user_totals,
     sessionized_user_totals,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "sliding_counts",
     "session_stats",
     "dedup_within_watermark",
+    "funnel_stages",
     "running_user_totals",
     "sessionized_user_totals",
     "RUN_EVICT_STATE_STORE",

@@ -162,3 +162,85 @@ def sessionized_user_totals(
         outputMode="update",
         timeMode="ProcessingTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful conversion funnel: view -> click -> purchase, exact under
+# out-of-order arrival
+# ---------------------------------------------------------------------------
+
+#: Per-user event-time lists (epoch micros). Keeping the LISTS (bounded
+#: by individual activity, the same bound the batch funnel's
+#: collect_list carries) makes the chase EXACT under any arrival order:
+#: a late-arriving early view can still unlock an already-seen click,
+#: which a scalar (t1,t2,t3) state would have discarded.
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("views", T.ArrayType(T.LongType())),
+        T.StructField("clicks", T.ArrayType(T.LongType())),
+        T.StructField("purchases", T.ArrayType(T.LongType())),
+    ]
+)
+
+_FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+    ]
+)
+
+
+def _chase(views: list, clicks: list, purchases: list):
+    t1 = min(views) if views else None
+    t2 = min((c for c in clicks if t1 is not None and c > t1), default=None)
+    t3 = min(
+        (p for p in purchases if t2 is not None and p > t2), default=None
+    )
+    stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+    return stage, t1, t2, t3
+
+
+def _update_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    views, clicks, purchases = (
+        state.get if state.exists else ([], [], [])
+    )
+    views, clicks, purchases = list(views), list(clicks), list(purchases)
+    buckets = {"view": views, "click": clicks, "purchase": purchases}
+    for pdf in pdfs:
+        for et, ts in zip(pdf["event_type"], pdf["ts"]):
+            b = buckets.get(et)
+            if b is not None:
+                b.append(int(pd.Timestamp(ts).value // 1000))
+    state.update((views, clicks, purchases))
+    stage, t1, t2, t3 = _chase(views, clicks, purchases)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "stage": [stage],
+            "t1_us": [t1],
+            "t2_us": [t2],
+            "t3_us": [t3],
+        }
+    )
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Per-user live conversion stage (0-3) for the strict-order
+    view -> click -> purchase funnel — the streaming twin of the batch
+    `q_event_funnel`, updated every micro-batch the user appears in and
+    EXACT under out-of-order arrival (see state schema note). State is
+    bounded by per-user activity; unbounded key spaces should add a
+    timeout like the TWS eviction variant below."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=_FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -636,3 +636,52 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enrich_test").collect()
     }
     assert out == {1: "gold", 2: "silver", 3: "unknown"}
+
+
+def test_stateful_funnel_exact_under_out_of_order(spark, tmp_path):
+    """Streaming twin of q_event_funnel: per-user stage advances across
+    micro-batches, and a LATE-arriving early view retroactively unlocks
+    a click that already sat in state — the exactness a scalar
+    (t1,t2,t3) state cannot provide. Final stages must equal the batch
+    chase over the union of all events."""
+    from dns_log_transformer_spark.streaming import funnel_stages
+
+    src = tmp_path / "events"
+    src.mkdir()
+    stream = read_events_stream(spark, str(src))
+    q = _start_memory(funnel_stages(stream), "funnel_state_test", mode="update")
+    try:
+        # batch 1: user 1 clicks + purchases but has NO view yet -> stage 0;
+        # user 2 views -> stage 1
+        _write_events(
+            src,
+            "f1.json",
+            [
+                _ev(1, "2024-01-01T00:10:00Z", user_id=1, event_type="click"),
+                _ev(2, "2024-01-01T00:20:00Z", user_id=1, event_type="purchase"),
+                _ev(3, "2024-01-01T00:01:00Z", user_id=2, event_type="view"),
+            ],
+        )
+        q.processAllAvailable()
+        mid = {
+            r["user_id"]: r["stage"]
+            for r in spark.sql("SELECT * FROM funnel_state_test").collect()
+        }
+        assert mid == {1: 0, 2: 1}
+
+        # batch 2: user 1's view arrives LATE with an EARLIER timestamp —
+        # the stored click+purchase must now complete the funnel
+        _write_events(
+            src,
+            "f2.json",
+            [_ev(4, "2024-01-01T00:05:00Z", user_id=1, event_type="view")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM funnel_state_test WHERE user_id = 1 ORDER BY stage DESC"
+    ).collect()
+    assert rows[0]["stage"] == 3
+    # the chase is strict: view(00:05) < click(00:10) < purchase(00:20)
+    assert rows[0]["t1_us"] < rows[0]["t2_us"] < rows[0]["t3_us"]
