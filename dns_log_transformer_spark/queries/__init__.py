@@ -61,7 +61,11 @@ from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 # exemplars).
 # q_iqr_outliers enters (robust-stats family); q15_top_supplier cedes
 # (r03-green; the agg-join family keeps q2/q11/q18/q20/q21 in-window).
+# corpus_boilerplate enters (cross-doc repetition screen);
+# q_customer_order_counts cedes (r03-green; outer-join-agg family
+# covered in-window by q21 and the corpus funnel).
 _DEPRIORITIZED = [
+    "q_customer_order_counts",
     "q15_top_supplier",
     "q_sliding_native",
     "q_above_customer_avg",

@@ -2345,3 +2345,59 @@ def corpus_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
     partner rank — k rows per doc through the shuffle, never n^2."""
     docs = table(spark, sf, "documents")
     return corpus.negative_pairs(docs, k=_NEG_K)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate score: per-doc fraction of shingles shared with other docs
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_boilerplate",
+    oracle=rf"""
+    WITH {_SQL_SHINGLES},
+    posting AS (SELECT doc_id, unnest(s) AS x FROM sh),
+    dfreq AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS df FROM posting GROUP BY x),
+    per_doc AS (
+      SELECT p.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM posting p JOIN dfreq d ON d.x = p.x
+      GROUP BY p.doc_id)
+    SELECT doc_id, n_shingles, n_shared,
+           ROUND(n_shared * 1.0 / n_shingles, 4) AS boilerplate_frac
+    FROM per_doc
+    """,
+)
+def corpus_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate screen: the fraction of a doc's distinct 3-grams that
+    appear in ANY other doc (shingles are distinct per doc, so df > 1
+    means cross-document repetition) — headers/footers/templates score
+    high and get down-weighted before training.
+
+    Shape at scale: one posting explode persisted for its two consumers
+    (document-frequency agg + per-doc join back), both aggregations
+    map-side-combined; the df join is 1:1 per posting row (no fan-out),
+    so hot shingles skew only the partitioning, which AQE's skew
+    handling splits."""
+    docs = table(spark, sf, "documents")
+    sh = dedup.with_shingles(docs)
+    posting = persist_tracked(
+        sh.select("doc_id", F.explode("shingles").alias("x"))
+    )
+    dfreq = posting.groupBy("x").agg(F.count("*").alias("_df"))
+    return (
+        posting.join(dfreq, "x")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("_df") > 1).cast("long")).cast("long").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )
