@@ -140,6 +140,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def boilerplate_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc boilerplate score: the fraction of its DISTINCT n-grams
+    appearing in any other document (shingles are distinct per doc, so
+    document frequency > 1 means cross-document repetition) —
+    headers/footers/templates score high and get down-weighted before
+    training.
+
+    Same persisted posting index as `ngram_jaccard_pairs` (explode once,
+    two consumers: the document-frequency aggregate and the 1:1 per-doc
+    join back); both aggregations map-side-combine, and the df join has
+    no fan-out, so hot shingles skew only the partitioning (AQE splits).
+
+    Output: (id_col, n_shingles, n_shared, boilerplate_frac).
+    """
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    sh = with_shingles(df, id_col, text_col, n)
+    posting = persist_tracked(
+        sh.select(id_col, F.explode("shingles").alias("_x"))
+    )
+    dfreq = posting.groupBy("_x").agg(F.count("*").alias("_df"))
+    return (
+        posting.join(dfreq, "_x")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("_df") > 1).cast("long")).cast("long").alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

@@ -2526,10 +2526,13 @@ def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    # materialize the cache EAGERLY: the union's two branches otherwise
-    # race to populate it inside one job and partitions compute twice
-    # (measured 2x on the first action); one count pins every partition
-    e0.count()
+    # NOT eagerly materialized: a build-time count() would move the
+    # dominant edge-build cost outside any caller's timed action (the
+    # (spark, sf) -> DataFrame contract stays lazy; only structurally
+    # required actions — zipWithIndex offsets, codebook collects — run
+    # at build). Cost: the union's two branches can race the cache on
+    # the FIRST action and compute some partitions twice; later actions
+    # read the cache.
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

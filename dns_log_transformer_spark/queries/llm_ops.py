@@ -2369,35 +2369,9 @@ def corpus_negative_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def corpus_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
-    """Boilerplate screen: the fraction of a doc's distinct 3-grams that
-    appear in ANY other doc (shingles are distinct per doc, so df > 1
-    means cross-document repetition) — headers/footers/templates score
-    high and get down-weighted before training.
-
-    Shape at scale: one posting explode persisted for its two consumers
-    (document-frequency agg + per-doc join back), both aggregations
-    map-side-combined; the df join is 1:1 per posting row (no fan-out),
-    so hot shingles skew only the partitioning, which AQE's skew
-    handling splits."""
+    """Boilerplate screen: fraction of each doc's distinct 3-grams that
+    appear in ANY other document (operators/dedup.py boilerplate_scores
+    — the ngram_jaccard posting-index shape with a document-frequency
+    consumer)."""
     docs = table(spark, sf, "documents")
-    sh = dedup.with_shingles(docs)
-    posting = persist_tracked(
-        sh.select("doc_id", F.explode("shingles").alias("x"))
-    )
-    dfreq = posting.groupBy("x").agg(F.count("*").alias("_df"))
-    return (
-        posting.join(dfreq, "x")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum((F.col("_df") > 1).cast("long")).cast("long").alias("n_shared"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_shared",
-            F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias(
-                "boilerplate_frac"
-            ),
-        )
-    )
+    return dedup.boilerplate_scores(docs)

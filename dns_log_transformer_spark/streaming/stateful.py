@@ -199,7 +199,10 @@ def _chase(views: list, clicks: list, purchases: list):
     t3 = min(
         (p for p in purchases if t2 is not None and p > t2), default=None
     )
-    stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+    # is-not-None, not truthiness: epoch 0 is a valid timestamp
+    stage = (
+        3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+    )
     return stage, t1, t2, t3
 
 
@@ -215,7 +218,10 @@ def _update_funnel(
     for pdf in pdfs:
         for et, ts in zip(pdf["event_type"], pdf["ts"]):
             b = buckets.get(et)
-            if b is not None:
+            # pd.isna guard: a null/NaT ts would append the NaT sentinel
+            # (-2^63 ns) and poison the min-chase; the batch twin's
+            # F.min/collect_list skip null ts, so the stream must too
+            if b is not None and not pd.isna(ts):
                 b.append(int(pd.Timestamp(ts).value // 1000))
     state.update((views, clicks, purchases))
     stage, t1, t2, t3 = _chase(views, clicks, purchases)
