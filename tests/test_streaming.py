@@ -685,3 +685,34 @@ def test_stateful_funnel_exact_under_out_of_order(spark, tmp_path):
     assert rows[0]["stage"] == 3
     # the chase is strict: view(00:05) < click(00:10) < purchase(00:20)
     assert rows[0]["t1_us"] < rows[0]["t2_us"] < rows[0]["t3_us"]
+
+
+def test_stateful_funnel_ignores_null_timestamps(spark, tmp_path):
+    """A record with an unparseable/null ts must not poison the chase:
+    pandas NaT converts to the -2^63 sentinel, which would become a
+    fake 'earliest view' unlocking every stored click. The batch twin's
+    F.min/collect_list skip null ts; the stream must match."""
+    from dns_log_transformer_spark.streaming import funnel_stages
+
+    src = tmp_path / "events"
+    src.mkdir()
+    q = _start_memory(
+        funnel_stages(read_events_stream(spark, str(src))),
+        "funnel_nat_test",
+        mode="update",
+    )
+    try:
+        bad = _ev(1, None, user_id=1, event_type="view")
+        bad["ts"] = "not-a-timestamp"  # parses to null under the schema
+        _write_events(
+            src,
+            "f1.json",
+            [bad, _ev(2, "2024-01-01T00:10:00Z", user_id=1, event_type="click")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM funnel_nat_test").collect()
+    assert len(rows) == 1
+    # no valid view -> stage 0, and no sentinel t1
+    assert rows[0]["stage"] == 0 and rows[0]["t1_us"] is None
