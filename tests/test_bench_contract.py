@@ -1,0 +1,31 @@
+"""bench.py's stdout contract: the driver tail-captures stdout and
+parses the LAST line as one JSON object — a formatting regression here
+silently turns BENCH_r{N}.json.parsed null (the round-2 lesson)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_last_line_is_compact_parseable_json():
+    env = dict(os.environ, SPARK_GRAFT_BENCH_FILTER="q6_revenue")
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    last = json.loads(lines[-1])
+    assert set(last) == {"metric", "value", "unit", "sf", "n_queries"}
+    assert last["unit"] == "sec" and last["n_queries"] == 1
+    assert len(lines[-1]) < 200  # must survive a bounded tail capture
+    # the detail line (first JSON line) carries the per-query maps
+    detail = json.loads(lines[-2])
+    assert "queries" in detail and "rows" in detail
