@@ -1822,18 +1822,34 @@ _HE_DIM = text.HASH_EMBED_DIM
       SELECT doc_id, list(d ORDER BY d) AS ds, list(v ORDER BY d) AS vs
       FROM cells GROUP BY doc_id)
     SELECT doc_id,
-           list_transform(range({_HE_DIM}),
-                          i -> COALESCE(vs[list_position(ds, CAST(i AS INT))], 0))
-             AS embedding
+           array_to_string(
+             list_transform(range({_HE_DIM}),
+               i -> CAST(COALESCE(vs[list_position(ds, CAST(i AS INT))], 0)
+                         AS VARCHAR)),
+             ',') AS embedding_csv
     FROM gathered
     """,
 )
 def text_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-hashed bag-of-words doc embeddings (signed 64-dim integer
     vectors) — text-to-vector without a model, feeding the ANN family at
-    the same (id, embedding) interface."""
+    the same (id, embedding) interface.
+
+    The driver-facing projection serializes the vector to one
+    comma-joined string column (``embedding_csv``): the harness
+    canonicalizes results with a raw ``DataFrame.sort_values`` over all
+    columns, which cannot sort list cells. ANN consumers use the
+    array-returning ``text.hashed_embedding`` operator directly (see
+    ``dedup_text_embedding_lsh``). ``array_join`` over a whole-array
+    cast keeps serialization codegen'd — no per-element lambda."""
     docs = table(spark, sf, "documents")
-    return text.hashed_embedding(docs)
+    emb = text.hashed_embedding(docs)
+    return emb.select(
+        "doc_id",
+        F.array_join(F.col("embedding").cast("array<string>"), ",").alias(
+            "embedding_csv"
+        ),
+    )
 
 
 _HE_SQL = f"""
@@ -1993,7 +2009,9 @@ _PQ_CODES = f"""
       FROM embeddings),
     {_PQ_CB},
     {_PQ_CODES}
-    SELECT vec_id, list(CAST(cell AS INT) ORDER BY sub) AS code
+    SELECT vec_id,
+           array_to_string(list(CAST(cell AS VARCHAR) ORDER BY sub), ',')
+             AS code_csv
     FROM codes GROUP BY vec_id
     """,
 )
@@ -2002,10 +2020,20 @@ def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     {_PQ_M} cell ids (one per 8-dim subspace, nearest codebook centroid
     by subspace L2) — 32x smaller than the raw floats, the form a
     billion-vector index actually stores. Broadcast codebook, one
-    pandas-UDF pass, no shuffle."""
+    pandas-UDF pass, no shuffle.
+
+    Driver-facing projection serializes the code vector to one
+    comma-joined string (``code_csv``) so the harness's raw
+    ``sort_values`` canonicalizer can order rows; ADC consumers use
+    the array-returning ``similarity.pq_encode`` directly
+    (``sim_pq_adc_topk``)."""
     emb = table(spark, sf, "embeddings")
     cb = similarity.pq_codebook(emb, n_cells=_PQ_CELLS)
-    return similarity.pq_encode(emb, cb, m=_PQ_M)
+    codes = similarity.pq_encode(emb, cb, m=_PQ_M)
+    return codes.select(
+        "vec_id",
+        F.array_join(F.col("code").cast("array<string>"), ",").alias("code_csv"),
+    )
 
 
 @register(

@@ -30,6 +30,24 @@ def duck():
     return con
 
 
+def driver_canon(df: pd.DataFrame, name: str) -> None:
+    """Twin of the external harness's canonicalizer: sort-by-all-columns
+    on the RAW frame, no astype(str) pre-pass. Crashes with 'unhashable
+    type: list' when a query exposes array-typed output columns — which
+    ``normalize`` below masks by stringifying first. Every registered
+    query must survive this (round-4 lesson: text_hashed_embedding and
+    emb_pq_codes errored at the driver while green locally)."""
+    out = df.reindex(sorted(df.columns), axis=1)
+    try:
+        out.sort_values(by=list(out.columns), ignore_index=True)
+    except TypeError as e:
+        raise AssertionError(
+            f"{name}: output does not sort under the driver's raw "
+            f"canonicalizer ({e}); project array/struct columns to a "
+            f"sortable scalar (e.g. array_join) on both query and oracle"
+        ) from e
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.reindex(sorted(df.columns), axis=1)
     for c in out.columns:
@@ -88,11 +106,13 @@ def test_query_parity(spark, duck, name):
         # 97 queries share one session: drop operator-internal caches so
         # the suite doesn't accumulate session-lifetime storage
         release_all()
+    driver_canon(spark_pdf, name)
     if name not in ORACLES:
         # rows-only contract: runs and yields a stable schema
         assert spark_pdf is not None
         return
     duck_pdf = duck.execute(ORACLES[name]).df()
+    driver_canon(duck_pdf, name)
     assert_frames_match(spark_pdf, duck_pdf, name)
 
 
