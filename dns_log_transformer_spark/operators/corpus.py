@@ -163,6 +163,78 @@ def global_rank(
     return stamped.withColumn(rank_col, rank).drop("_gr_pid", "_gr_local")
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    sort_cols: list,
+    rank_col: str = "group_rank",
+    count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based rank in ``sort_cols`` order WITHOUT the
+    single-task-per-group plan ``row_number().over(Window.partitionBy(
+    group))`` degrades to when the group key has low cardinality and
+    terabyte-scale members (e.g. corpus "source"): a hash-partitioned
+    window funnels each group's entire corpus through ONE task, and no
+    partition-count config helps.
+
+    Shape: one ``global_rank`` over ``(group_col, *sort_cols)`` — a
+    range partition on the FULL key, so one group spans many partitions
+    — then per-group rank = global rank − (rows in preceding groups).
+    The per-group start offset is ``min(global_rank) − 1`` per group
+    (no assumption about how the range ordering compares group keys),
+    collected once and inlined as a literal map.
+
+    ``sort_cols`` MUST make ``(group_col, *sort_cols)`` a total order.
+    Driver state: one (start, count) pair per group — callers use this
+    for keys with bounded cardinality (sources, splits, shards), not
+    per-document keys. Optional ``count_col`` attaches the group size
+    from the same collected stats (for NTILE-style bucketing downstream
+    without a second shuffle)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+    ranked = global_rank(
+        df, [F.col(group_col)] + cols, rank_col="_ggr",
+        num_partitions=num_partitions,
+    )
+    stats = (
+        ranked.groupBy(group_col)
+        .agg(F.min("_ggr").alias("_s"), F.count("*").alias("_n"))
+        .collect()
+    )
+    if not stats:  # empty input
+        out = df.withColumn(rank_col, F.lit(None).cast("long"))
+        if count_col:
+            out = out.withColumn(count_col, F.lit(None).cast("long"))
+        return out
+    start_map = F.create_map(
+        *[x for r in stats for x in (F.lit(r[group_col]), F.lit(int(r["_s"]) - 1))]
+    )
+    out = ranked.withColumn(
+        rank_col,
+        (F.col("_ggr") - start_map[F.col(group_col)]).cast("long"),
+    )
+    if count_col:
+        n_map = F.create_map(
+            *[x for r in stats for x in (F.lit(r[group_col]), F.lit(int(r["_n"])))]
+        )
+        out = out.withColumn(count_col, n_map[F.col(group_col)].cast("long"))
+    return out.drop("_ggr")
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact NTILE(k) bucket from a 1-based ``rank`` and group size
+    ``n`` — the SQL-standard allocation: with n = q*k + r, the first r
+    buckets hold q+1 rows, the rest q. Lets rank-based plans (e.g.
+    ``grouped_rank``) reproduce window-NTILE output bit-for-bit without
+    a WindowExec."""
+    q = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    big = rem * (q + 1)  # rows living in the larger (q+1)-row buckets
+    return F.when(rank <= big, F.ceil(rank / (q + 1))).otherwise(
+        rem + F.ceil((rank - big) / F.greatest(q, F.lit(1)))
+    ).cast("long")
+
+
 def weighted_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -137,24 +137,30 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source quality deciles — the select-the-top-X%-by-score step
-    of model-based data curation, as an NTILE window over the blended
-    quality score (tiebreak doc_id makes bucket assignment exactly
-    reproducible).
+    of model-based data curation (tiebreak doc_id makes bucket
+    assignment exactly reproducible).
 
-    One shuffle on source for the window, one map-side-combined agg;
-    decile stats use min/max (order-independent) so no float fold can
-    diverge from the oracle."""
+    NOT a ``ntile(10).over(partitionBy(source))`` window: on a real
+    corpus "source" has single-digit cardinality and terabyte-scale
+    members, and a hash-partitioned window sorts each source's entire
+    corpus in ONE task. Instead: ``grouped_rank`` range-partitions the
+    full (source, score, doc_id) key — one source spans many partitions
+    — and ``ntile_from_rank`` reproduces the SQL-standard NTILE
+    allocation exactly from (rank, per-source count), so the
+    window-NTILE oracle hashes unchanged. Decile stats use min/max
+    (order-independent) so no float fold can diverge."""
     docs = table(spark, sf, "documents")
     scored = text.with_quality_score(docs).select(
         "doc_id", "source", "quality_score"
     )
-    d = scored.select(
+    ranked = corpus.grouped_rank(
+        scored, "source", ["quality_score", "doc_id"],
+        rank_col="_r", count_col="_n",
+    )
+    d = ranked.select(
         "source",
         "quality_score",
-        F.ntile(10)
-        .over(W.partitionBy("source").orderBy("quality_score", "doc_id"))
-        .cast("long")
-        .alias("decile"),
+        corpus.ntile_from_rank(F.col("_r"), F.col("_n"), 10).alias("decile"),
     )
     return d.groupBy("source", "decile").agg(
         F.count("*").cast("long").alias("n_docs"),

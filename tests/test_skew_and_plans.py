@@ -242,3 +242,32 @@ def test_round4_op_plan_shapes(spark):
     )
     assert "BroadcastNestedLoopJoin" in pq, "query LUTs must broadcast"
     assert "SortMergeJoin" not in pq
+
+
+def test_quality_deciles_plan_has_no_per_source_window(spark):
+    """Round-5 rewrite guard: text_quality_deciles must NOT plan a
+    ntile window hash-partitioned on source — with single-digit source
+    cardinality and terabyte members, that sorts each source's entire
+    corpus in one task. The grouped_rank shape is a range partition on
+    the full (source, score, doc_id) key: one source spans many
+    partitions."""
+    from dns_log_transformer_spark.plans import physical_plan
+    from dns_log_transformer_spark.queries import ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = ALL_QUERIES["text_quality_deciles"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df, "simple")
+    assert "Window" not in plan, "per-source window sort reintroduced"
+    assert "ntile(" not in plan
+    assert "SinglePartition" not in plan
+    # NTILE-equivalent result still verified by test_oracle_parity
+    rows = {(r["source"], r["decile"]): r["n_docs"] for r in df.collect()}
+    assert rows, "deciles produced no rows"
+    # every source's bucket sizes differ by at most 1 (NTILE allocation)
+    import collections
+
+    per_source = collections.defaultdict(list)
+    for (src, _dec), n in rows.items():
+        per_source[src].append(n)
+    for src, sizes in per_source.items():
+        assert max(sizes) - min(sizes) <= 1, (src, sorted(sizes))
