@@ -45,26 +45,36 @@ def pagerank_int(
     side first (ranks ⋈ degrees — #nodes rows), so each iteration does
     exactly ONE join over the edge list (broadcast of the #nodes-sized
     contributions) plus a map-side-combined sum; the division happens
-    #nodes times, never #edges times. No driver state, no windows;
-    iteration count bounds lineage depth and each iteration's result
-    persists so failure recovery replays ONE iteration, not the chain.
+    #nodes times, never #edges times. No driver state, no windows.
 
-    The caller owns edge caching: `edges` is scanned iters+3 times
-    (nodes scans it twice, degrees once, one per iteration), so persist the expensive part
-    of its lineage upstream — the operator does not re-persist a
-    possibly-already-cached input.
+    Caching: within a single action each iteration's ranks feed exactly
+    ONE downstream consumer (the next iteration), so caching superseded
+    iterations buys nothing — each persist is dropped (lazily, before
+    it ever materializes) as soon as the next iteration's plan replaces
+    it, and only the FINAL ranks stay cached for multi-action
+    consumers. Lineage depth grows with ``iters`` (bounded, 3 here);
+    callers running MANY iterations should ``localCheckpoint`` the
+    ranks every few iterations to cap replay and plan size.
+
+    The caller owns edge caching: `edges` is scanned iters+2 times
+    (nodes once, degrees once, one per iteration), so persist the
+    expensive part of its lineage upstream — the operator does not
+    re-persist a possibly-already-cached input.
 
     Output: (node, pr_rank) for every node, pr_rank in scaled units.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # one 1->2 Generate scan, not a two-branch union: union branches
+    # race the (caller-owned) edge cache on the first action
     nodes = persist_tracked(
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_d").alias("node")))
-        .distinct()
+        e.select(
+            F.explode(F.array(F.col("_s"), F.col("_d"))).alias("node")
+        ).distinct()
     )
     deg = persist_tracked(e.groupBy("_s").agg(F.count("*").alias("_outdeg")))
     base = scale - (d_num * scale) // d_den
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr_rank"))
+    prev: DataFrame | None = None
     for _ in range(iters):
         per_node = (
             ranks.withColumnRenamed("node", "_s")
@@ -87,4 +97,7 @@ def pagerank_int(
                 ).alias("pr_rank"),
             )
         )
+        if prev is not None:
+            prev.unpersist(False)  # superseded: consumed once, never reused
+        prev = ranks
     return ranks

@@ -2065,10 +2065,10 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            arg_max(o_custkey,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000
                    + o_orderkey) AS top_custkey,
            arg_min(o_custkey,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000
                    + o_orderkey) AS bottom_custkey,
            ROUND(MAX(o_totalprice), 2) AS max_price
     FROM orders
@@ -2083,12 +2083,13 @@ def q_argmax_orders(spark: SparkSession, sf: str) -> DataFrame:
     max-value join).
 
     max_by ties are engine-order nondeterministic, so the ordering key
-    is made unique: cents * 1e7 + o_orderkey (cents < 10^8 at TPC-H
-    scales and o_orderkey < 10^7 at sf<=10, so the packed key is
-    collision-free exact int64 arithmetic on both engines)."""
+    is made unique: cents * 1e10 + o_orderkey. Collision-free while
+    o_orderkey < 10^10 (TPC-H o_orderkey <= 6e6*SF, so sf <= ~1600) and
+    overflow-free: cents <= ~6e7, so the packed key tops out near
+    6e17 < 2^63 — exact int64 arithmetic on both engines."""
     orders = table(spark, sf, "orders")
     rank_key = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * 10_000_000
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10_000_000_000
         + F.col("o_orderkey")
     )
     return (
@@ -2530,12 +2531,18 @@ def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
     # dominant edge-build cost outside any caller's timed action (the
     # (spark, sf) -> DataFrame contract stays lazy; only structurally
     # required actions — zipWithIndex offsets, codebook collects — run
-    # at build). Cost: the union's two branches can race the cache on
-    # the FIRST action and compute some partitions twice; later actions
-    # read the cache.
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # at build). Both directions are emitted by ONE explode scan of e0
+    # rather than a two-branch union: a union's branches race e0's
+    # cache on the first action and can compute partitions twice; a
+    # single 1->2 Generate scans the cached edge build exactly once.
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     return pagerank_int(edges, iters=_PR_ITERS)
 
 

@@ -244,6 +244,21 @@ def test_round4_op_plan_shapes(spark):
     assert "SortMergeJoin" not in pq
 
 
+def test_pagerank_plan_has_no_union_over_edge_cache(spark):
+    """Round-5 fix guard: both edge directions and the node list come
+    from single 1->2 Generate scans of the cached edge build — a
+    two-branch union raced the cache on the first action and could
+    compute partitions twice."""
+    from dns_log_transformer_spark.plans import physical_plan
+    from dns_log_transformer_spark.queries import ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = ALL_QUERIES["q_pagerank_trade"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df, "simple")
+    assert "Union" not in plan, "union branches race the edge cache"
+    assert "Generate" in plan
+
+
 def test_quality_deciles_plan_has_no_per_source_window(spark):
     """Round-5 rewrite guard: text_quality_deciles must NOT plan a
     ntile window hash-partitioned on source — with single-digit source
