@@ -17,6 +17,13 @@ driver-side collect — measures the engine, not result transfer).
 Rows-out comes from a DataFrame ``observe()`` metric, so a run reports
 per-query output cardinality without a second pass over the data.
 
+Variance control (round-5): each query is timed ``SPARK_GRAFT_BENCH_PASSES``
+times (default 2) and the detail line's per-query map reports the MIN —
+same-code full-registry totals spanned +-13% across round-4 runs, which
+drowned real per-query regressions in session-contention noise. The
+headline ``value`` stays the PASS-1 sum so round-over-round totals
+remain one-full-pass wall time, comparable with earlier rounds.
+
 Every run also persists its detail locally (the driver's artifact only
 keeps a tail of stdout, which drops the per-query map once the registry
 is large — round-3 lesson): the full detail line is written to
@@ -77,24 +84,33 @@ def main() -> None:
             ).save()
             release_all()
 
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
+    pass1: dict[str, float] = {}
     rows_out: dict[str, int] = {}
     for name, q in sorted(ALL_QUERIES.items()):
         if only and not any(s in name for s in only):
             continue
-        df = q.fn(spark, sf_dir)
-        obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        rows_out[name] = int(obs.get["rows_out"])
-        # drop operator-internal caches so a 97-query session doesn't
-        # accumulate session-lifetime storage (each query re-creates
-        # what it needs; release is correctness-neutral)
-        release_all()
+        per_pass: list[float] = []
+        for _ in range(passes):
+            # rebuild the plan each pass: build-time work (offsets maps,
+            # codebook collects) re-runs, and release_all() below drops
+            # operator caches so every pass pays its own cache builds
+            df = q.fn(spark, sf_dir)
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            per_pass.append(round(time.perf_counter() - t0, 3))
+            rows_out[name] = int(obs.get["rows_out"])
+            # drop operator-internal caches so a 119-query session
+            # doesn't accumulate session-lifetime storage (each query
+            # re-creates what it needs; release is correctness-neutral)
+            release_all()
+        timings[name] = min(per_pass)
+        pass1[name] = per_pass[0]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(pass1.values()), 3)
     detail = {
         "metric": METRIC,
         "value": total,

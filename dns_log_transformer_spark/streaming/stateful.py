@@ -142,19 +142,26 @@ def _make_session_processor(idle_timeout_ms: int):
 def sessionized_user_totals(
     events: DataFrame, idle_timeout_ms: int = 60_000
 ) -> DataFrame:
-    """EXPERIMENTAL — ``transformWithStateInPandas`` variant of
-    ``running_user_totals`` with timeout-based state eviction (the
-    Spark-4 API the older ``applyInPandasWithState`` predates: named
-    state variables, explicit timers, TTL support). Marked experimental
-    because this environment lacks ``protobuf``, so the op is shipped
-    but has never executed here; run it only where the dependency below
-    is satisfied.
+    """``transformWithStateInPandas`` variant of ``running_user_totals``
+    with timeout-based state eviction (the Spark-4 API the older
+    ``applyInPandasWithState`` predates: named state variables, explicit
+    timers, TTL support). Executed and asserted by
+    ``tests/tws_driver.py`` (cross-batch carry, timer eviction,
+    post-eviction fresh restart).
 
-    Requires the RocksDB state store provider — set
-    ``spark.sql.streaming.stateStore.providerClass`` to
-    ``RUN_EVICT_STATE_STORE`` before starting the query — and the
-    ``protobuf`` package (the TWS state protocol serializes state
-    messages as protobuf; tests skip where it is absent).
+    Requirements and caveats (each pinned by the test):
+    - RocksDB state store provider: set
+      ``spark.sql.streaming.stateStore.providerClass`` to
+      ``RUN_EVICT_STATE_STORE`` before starting the query;
+    - a ``google.protobuf`` runtime (the TWS state protocol serializes
+      state messages as protobuf; tests vendor a pure-Python runtime
+      where no wheel is installed — tests/conftest.py);
+    - in this environment daemon-forked Python workers crash against
+      the TWS state server (socket reset, no traceback) — run with
+      ``spark.python.use.daemon=false``;
+    - with ``timeMode='ProcessingTime'`` the engine schedules
+      timer-evaluation batches indefinitely, so
+      ``processAllAvailable()`` never returns — poll the sink instead.
     """
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_make_session_processor(idle_timeout_ms),

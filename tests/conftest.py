@@ -4,13 +4,52 @@
 from __future__ import annotations
 
 import os
+import sys
+import tempfile
 
 import pytest
 
-from dns_log_transformer_spark.session import get_spark, load_tables
-
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+
+# Pure-Python protobuf runtime shim for transformWithStateInPandas: the
+# container has no google.protobuf wheel, but the Google Cloud SDK on
+# this image bundles protobuf 6.32 in pure Python. Expose ONLY its
+# `google` package (via a symlink in a private shim dir — putting the
+# whole SDK platform dir on PYTHONPATH would let its other bundled
+# top-level packages shadow site-packages), and use protobuf's own
+# escape hatch for the one-minor-version gencode skew (pyspark 4.1.2's
+# StateMessage_pb2 is gencode 6.33; the wire format is unchanged across
+# that skew). Must run BEFORE the session fixture: local-mode Python
+# workers inherit PYTHONPATH from the driver-launched JVM, and the TWS
+# state protocol deserializes protobuf inside those workers.
+_SDK_GOOGLE = "/usr/lib/google-cloud-sdk/platform/google_appengine/google"
+
+
+def _enable_vendored_protobuf() -> None:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return  # a real install wins; no shim needed
+    except ImportError:
+        pass
+    if not os.path.isdir(os.path.join(_SDK_GOOGLE, "protobuf")):
+        return  # SDK absent: tests importorskip as before
+    shim = os.path.join(tempfile.gettempdir(), "spark_graft_protobuf_shim")
+    os.makedirs(shim, exist_ok=True)
+    link = os.path.join(shim, "google")
+    if not os.path.islink(link):
+        os.symlink(_SDK_GOOGLE, link)
+    sys.path.insert(0, shim)
+    os.environ["PYTHONPATH"] = (
+        shim + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+
+
+_enable_vendored_protobuf()
+
+from dns_log_transformer_spark.session import get_spark, load_tables  # noqa: E402
 
 
 @pytest.fixture(scope="session")

@@ -11,7 +11,16 @@ import sys
 
 
 def test_bench_last_line_is_compact_parseable_json():
-    env = dict(os.environ, SPARK_GRAFT_BENCH_FILTER="q6_revenue")
+    # this launches a SECOND full JVM while the shared pytest session
+    # (local[32], 8g driver) is alive — cap its cores/memory and run one
+    # single pass so a loaded host can't push it toward the timeout
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_FILTER="q6_revenue",
+        SPARK_GRAFT_BENCH_PASSES="1",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+    )
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -381,71 +381,49 @@ def test_streaming_batch_same_code_path(spark):
     assert quarantine.count() == 0
 
 
-def test_transform_with_state_eviction(spark, tmp_path):
+def test_transform_with_state_eviction():
     """transformWithStateInPandas (Spark 4 stateful API): per-user totals
     carry across batches; an idle processing-time timer then fires and
-    emits the final row with evicted=true, clearing the state.
+    emits the final row with evicted=true, clearing the state; a later
+    event restarts the totals from zero.
+
+    Runs in a SUBPROCESS with its own JVM (tests/tws_driver.py) because
+    two context-level confs must differ from the shared session:
+    ``spark.python.use.daemon=false`` (daemon-forked workers crash
+    talking to the TWS state server here — socket reset, no traceback)
+    and reduced cores/memory so the second JVM doesn't contend.
 
     Environment gate: the TWS state protocol serializes Python<->JVM
     state messages as protobuf (pyspark/sql/streaming/proto/
-    StateMessage_pb2), so the API is unusable where google.protobuf
-    is absent — skip there rather than stub the state store."""
-    import contextlib
-    import time
+    StateMessage_pb2). conftest vendors the Google Cloud SDK's
+    pure-Python protobuf 6.32 where no wheel is installed; skip only if
+    neither a real install nor the SDK runtime is available."""
+    import subprocess
+    import sys
 
     import pytest
 
     pytest.importorskip(
         "google.protobuf",
-        reason="transformWithStateInPandas requires protobuf for its "
-        "state-message protocol; not installed in this container",
+        reason="transformWithStateInPandas requires a protobuf runtime "
+        "(none installed, and the SDK fallback is absent)",
     )
 
-    from dns_log_transformer_spark.streaming import (
-        RUN_EVICT_STATE_STORE,
-        sessionized_user_totals,
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_DRIVER_MEM="2g",
     )
-
-    key = "spark.sql.streaming.stateStore.providerClass"
-    saved = spark.conf.get(key, None)
-    spark.conf.set(key, RUN_EVICT_STATE_STORE)
-    src = tmp_path / "events"
-    src.mkdir()
-    stream = read_events_stream(spark, str(src))
-    out = sessionized_user_totals(stream, idle_timeout_ms=500)
-    q = _start_memory(out, "tws_test", mode="update")
-    try:
-        _write_events(
-            src,
-            "f1.json",
-            [
-                _ev(1, "2024-01-01T00:00:00Z", user_id=1, value=10.0),
-                _ev(2, "2024-01-01T00:01:00Z", user_id=1, value=5.0),
-            ],
-        )
-        q.processAllAvailable()
-        # state must persist across micro-batches
-        _write_events(src, "f2.json", [_ev(3, "2024-01-01T00:02:00Z", user_id=1, value=2.5)])
-        q.processAllAvailable()
-        # let user 1's idle timer expire, then trigger a batch with a
-        # DIFFERENT user so the expired timer is processed
-        time.sleep(1.0)
-        _write_events(src, "f3.json", [_ev(4, "2024-01-01T00:03:00Z", user_id=2, value=1.0)])
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        with contextlib.suppress(Exception):
-            if saved is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, saved)
-
-    rows = spark.sql("SELECT * FROM tws_test").collect()
-    got = {(r["user_id"], r["n_events"], r["total_value"], r["evicted"]) for r in rows}
-    assert (1, 2, 15.0, False) in got  # batch 1 live row
-    assert (1, 3, 17.5, False) in got  # batch 2 carried state forward
-    assert (1, 3, 17.5, True) in got  # timer fired: final row, evicted
-    assert (2, 1, 1.0, False) in got
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, os.path.join(here, "tws_driver.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    assert out.stdout.strip().splitlines()[-1] == "PASS", out.stdout[-2000:]
 
 
 def test_progress_listener_and_health(spark, tmp_path):

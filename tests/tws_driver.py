@@ -1,0 +1,125 @@
+"""Subprocess driver for the transformWithStateInPandas test.
+
+Run by tests/test_streaming.py::test_transform_with_state_eviction in
+its OWN JVM because two context-level confs differ from the shared
+test session:
+
+- ``spark.python.use.daemon=false`` — daemon-forked Python workers
+  crash (socket reset, no traceback) talking to the TWS state server in
+  this environment; non-forked workers run the protocol fine.
+- reduced cores/memory so the second JVM doesn't contend with the
+  shared pytest session.
+
+Prints PASS as the last line on success; any failure raises (non-zero
+exit, traceback on stderr).
+
+Deliberately NOT named test_* — pytest must not collect it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import conftest  # noqa: F401  (enables the vendored protobuf shim)
+import google.protobuf  # noqa: F401  (fail fast if the shim didn't take)
+
+from dns_log_transformer_spark.session import get_spark
+from dns_log_transformer_spark.streaming import (
+    RUN_EVICT_STATE_STORE,
+    sessionized_user_totals,
+)
+
+
+def main() -> None:
+    spark = get_spark(
+        "tws-subprocess-test",
+        shuffle_partitions=1,
+        extra_conf={"spark.python.use.daemon": "false"},
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", RUN_EVICT_STATE_STORE
+    )
+    src = tempfile.mkdtemp(prefix="tws_events")
+    schema = (
+        "event_id long, ts timestamp, user_id long, value double, "
+        "event_type string"
+    )
+    stream = spark.readStream.schema(schema).json(src)
+
+    def write(fname: str, rows: list[dict]) -> None:
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def poll(pred, deadline: float = 90.0) -> set:
+        # NOT processAllAvailable(): with ProcessingTime time mode the
+        # engine keeps scheduling timer-evaluation batches, so
+        # processAllAvailable never observes a quiescent stream and
+        # blocks forever. Poll the sink for the expected rows instead.
+        t0 = time.time()
+        got: set = set()
+        while time.time() - t0 < deadline:
+            rows = spark.sql("SELECT * FROM tws_out").collect()
+            got = {
+                (r["user_id"], r["n_events"], r["total_value"], r["evicted"])
+                for r in rows
+            }
+            if pred(got):
+                return got
+            time.sleep(0.5)
+        raise TimeoutError(f"expected rows never arrived; sink has {got}")
+
+    # the idle timeout must comfortably exceed test-driven batch gaps
+    # (file write + micro-batch latency + sink poll interval), or the
+    # timer evicts BETWEEN batches and the carry-across-batches
+    # assertion races; 15 s is far beyond any observed batch gap while
+    # keeping the eviction wait bounded
+    out = sessionized_user_totals(stream, idle_timeout_ms=15_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tws_ck"))
+        .start()
+    )
+    try:
+        write(
+            "f1.json",
+            [
+                {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+                 "value": 10.0, "event_type": "view"},
+                {"event_id": 2, "ts": "2024-01-01T00:01:00Z", "user_id": 1,
+                 "value": 5.0, "event_type": "view"},
+            ],
+        )
+        poll(lambda g: (1, 2, 15.0, False) in g, deadline=120.0)
+        write(
+            "f2.json",
+            [{"event_id": 3, "ts": "2024-01-01T00:02:00Z", "user_id": 1,
+              "value": 2.5, "event_type": "view"}],
+        )
+        poll(lambda g: (1, 3, 17.5, False) in g)  # state crossed batches
+        poll(lambda g: (1, 3, 17.5, True) in g, deadline=120.0)  # evicted
+        # after eviction the state is cleared: a fresh event restarts
+        # the totals from zero rather than resuming 17.5
+        write(
+            "f3.json",
+            [{"event_id": 4, "ts": "2024-01-01T00:03:00Z", "user_id": 1,
+              "value": 1.0, "event_type": "view"}],
+        )
+        poll(lambda g: (1, 1, 1.0, False) in g)
+    finally:
+        q.stop()
+        spark.stop()
+    print("PASS")
+
+
+if __name__ == "__main__":
+    main()
