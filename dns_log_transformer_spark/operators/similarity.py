@@ -185,29 +185,36 @@ def ann_topk_lsh(
     window top-k within candidates. This is the 100 TB shape (bucket
     join ~ O(n)).
 
-    Recall tuning: ``probe_bits=1`` enables multi-probe — each query
-    probes its own bucket PLUS every bucket at Hamming distance 1 (the
-    ``num_planes`` single-bit flips), i.e. the buckets a vector lands in
-    when one hyperplane decision is marginal. Probes explode ONLY the
-    (small) query side — the corpus keeps one bucket per vector and the
-    join stays an equi-join, so cost is num_planes+1 probe rows per
-    query, not a corpus blow-up. Deeper probing (distance 2+) grows
-    combinatorially; prefer fewer planes instead. Norms are computed
-    before the probe explode (once per query, not once per probe).
+    Recall tuning: ``probe_bits=b`` enables multi-probe — each query
+    probes its own bucket PLUS every bucket within Hamming distance b
+    (single- and double-bit flips), i.e. the buckets a vector lands in
+    when one or two hyperplane decisions are marginal. Probes explode
+    ONLY the (small) query side — the corpus keeps one bucket per vector
+    and the join stays an equi-join, so cost is sum(C(num_planes, i))
+    probe rows per query (9 at b=1, 37 at b=2 with 8 planes), not a
+    corpus blow-up. Deeper probing (distance 3+) grows combinatorially;
+    prefer fewer planes instead. Norms are computed before the probe
+    explode (once per query, not once per probe).
 
     Measured recall@5 vs brute force on the sf0.1 fixtures (random
-    embeddings, worst case): 0.025 exact-bucket -> 0.12 multi-probe at
-    8 planes, floors pinned by tests/test_ann.py (bit-deterministic,
-    not statistical).
+    embeddings, worst case) at 8 planes: 0.025 exact-bucket -> 0.12 at
+    probe_bits=1 -> 0.325 at probe_bits=2; floors pinned by
+    tests/test_ann.py (bit-deterministic, not statistical).
     """
-    if probe_bits not in (0, 1):
-        raise ValueError("probe_bits must be 0 (exact bucket) or 1 (Hamming<=1)")
+    if probe_bits not in (0, 1, 2):
+        raise ValueError("probe_bits must be 0 (exact), 1, or 2 (Hamming<=2)")
     c = with_norm(with_lsh_bucket(emb, num_planes, dim, vec_col), vec_col)
     q0 = with_norm(with_lsh_bucket(queries, num_planes, dim, vec_col), vec_col, "q_nrm")
-    if probe_bits == 1:
+    if probe_bits >= 1:
+        masks = [0] + [1 << p for p in range(num_planes)]
+        if probe_bits == 2:
+            masks += [
+                (1 << p) | (1 << r)
+                for p in range(num_planes)
+                for r in range(p + 1, num_planes)
+            ]
         probes = F.array(
-            F.col("lsh_key"),
-            *[F.col("lsh_key").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+            *[F.col("lsh_key").bitwiseXOR(F.lit(m)) for m in masks]
         )
         q0 = q0.select(
             id_col, vec_col, "q_nrm", F.explode(probes).alias("probe_key")

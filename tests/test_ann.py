@@ -42,9 +42,11 @@ def test_ann_recall_floors_sf01(spark):
     Measured on the sf0.1 fixtures (random 64-dim embeddings — no
     planted clusters, the worst case for ANN): IVF 0.39 @ n_probe=2,
     0.69 @ n_probe=5 (vs ~0.0025 chance); LSH 0.025 exact-bucket ->
-    0.12 with Hamming-1 multi-probe at 8 planes. The floors sit just
-    under the measured values; the monotonicity assertions pin that the
-    recall knobs (more probes) actually buy recall.
+    0.12 @ probe_bits=1 -> 0.325 @ probe_bits=2 at 8 planes. The floors
+    sit just under the measured values; the monotonicity assertions pin
+    that the recall knobs (more probes) actually buy recall — the
+    multi-probe recall-vs-cost curve is attested per setting, not just
+    its determinism.
     """
     emb = read_table(spark, "/root/testdata/sf0.1", "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -70,12 +72,19 @@ def test_ann_recall_floors_sf01(spark):
             similarity.ann_topk_lsh(emb, queries, k=5, num_planes=8, probe_bits=1)
         )
     )
+    r_lsh2 = recall(
+        _topk_sets(
+            similarity.ann_topk_lsh(emb, queries, k=5, num_planes=8, probe_bits=2)
+        )
+    )
     r_pq = recall(_topk_sets(similarity.pq_adc_topk(emb, queries, k=5)))
     assert r_ivf2 >= 0.35, f"IVF recall@5 n_probe=2 = {r_ivf2:.3f}"
     assert r_ivf5 >= 0.60, f"IVF recall@5 n_probe=5 = {r_ivf5:.3f}"
     assert r_ivf5 > r_ivf2, "more probes must buy recall"
     assert r_lsh1 >= 0.10, f"LSH multi-probe recall@5 = {r_lsh1:.3f}"
     assert r_lsh1 > r_lsh0, "multi-probe must beat exact-bucket recall"
+    assert r_lsh2 >= 0.28, f"LSH Hamming-2 recall@5 = {r_lsh2:.3f}"
+    assert r_lsh2 > r_lsh1, "deeper probing must buy recall"
     # PQ quantizes random vectors with a seed codebook — the hardest
     # case; measured 0.125 (50x chance). A trained codebook and IVF-PQ
     # residual encoding are the production recall levers.
