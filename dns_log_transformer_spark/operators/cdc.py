@@ -1,0 +1,100 @@
+"""Change-data-capture / slowly-changing-dimension operators.
+
+A 100 TB training-data pipeline is rarely built from one immutable
+snapshot: corpora arrive as a base load plus change feeds (new crawls,
+takedown deletes, metadata corrections), and dimension attributes drift
+over time. This module re-expresses the two canonical shapes as pure
+DataFrame plans:
+
+- :func:`upsert_latest` — latest-wins merge of a base snapshot with one
+  or more change batches (the Delta/Hudi ``MERGE INTO`` semantics,
+  expressed engine-neutrally as union + one ``max_by`` aggregation).
+- :func:`scd2_intervals` — type-2 slowly-changing-dimension history:
+  collapse an event stream of attribute observations into validity
+  intervals ``[valid_from, valid_to)`` per key.
+
+No reference analog (the reference is a stateless log transformer);
+this covers the "mutable corpus at scale" shape the SURVEY §2 L-rows
+target. Both operators are deterministic and exactly SQL-expressible,
+so their queries carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def upsert_latest(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Latest-wins merge: one row per key — the row with the highest
+    ``version_col`` — with tombstones (``op_col == delete_op``) dropped
+    AFTER the argmax, so a delete that is the latest change removes the
+    key even when older upserts exist.
+
+    ``changes`` is the union of the base snapshot (as version-0 upserts)
+    and every change batch. Shape at scale: ONE hash shuffle on the key;
+    ``max_by`` packs the whole row through a partial+final aggregation
+    (map-side combine shrinks duplicate keys before the exchange), so there is
+    no window sort and no join — the same plan shape as dedup_exact.
+    ``version`` ties are broken deterministically only if the caller
+    makes versions unique per key (assert upstream); TPC-H-derived
+    feeds here use strictly increasing batch numbers.
+    """
+    payload = F.struct(
+        F.col(version_col).alias("_v"), *[F.col(c) for c in changes.columns]
+    )
+    merged = changes.groupBy(*key_cols).agg(
+        F.max_by(payload, F.col(version_col)).alias("_row")
+    )
+    out_cols = [c for c in changes.columns if c not in key_cols]
+    return (
+        merged.select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in out_cols])
+        .filter(F.col(op_col) != delete_op)
+    )
+
+
+def scd2_intervals(
+    observations: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: Column,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 SCD history: collapse per-key attribute observations into
+    validity intervals. Consecutive observations with the SAME attribute
+    merge into one interval; an attribute change closes the previous
+    interval at the change's timestamp (``valid_to`` exclusive; the
+    current interval has ``valid_to`` null / ``is_current`` true).
+
+    Windows partition by key — safe at 100 TB because key cardinality
+    (users/entities) scales with the data while per-key history stays
+    bounded; there is no global or low-cardinality sort (contrast
+    text_quality_deciles' rewrite, which had single-digit partitions).
+    ``tiebreak_col`` makes the order total so lag/lead are deterministic
+    under equal timestamps.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col.asc(), F.col(tiebreak_col).asc())
+    runs = (
+        observations.withColumn("_ts", ts_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        # run starts where the attribute differs from its predecessor
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+    )
+    w2 = W.partitionBy(key_col).orderBy(F.col("_ts").asc(), F.col(tiebreak_col).asc())
+    return (
+        runs.withColumn("valid_to", F.lead("_ts").over(w2))
+        .select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col("_ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -101,3 +101,59 @@ def pagerank_int(
             prev.unpersist(False)  # superseded: consumed once, never reused
         prev = ranks
     return ranks
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact global triangle count over an undirected edge list (rows
+    are canonical ``a < b`` pairs, deduplicated by the caller).
+
+    Uses the degree-ordered orientation: each undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, so every
+    triangle is counted exactly once (at its lowest-degree corner) and —
+    the scale property — the oriented out-degree is O(sqrt(m)) for ANY
+    degree distribution, which bounds the wedge (2-path) fan-out at
+    sum(out_deg^2) <= m^1.5 even when a celebrity node has degree ~n.
+    An unoriented wedge join would blow up quadratically on that node.
+
+    Plan: degree agg (one shuffle) -> broadcast-joinable degree map ->
+    wedge self-join on the low corner -> semi-join the closing edge.
+    Output: one row ``(n_nodes, n_edges, n_triangles)``.
+    """
+    e = edges.select(F.col(a).alias("_x"), F.col(b).alias("_y"))
+    deg = persist_tracked(
+        e.select(F.explode(F.array("_x", "_y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
+    )
+    # orient: (_x,_y) -> low (deg,id) endpoint first
+    dx = deg.select(F.col("node").alias("_x"), F.col("_deg").alias("_dx"))
+    dy = deg.select(F.col("node").alias("_y"), F.col("_deg").alias("_dy"))
+    lower_first = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y"))
+    )
+    oriented = persist_tracked(
+        e.join(dx, "_x")
+        .join(dy, "_y")
+        .select(
+            F.when(lower_first, F.col("_x")).otherwise(F.col("_y")).alias("_lo"),
+            F.when(lower_first, F.col("_y")).otherwise(F.col("_x")).alias("_hi"),
+        )
+    )
+    # wedges at the low corner: (_lo -> u, _lo -> v), u < v canonically
+    o1 = oriented.select(F.col("_lo"), F.col("_hi").alias("_u"))
+    o2 = oriented.select(F.col("_lo"), F.col("_hi").alias("_v"))
+    wedges = o1.join(o2, "_lo").filter(F.col("_u") < F.col("_v"))
+    # close the wedge with the ORIGINAL canonical edge list: both the
+    # wedge's (_u, _v) and e's (_x, _y) are id-ascending, so one
+    # equi-semi-join finds every closing edge
+    closing = e.select(F.col("_x").alias("_u"), F.col("_y").alias("_v"))
+    tri = wedges.join(closing, ["_u", "_v"], "left_semi")
+    n_nodes = deg.select(F.count("*").alias("n")).withColumn("_k", F.lit(1))
+    n_edges = e.select(F.count("*").alias("n")).withColumn("_k", F.lit(1))
+    n_tri = tri.select(F.count("*").alias("n")).withColumn("_k", F.lit(1))
+    return (
+        n_nodes.select(F.col("_k"), F.col("n").alias("n_nodes"))
+        .join(n_edges.select("_k", F.col("n").alias("n_edges")), "_k")
+        .join(n_tri.select("_k", F.col("n").alias("n_triangles")), "_k")
+        .drop("_k")
+    )

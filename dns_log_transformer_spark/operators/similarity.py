@@ -894,3 +894,98 @@ def kmeans_assign(
         e.withColumn("cell", _argmin_assigner(codebook)(F.col("v")))
         .select(id_col, "cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization: 4x smaller vectors, integer-exact scoring
+# ---------------------------------------------------------------------------
+def int8_bounds(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Global per-dimension (min, max) calibration for int8 quantization.
+
+    posexplode -> groupBy(dim): dim cardinality is the vector width (64),
+    so the shuffle carries 64 groups of map-side-combined partials no
+    matter the corpus size; driver state is 2 x dim doubles (bounded).
+    """
+    rows = (
+        emb.select(F.posexplode(_as_double(F.col(vec_col))).alias("_dim", "_x"))
+        .groupBy("_dim")
+        .agg(F.min("_x").alias("mn"), F.max("_x").alias("mx"))
+        .collect()
+    )
+    mns = [0.0] * len(rows)
+    mxs = [0.0] * len(rows)
+    for r in rows:
+        mns[r["_dim"]] = r["mn"]
+        mxs[r["_dim"]] = r["mx"]
+    return mns, mxs
+
+
+def _int8_encoder(mns: list[float], mxs: list[float]):
+    mn = np.asarray(mns, dtype=np.float64)
+    rng = np.asarray(mxs, dtype=np.float64) - mn
+    safe = np.where(rng == 0.0, 1.0, rng)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        # (x - mn) * 254 / range, round HALF-UP, shift to [-127, 127];
+        # constant dims quantize to code 0 (numerator is 0 there)
+        q = _round_half_up((x - mn) * 254.0 / safe, 0).astype(np.int64) - 127
+        return pd.Series(list(q.astype(np.int32)))
+
+    return encode
+
+
+def int8_encode(
+    emb: DataFrame,
+    mns: list[float],
+    mxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to an ``array<int>`` of int8-range codes
+    using broadcast-in-closure calibration bounds (2 x dim doubles).
+    Arrow-batched; one pass, no shuffle."""
+    enc = _int8_encoder(mns, mxs)
+    return emb.select(id_col, enc(_as_double(F.col(vec_col))).alias("code"))
+
+
+def int8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by integer dot product in the quantized space: calibrate on
+    the corpus, encode corpus + queries with the SAME bounds, score via
+    exact int64 dot products (codes fit comfortably: |dot| <= 127^2*dim).
+
+    Integer scoring makes the ranking bit-reproducible across engines —
+    the float-cosine family needs ROUND(_, 4) + fold-order discipline;
+    here every intermediate is exact. Plan shape = brute_force_topk:
+    broadcast the (fixed, small) query side, linear corpus scan, per-query
+    top-k via window on the bounded candidate set.
+    """
+    mns, mxs = int8_bounds(emb, vec_col)
+    c = int8_encode(emb, mns, mxs, id_col, vec_col)
+    q = int8_encode(queries, mns, mxs, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("q_code")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            dot_pd(F.col("code"), F.col("q_code")).cast("long").alias("dot_q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "dot_q", "rnk")
+    )

@@ -1,0 +1,473 @@
+"""Round-5 surface growth: CDC/SCD2 merge, CIDR enrichment, EWMA
+anomaly detection, degree-oriented triangle counting, and int8 scalar
+quantization — pipeline shapes a 100 TB corpus/analytics deployment
+hits that the earlier modules did not yet cover.
+
+Every query pairs a Spark plan with a DuckDB oracle computing the SAME
+deterministic algorithm (integer-exact arithmetic wherever a float fold
+could diverge), registered AFTER the round-5 driver window (these get
+their first driver rows in round 6; test_oracle_parity attests them at
+sf0.01 every session meanwhile).
+
+No reference analog for any of these (the reference is a stateless
+record-at-a-time log transformer, app/app.py); they extend the SURVEY
+§2 L-rows (LLM-pipeline / large-scale analytics surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.operators import cdc, graph, similarity
+from dns_log_transformer_spark.operators.caching import persist_tracked
+from dns_log_transformer_spark.queries.registry import register, table
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-wins merge (Delta/Hudi MERGE INTO semantics, engine-neutral)
+# ---------------------------------------------------------------------------
+# Deterministic synthetic change feed derived from orders: the base
+# snapshot is version 0; batch 1 re-prices every 3rd order (+5.00);
+# batch 2 deletes every 11th order. Both sides derive the feed with the
+# same arithmetic, so the merge itself is what the hash attests.
+_CDC_FEED_SQL = """
+  feed AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           0 AS version, 'U' AS op
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500 AS cents,
+           1 AS version, 'U' AS op
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(0 AS BIGINT) AS cents,
+           2 AS version, 'D' AS op
+    FROM orders WHERE o_orderkey % 11 = 0)
+"""
+
+
+@register(
+    "cdc_upsert_merge",
+    oracle=f"""
+    WITH {_CDC_FEED_SQL},
+    merged AS (
+      SELECT o_orderkey,
+             arg_max(o_orderstatus, version) AS o_orderstatus,
+             arg_max(cents, version) AS cents,
+             arg_max(op, version) AS op,
+             arg_max(version, version) AS version
+      FROM feed GROUP BY o_orderkey)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN version > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from_delta
+    FROM merged WHERE op <> 'D'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def cdc_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-wins CDC merge (MERGE INTO semantics): base snapshot +
+    reprice batch + delete batch -> one row per surviving key, then a
+    compact per-status attestation (counts + exact cent sums + how many
+    rows the delta won).
+
+    Shape at scale: the feed union is scan-parallel; the merge is ONE
+    hash shuffle with max_by partial aggregation (operators/cdc.py) —
+    no window, no join, tombstones dropped post-argmax so a late delete
+    beats an early upsert.
+    """
+    o = table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents.alias("cents"),
+        F.lit(0).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    reprice = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (cents + 500).alias("cents"),
+            F.lit(1).alias("version"),
+            F.lit("U").alias("op"),
+        )
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(0).cast("long").alias("cents"),
+            F.lit(2).alias("version"),
+            F.lit("D").alias("op"),
+        )
+    )
+    merged = cdc.upsert_latest(
+        base.unionAll(reprice).unionAll(deletes), ["o_orderkey"]
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum((F.col("version") > 0).cast("long")).alias("n_from_delta"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals from an observation stream
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_scd2_intervals",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, event_type AS attr,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+      FROM events),
+    runs AS (
+      SELECT user_id, attr, ts_sec, event_id,
+             LAG(attr) OVER w AS prev
+      FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+    changes AS (
+      SELECT user_id, attr, ts_sec, event_id FROM runs
+      WHERE prev IS NULL OR prev <> attr)
+    SELECT user_id, attr,
+           ts_sec AS valid_from_sec,
+           LEAD(ts_sec) OVER w2 AS valid_to_sec,
+           (LEAD(ts_sec) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    """,
+)
+def cdc_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 SCD history: each user's event_type observations collapse
+    into validity intervals (consecutive repeats merge; a change closes
+    the open interval — valid_to exclusive, null = current).
+
+    Windows partition per user (cardinality scales with data; no
+    low-cardinality sort). Timestamps as epoch seconds, event_id
+    tie-break: integer-exact and totally ordered on both engines.
+    """
+    ev = table(spark, sf, "events").select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        "ts",
+        "event_id",
+    )
+    out = cdc.scd2_intervals(
+        ev,
+        key_col="user_id",
+        attr_col="attr",
+        ts_col=F.col("ts").cast("long"),
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "attr",
+        F.col("valid_from").alias("valid_from_sec"),
+        F.col("valid_to").alias("valid_to_sec"),
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CIDR-block enrichment: range lookup as an aligned-prefix equi-join
+# ---------------------------------------------------------------------------
+# Synthetic IPv4 per event (deterministic hash spread over 10.0.0.0/8)
+# and a nation-derived dim of /13-aligned blocks. Alignment is the
+# scale trick: a range join against ALIGNED blocks is an equi-join on
+# ip >> 19 — no binary search, no O(n x blocks) nested loop, and the
+# dim broadcasts.
+_IP_SQL = "CAST(167772160 + ((user_id * 2654435761) % 16777216) AS BIGINT)"
+
+
+@register(
+    "q_cidr_enrich",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, {_IP_SQL} AS ip FROM events),
+    blocks AS (
+      SELECT n_name,
+             CAST(167772160 + n_nationkey * 524288 AS BIGINT) AS ip_start,
+             CAST(167772160 + (n_nationkey + 1) * 524288 - 1 AS BIGINT) AS ip_end
+      FROM nation),
+    tagged AS (
+      SELECT ev.event_id, ev.user_id, ev.ip, b.n_name
+      FROM ev LEFT JOIN blocks b
+        ON ev.ip >= b.ip_start AND ev.ip <= b.ip_end)
+    SELECT COALESCE(n_name, 'UNROUTED') AS block_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(ip) AS BIGINT) AS min_ip,
+           CAST(MAX(ip) AS BIGINT) AS max_ip
+    FROM tagged GROUP BY COALESCE(n_name, 'UNROUTED')
+    """,
+)
+def q_cidr_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Route each event's (synthetic) client IP to its CIDR block — the
+    DNS-domain enrichment join (resolver logs -> network owner).
+
+    The oracle states it as the general range join (BETWEEN start/end);
+    the Spark plan exploits /13 ALIGNMENT: both sides compute
+    ``prefix = ip >> 19`` and the lookup becomes a broadcast EQUI-join —
+    the plan a 100 TB log scan needs (pure hash probe riding the scan;
+    a BETWEEN theta-join would be a broadcast nested loop over every
+    row). Unmatched prefixes fall out of the left join as 'UNROUTED'.
+    """
+    ev = table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        (
+            F.lit(167772160).cast("long")
+            + (F.col("user_id") * F.lit(2654435761)) % F.lit(16777216)
+        ).alias("ip"),
+    )
+    # /13 blocks (2^19 addresses) are aligned: prefix = ip_start >> 19
+    # = 167772160/524288 + n_nationkey = 320 + n_nationkey (exact ints)
+    blocks = table(spark, sf, "nation").select(
+        "n_name",
+        (F.lit(320) + F.col("n_nationkey")).cast("long").alias("prefix"),
+    )
+    tagged = ev.withColumn(
+        "prefix", F.expr("CAST(ip div 524288 AS LONG)")
+    ).join(F.broadcast(blocks), "prefix", "left")
+    return (
+        tagged.groupBy(
+            F.coalesce("n_name", F.lit("UNROUTED")).alias("block_name")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("ip").cast("long").alias("min_ip"),
+            F.max("ip").cast("long").alias("max_ip"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA anomaly screen: integer-exact trailing-weighted baseline
+# ---------------------------------------------------------------------------
+_EWMA_LAGS = 8  # weights 2^7 .. 2^0 over the previous 8 events
+
+
+def _ewma_sql() -> str:
+    terms = " + ".join(
+        f"COALESCE(LAG(cents, {j}) OVER w * {1 << (_EWMA_LAGS - j)}, 0)"
+        for j in range(1, _EWMA_LAGS + 1)
+    )
+    wsum = " + ".join(
+        f"(CASE WHEN LAG(cents, {j}) OVER w IS NOT NULL"
+        f" THEN {1 << (_EWMA_LAGS - j)} ELSE 0 END)"
+        for j in range(1, _EWMA_LAGS + 1)
+    )
+    return f"""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events),
+    scored AS (
+      SELECT event_id, user_id, cents,
+             CAST({terms} AS BIGINT) AS ewma_scaled,
+             CAST({wsum} AS BIGINT) AS wsum
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+    SELECT event_id, user_id, cents, ewma_scaled, wsum
+    FROM scored
+    WHERE wsum > 0 AND cents * wsum > 3 * ewma_scaled
+    """
+
+
+@register("q_ewma_anomaly", oracle=_ewma_sql())
+def q_ewma_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user spend-spike screen: flag an event whose value exceeds 3x
+    its exponentially-weighted trailing baseline (halving weights over
+    the previous 8 events).
+
+    All integer arithmetic — cents x power-of-two weights — so the
+    threshold compare is exact on both engines (a float EWMA recurrence
+    would accumulate fold-order drift). The window is 8 LAG columns
+    (pure JVM codegen, one per-user sort); partition cardinality =
+    users, which scales with the data.
+    """
+    ev = table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("ts").cast("long").alias("ts_sec"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.asc("ts_sec"), F.asc("event_id"))
+    ewma = sum(
+        F.coalesce(
+            F.lag("cents", j).over(w) * F.lit(1 << (_EWMA_LAGS - j)),
+            F.lit(0).cast("long"),
+        )
+        for j in range(1, _EWMA_LAGS + 1)
+    )
+    wsum = sum(
+        F.when(
+            F.lag("cents", j).over(w).isNotNull(), F.lit(1 << (_EWMA_LAGS - j))
+        ).otherwise(F.lit(0))
+        for j in range(1, _EWMA_LAGS + 1)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "cents",
+            ewma.cast("long").alias("ewma_scaled"),
+            wsum.cast("long").alias("wsum"),
+        )
+        .filter(
+            (F.col("wsum") > 0)
+            & (F.col("cents") * F.col("wsum") > 3 * F.col("ewma_scaled"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-supplier graph
+# ---------------------------------------------------------------------------
+@register(
+    "q_triangle_suppliers",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+    nodes AS (
+      SELECT COUNT(DISTINCT x) AS n_nodes FROM (
+        SELECT a AS x FROM e UNION SELECT b FROM e)),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nodes, tri
+    """,
+)
+def q_triangle_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Count triangles in the supplier co-occurrence graph (edge =
+    two suppliers sharing an order) — the community-density primitive.
+
+    The oracle states the textbook id-ordered 3-way join; the Spark
+    plan uses the degree-ordered orientation (operators/graph.py:
+    triangle_count), which bounds wedge fan-out at m^1.5 regardless of
+    skew — the difference between finishing and not when one hub
+    supplier touches every order. Edge build is persisted: it feeds the
+    degree agg, the orientation join, and the closing-edge probe.
+    """
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    edges = persist_tracked(
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_suppkey") < F.col("r_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("a"), F.col("r_suppkey").alias("b")
+        )
+        .distinct()
+    )
+    return graph.triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization: calibration attestation + quantized top-k
+# ---------------------------------------------------------------------------
+_INT8_DIM = similarity.EMBEDDING_DIM
+_INT8_CODE_SQL = f"""
+  e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+  bounds AS (
+    SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+    FROM e, generate_series(1, {_INT8_DIM}) AS g(i)
+    GROUP BY i),
+  cal AS (
+    SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+    FROM bounds),
+  codes AS (
+    SELECT vec_id,
+           list_transform(generate_series(1, {_INT8_DIM}),
+             i -> CASE WHEN mxs[i] = mns[i] THEN -127
+                  ELSE CAST(ROUND((v[i] - mns[i]) * 254.0
+                                  / (mxs[i] - mns[i])) AS INT) - 127
+                  END) AS code
+    FROM e, cal)
+"""
+
+
+@register(
+    "emb_int8_codes",
+    oracle=f"""
+    WITH {_INT8_CODE_SQL}
+    SELECT vec_id,
+           array_to_string(code, ',') AS code_csv,
+           CAST(list_sum(code) AS BIGINT) AS code_sum
+    FROM codes
+    """,
+)
+def emb_int8_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar int8 quantization of every embedding (global per-dim
+    min/max calibration -> 254 levels -> [-127, 127]) — 4x smaller
+    vectors ahead of ANN. Calibration is a 64-group aggregation
+    regardless of corpus size; encode is one Arrow pass.
+
+    Driver-facing projection: codes serialize to CSV (+ an exact code
+    checksum) so the harness canonicalizer can sort the output — the
+    array-returning operator stays internal (round-4 lesson)."""
+    emb = table(spark, sf, "embeddings")
+    mns, mxs = similarity.int8_bounds(emb)
+    return similarity.int8_encode(emb, mns, mxs).select(
+        "vec_id",
+        F.array_join(F.col("code").cast("array<string>"), ",").alias(
+            "code_csv"
+        ),
+        F.aggregate(
+            "code", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+    )
+
+
+@register(
+    "sim_int8_topk",
+    oracle=f"""
+    WITH {_INT8_CODE_SQL},
+    q AS (SELECT vec_id AS query_id, code AS q_code FROM codes
+          WHERE vec_id % 50 = 0 AND vec_id < 2000),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.code, q.q_code),
+                    p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot_q
+      FROM codes c, q WHERE c.vec_id <> q.query_id)
+    SELECT query_id, vec_id, dot_q, rnk FROM (
+      SELECT query_id, vec_id, dot_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 neighbors by integer dot product in the int8-quantized
+    space (fixed query workload, ANN-family convention). Integer
+    scoring is bit-reproducible — no ROUND/fold-order discipline needed
+    — and the compressed codes cut the scan's memory traffic 4x; plan
+    shape = the exact brute-force baseline (broadcast queries, linear
+    corpus scan, windowed top-k)."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
+    return similarity.int8_topk(emb, queries, k=5)

@@ -1,0 +1,177 @@
+"""Unit coverage for the round-5 advanced operators (CDC/SCD2, triangle
+counting, int8 quantization, CIDR enrichment) — semantics on constructed
+inputs plus plan-shape assertions for the scale claims their docstrings
+make. Oracle parity at sf0.01 is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark import plans
+from dns_log_transformer_spark.operators import cdc, graph, similarity
+from dns_log_transformer_spark.queries import ALL_QUERIES
+
+
+def test_upsert_latest_semantics(spark):
+    changes = spark.createDataFrame(
+        [
+            # key 1: base then reprice -> latest upsert wins
+            (1, "a", 0, "U"),
+            (1, "b", 1, "U"),
+            # key 2: base then delete -> gone (late delete beats upsert)
+            (2, "c", 0, "U"),
+            (2, "c", 5, "D"),
+            # key 3: delete then LATER re-insert -> present
+            (3, "d", 1, "D"),
+            (3, "e", 2, "U"),
+            # key 4: base only
+            (4, "f", 0, "U"),
+        ],
+        "k long, payload string, version int, op string",
+    )
+    rows = {
+        r["k"]: (r["payload"], r["version"])
+        for r in cdc.upsert_latest(changes, ["k"]).collect()
+    }
+    assert rows == {1: ("b", 1), 3: ("e", 2), 4: ("f", 0)}
+
+
+def test_upsert_latest_no_window_no_join(spark):
+    changes = spark.createDataFrame(
+        [(1, "a", 0, "U")], "k long, payload string, version int, op string"
+    )
+    plan = plans.physical_plan(cdc.upsert_latest(changes, ["k"]))
+    assert "Window" not in plan, "merge must be an aggregation, not a window sort"
+    assert "Join" not in plan, "merge must not join back on the max version"
+
+
+def test_scd2_intervals_semantics(spark):
+    obs = spark.createDataFrame(
+        [
+            # user 1: a a b a -> three intervals
+            (1, "a", 10, 1),
+            (1, "a", 20, 2),
+            (1, "b", 30, 3),
+            (1, "a", 40, 4),
+            # user 2: single observation -> one open interval
+            (2, "x", 5, 5),
+        ],
+        "user_id long, attr string, ts_sec long, event_id long",
+    )
+    out = cdc.scd2_intervals(
+        obs,
+        key_col="user_id",
+        attr_col="attr",
+        ts_col=F.col("ts_sec"),
+        tiebreak_col="event_id",
+    ).collect()
+    got = {
+        (r["user_id"], r["valid_from"]): (r["attr"], r["valid_to"], r["is_current"])
+        for r in out
+    }
+    assert got == {
+        (1, 10): ("a", 30, False),
+        (1, 30): ("b", 40, False),
+        (1, 40): ("a", None, True),
+        (2, 5): ("x", None, True),
+    }
+    # exactly one current interval per key
+    per_key = {}
+    for r in out:
+        per_key[r["user_id"]] = per_key.get(r["user_id"], 0) + int(r["is_current"])
+    assert all(v == 1 for v in per_key.values())
+
+
+def test_triangle_count_known_graphs(spark):
+    # triangle (1,2,3) plus pendant edge (3,4): 1 triangle
+    tri_plus_tail = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    r = graph.triangle_count(tri_plus_tail).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 1)
+    # complete K4: C(4,3) = 4 triangles
+    k4 = spark.createDataFrame(
+        [(i, j) for i in range(1, 5) for j in range(i + 1, 5)], "a long, b long"
+    )
+    r = graph.triangle_count(k4).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    # star graph (hub 0): many wedges at the hub if unoriented, 0 triangles
+    star = spark.createDataFrame([(0, i) for i in range(1, 8)], "a long, b long")
+    r = graph.triangle_count(star).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (8, 7, 0)
+
+
+def test_int8_quantization_bounds_and_exactness(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, -1.0, 2.0]),
+            (2, [1.0, 0.0, 2.0]),
+            (3, [0.5, 1.0, 2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    mns, mxs = similarity.int8_bounds(emb)
+    assert mns == [0.0, -1.0, 2.0] and mxs == [1.0, 1.0, 2.0]
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in similarity.int8_encode(emb, mns, mxs).collect()
+    }
+    # per-dim min -> -127, max -> +127; midpoint rounds half-up;
+    # constant dim (mn == mx) -> code -127 on BOTH engines
+    assert codes[1] == [-127, -127, -127]
+    assert codes[2] == [127, 0, -127]
+    assert codes[3] == [0, 127, -127]
+
+
+def test_int8_topk_matches_python_oracle(spark):
+    from dns_log_transformer_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = {
+        (r["query_id"], r["rnk"]): (r["vec_id"], r["dot_q"])
+        for r in similarity.int8_topk(emb, queries, k=3).collect()
+    }
+    # recompute quantization + integer top-k in plain python
+    mns, mxs = similarity.int8_bounds(emb)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def code(v):
+        out = []
+        for x, mn, mx in zip(v, mns, mxs):
+            if mx == mn:
+                out.append(-127)
+            else:
+                import math
+
+                out.append(
+                    int(math.floor((float(x) - mn) * 254.0 / (mx - mn) + 0.5))
+                    - 127
+                )
+        return out
+
+    coded = {i: code(v) for i, v in vecs.items()}
+    for qid in [i for i in vecs if i % 100 == 0]:
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(coded[i], coded[qid])), i)
+                for i in vecs
+                if i != qid
+            ),
+        )[:3]
+        for rnk, (neg, i) in enumerate(scored, 1):
+            assert got[(qid, rnk)] == (i, -neg), (qid, rnk)
+
+
+def test_cidr_enrich_broadcasts_and_ewma_single_sort(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
+    plan = plans.physical_plan(ALL_QUERIES["q_cidr_enrich"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan, "CIDR dim must broadcast-equi-join"
+    assert "NestedLoop" not in plan, "aligned blocks must not theta-join"
+    plan = plans.physical_plan(ALL_QUERIES["q_ewma_anomaly"].fn(spark, sf))
+    # all 8 LAG columns must share ONE window sort (one numbered Window
+    # node in the formatted plan's detail section)
+    assert plan.count(") Window") == 1
