@@ -16,8 +16,10 @@ record-at-a-time log transformer, app/app.py); they extend the SURVEY
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dns_log_transformer_spark.operators import cdc, graph, similarity
 from dns_log_transformer_spark.operators.caching import persist_tracked
@@ -471,3 +473,261 @@ def sim_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
     )
     return similarity.int8_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram familiarity: reference-LM-style quality proxy
+# ---------------------------------------------------------------------------
+_TRI_REF_FILTER = "doc_id % 19 = 0"
+_TRI_SQL = r"""
+  norm AS (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+    FROM documents),
+  tri AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(GREATEST(length(n) - 2, 0)),
+             i -> substr(n, CAST(i + 1 AS INT), 3))) AS t
+    FROM norm),
+  ref AS (
+    SELECT DISTINCT unnest(t) AS g FROM tri WHERE {ref_filter}),
+  ex AS (SELECT doc_id, unnest(t) AS g FROM tri WHERE len(t) > 0),
+  known AS (
+    SELECT ex.doc_id, COUNT(ref.g) AS n_known
+    FROM ex LEFT JOIN ref USING (g) GROUP BY ex.doc_id)
+"""
+
+
+@register(
+    "text_trigram_familiarity",
+    oracle=f"""
+    WITH {_TRI_SQL.format(ref_filter=_TRI_REF_FILTER)}
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tri,
+           CAST(k.n_known AS BIGINT) AS n_known,
+           ROUND(CAST(k.n_known AS DOUBLE) / len(t.t), 4) AS familiarity
+    FROM tri t JOIN known k USING (doc_id)
+    WHERE len(t.t) > 0
+    """,
+)
+def text_trigram_familiarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference-corpus familiarity score — the n-gram-LM quality-proxy
+    shape (KenLM-style filtering) without a model: what fraction of a
+    document's distinct character trigrams appear anywhere in a trusted
+    reference slice (every 19th doc here; a curated corpus in
+    production).
+
+    Scale shape: the reference trigram vocabulary is bounded by
+    alphabet^3 — a DIMENSION regardless of corpus size — so membership
+    is a broadcast hash join riding the exploded scan; per-doc trigram
+    sets come from one Arrow-batched pass. Counting known vs total per
+    doc is a map-side-combinable aggregation. Exact integer counts; the
+    single float division is rounded identically on both engines.
+    """
+    from dns_log_transformer_spark.operators import text as text_ops
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tri_set(n: pd.Series) -> pd.Series:
+        return n.map(
+            lambda s: sorted({s[i : i + 3] for i in range(len(s) - 2)})
+            if s is not None
+            else []
+        )
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    tri = persist_tracked(
+        text_ops.rebalance_for_fanout(docs)
+        .select(
+            "doc_id", tri_set(text_ops.normalized(F.col("text"))).alias("t")
+        )
+        .filter(F.size("t") > 0)
+    )
+    ref = (
+        tri.filter(F.expr(_TRI_REF_FILTER))
+        .select(F.explode("t").alias("g"))
+        .distinct()
+    )
+    ex = tri.select("doc_id", F.explode("t").alias("g"))
+    known = (
+        ex.join(F.broadcast(ref), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_known"))
+    )
+    return (
+        tri.join(known, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tri"),
+            F.coalesce("n_known", F.lit(0)).cast("long").alias("n_known"),
+            F.round(
+                F.coalesce("n_known", F.lit(0)) / F.size("t"), 4
+            ).alias("familiarity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff: added / removed / changed / unchanged churn report
+# ---------------------------------------------------------------------------
+_SNAP_SQL = """
+  a AS (
+    SELECT doc_id, md5(text) AS h, length(text) AS nc
+    FROM documents WHERE doc_id % 29 <> 0),
+  b AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                    ELSE text END) AS h,
+           length(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                       ELSE text END) AS nc
+    FROM documents WHERE doc_id % 31 <> 0)
+"""
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH {_SNAP_SQL},
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(b.nc, a.nc) AS nc
+      FROM a FULL OUTER JOIN b USING (doc_id))
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS n_chars
+    FROM j GROUP BY status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Churn report between two corpus snapshots (the data-versioning
+    primitive: what did this crawl/refresh add, remove, or edit?).
+    Snapshots are derived deterministically from the fixture (A drops
+    every 29th doc, B drops every 31st and revises every 7th).
+
+    Shape at scale: ONE full-outer hash join on doc_id comparing
+    content hashes — no content comparison beyond the 128-bit digest,
+    no window. At 100 TB both sides would be bucketed/Z-ordered on
+    doc_id (storage/bucketing.py), turning the exchange into a
+    co-located sort-merge.
+    """
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 29 != 0).select(
+        "doc_id",
+        F.md5("text").alias("h_a"),
+        F.length("text").cast("long").alias("nc_a"),
+    )
+    rev = F.when(
+        F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    b = (
+        docs.filter(F.col("doc_id") % 31 != 0)
+        .select("doc_id", rev.alias("_t"))
+        .select(
+            "doc_id",
+            F.md5("_t").alias("h_b"),
+            F.length("_t").cast("long").alias("nc_b"),
+        )
+    )
+    j = a.join(b, "doc_id", "full_outer").select(
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce("nc_b", "nc_a").alias("nc"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivor selection
+# ---------------------------------------------------------------------------
+def _keep_best_oracle() -> str:
+    from dns_log_transformer_spark.queries.llm_ops import (
+        _MH_PAIRS_CTES,
+        _QUALITY_RAW_SQL,
+        _QUALITY_SCORE_EXPR,
+    )
+
+    skey = (
+        "CAST(ROUND(scored.quality_score * 10000) AS BIGINT)"
+        " * 1000000000000 - allc.doc_id"
+    )
+    return rf"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM dup_pairs),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    q AS ({_QUALITY_RAW_SQL}),
+    scored AS (
+      SELECT doc_id, {_QUALITY_SCORE_EXPR} AS quality_score FROM q),
+    allc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    best AS (
+      SELECT component, arg_max(allc.doc_id, {skey}) AS best_id
+      FROM allc JOIN scored ON allc.doc_id = scored.doc_id
+      GROUP BY component)
+    SELECT allc.doc_id, best.best_id,
+           allc.doc_id = best.best_id AS is_kept
+    FROM allc JOIN best USING (component)
+    """
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    keep the HIGHEST-quality document (min doc_id tiebreak), not the
+    smallest id — the policy real curation ships (drop the boilerplate
+    copy, keep the clean one). Singletons keep themselves.
+
+    Composition: MinHash-LSH pairs -> connected components (both
+    already attested) -> one max_by per component over a packed
+    (score, -id) int64 key — argmax replaces the join-back-on-max
+    idiom, so survivor election costs ONE extra hash aggregation on
+    component ids.
+    """
+    from dns_log_transformer_spark.operators import dedup, text as text_ops
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    scored = text_ops.with_quality_score(docs).select(
+        "doc_id", "quality_score"
+    )
+    allc = persist_tracked(
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    skey = (
+        F.round(F.col("quality_score") * 10000).cast("long")
+        * F.lit(1_000_000_000_000)
+        - F.col("doc_id")
+    )
+    best = (
+        allc.join(scored, "doc_id")
+        .groupBy("component")
+        .agg(F.max_by("doc_id", skey).alias("best_id"))
+    )
+    return allc.join(best, "component").select(
+        "doc_id",
+        "best_id",
+        (F.col("doc_id") == F.col("best_id")).alias("is_kept"),
+    )

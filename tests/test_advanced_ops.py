@@ -175,3 +175,73 @@ def test_cidr_enrich_broadcasts_and_ewma_single_sort(spark):
     # all 8 LAG columns must share ONE window sort (one numbered Window
     # node in the formatted plan's detail section)
     assert plan.count(") Window") == 1
+
+
+def test_trigram_familiarity_reference_docs_are_fully_known(spark):
+    from tests.conftest import SF_SMOKE
+
+    out = {
+        r["doc_id"]: (r["n_tri"], r["n_known"], r["familiarity"])
+        for r in ALL_QUERIES["text_trigram_familiarity"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert out, "fixture should yield scored documents"
+    for doc_id, (n_tri, n_known, fam) in out.items():
+        assert 0 <= n_known <= n_tri
+        assert 0.0 <= fam <= 1.0
+        if doc_id % 19 == 0:
+            # reference docs define the vocabulary -> fully familiar
+            assert (n_known, fam) == (n_tri, 1.0), doc_id
+
+
+def test_snapshot_diff_statuses_partition_the_union(spark):
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["status"]: r["n_docs"]
+        for r in ALL_QUERIES["corpus_snapshot_diff"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    in_a = {i for i in ids if i % 29 != 0}
+    in_b = {i for i in ids if i % 31 != 0}
+    assert rows["added"] == len(in_b - in_a)
+    assert rows["removed"] == len(in_a - in_b)
+    assert rows["changed"] == len({i for i in in_a & in_b if i % 7 == 0})
+    assert sum(rows.values()) == len(in_a | in_b)
+
+
+def test_keep_best_picks_highest_quality_per_cluster(spark):
+    from tests.conftest import SF_SMOKE
+    from dns_log_transformer_spark.operators import dedup, text as text_ops
+    from dns_log_transformer_spark.session import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(
+            dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        ).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_ops.with_quality_score(docs)
+        .select("doc_id", "quality_score")
+        .collect()
+    }
+    out = ALL_QUERIES["dedup_keep_best"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == len(quality)
+    clusters = {}
+    for doc_id, c in comp.items():
+        clusters.setdefault(c, []).append(doc_id)
+    for r in out:
+        c = comp.get(r["doc_id"], r["doc_id"])
+        members = clusters.get(c, [r["doc_id"]])
+        # expected: max quality, min doc_id tiebreak (4-decimal scores)
+        expected = min(
+            members, key=lambda d: (-round(quality[d] * 10000), d)
+        )
+        assert r["best_id"] == expected, (r, members)
+        assert r["is_kept"] == (r["doc_id"] == expected)
