@@ -187,3 +187,119 @@ def blob_digest(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return blobs.select(F.col(id_col), "blob").mapInArrow(
         digest, _blob_digest_schema(id_col)
     )
+
+
+#: Perceptual-hash near-dup: 64-bit aHash over the (stubbed) decoded
+#: thumbnail, banded for an exact Hamming<=3 pair join.
+PHASH_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def fake_pixels(blob: bytes) -> list[int]:
+    """Deterministic stand-in for decode+grayscale+8x8 downsample: 64
+    'pixel' intensities (0-15) sampled at evenly-spaced character
+    positions of the payload (nearest-neighbor downsample of the byte
+    stream). LOCALITY-PRESERVING like a real thumbnail — a small edit
+    to the payload perturbs few pixels, so near-identical payloads get
+    near-identical hashes (an md5-based stub would randomize every bit
+    and make perceptual matching vacuous). A real pipeline injects
+    actual pixel averaging; everything downstream (aHash, banding,
+    pair join) is unchanged."""
+    s = blob.decode("utf-8", errors="replace")
+    n = len(s)
+    if n == 0:
+        return [0] * 64
+    return [ord(s[i * n // 64]) % 16 for i in range(64)]
+
+
+def phash64(
+    df: DataFrame,
+    pixels: Callable[[bytes], list[int]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit average-hash (aHash) per binary payload, emitted as four
+    16-bit band integers (b0..b3) — the form the banded pair join needs.
+    bit i of the hash = 1 iff pixel_i is above the image mean; the
+    compare is exact-integer (pixel*64 > sum) so both engines agree on
+    ties. Arrow-batched mapInPandas; inject ``pixels(blob)`` to swap in
+    a real decoder."""
+    px = pixels or fake_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands: list[list[int]] = [[], [], [], []]
+            for blob in pdf["blob"]:
+                p = px(blob)
+                total = sum(p)
+                for k in range(4):
+                    v = 0
+                    for i in range(16):
+                        if p[k * 16 + i] * 64 > total:
+                            v |= 1 << i
+                    bands[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "b0": pd.Series(bands[0], dtype="int32"),
+                    "b1": pd.Series(bands[1], dtype="int32"),
+                    "b2": pd.Series(bands[2], dtype="int32"),
+                    "b3": pd.Series(bands[3], dtype="int32"),
+                }
+            )
+
+    blobs = df if "blob" in df.columns else attach_blob(df)
+    return blobs.select(F.col(id_col), "blob").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual near-dup pairs: images whose 64-bit aHashes differ in
+    <= max_hamming bits. EXACT via banding + pigeonhole: <= 3 flips
+    cannot touch all 4 of the 16-bit bands, so every qualifying pair
+    shares at least one band value and the candidate join is an
+    equi-join on (band, value) — never all-pairs. Verification sums
+    per-band popcounts of the XOR (ints <= 2^16, plain bit_count).
+
+    Shape at scale: identical to SimHash banding (operators/dedup.py) —
+    candidate volume is bounded by band-bucket occupancy; a hot bucket
+    (monochrome thumbnails) is the documented skew risk and takes the
+    same cap-window treatment if it appears.
+    """
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    # feeds the band explode AND both sides of the verify join
+    hashed = persist_tracked(phash64(df, id_col=id_col))
+    bands = hashed.select(
+        F.col(id_col),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hashed.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
+        for k in range(4)
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

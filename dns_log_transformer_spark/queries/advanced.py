@@ -341,9 +341,13 @@ def q_ewma_anomaly(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_triangle_suppliers",
     oracle="""
-    WITH e AS (
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'),
+    e AS (
       SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
-      FROM lineitem l1 JOIN lineitem l2
+      FROM li l1 JOIN li l2
         ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
     nodes AS (
       SELECT COUNT(DISTINCT x) AS n_nodes FROM (
@@ -368,8 +372,22 @@ def q_triangle_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     skew — the difference between finishing and not when one hub
     supplier touches every order. Edge build is persisted: it feeds the
     degree agg, the orientation join, and the closing-edge probe.
+
+    The graph is the ONE-YEAR co-occurrence subgraph: the fixture's
+    random supplier assignment makes the all-time graph near-complete
+    (453k of 500k possible edges at sf0.1 — sum(deg^2) ~ 8e8 wedges,
+    a dense-workload artifact, not a plan property), while windowed
+    co-occurrence is the form community analyses actually query. The
+    shipdate predicate pushes to the parquet scan.
     """
-    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    li = (
+        table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
     l2 = li.select(
         F.col("l_orderkey"), F.col("l_suppkey").alias("r_suppkey")
     )
@@ -731,3 +749,114 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
         "best_id",
         (F.col("doc_id") == F.col("best_id")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) multimodal near-dup
+# ---------------------------------------------------------------------------
+def _phash_band_sql(k: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN p[{k * 16 + i + 1}] * 64 > total"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+# pixels = 64 evenly-spaced character samples (code point % 16) — the
+# locality-preserving thumbnail stand-in (operators/multimodal.py:
+# fake_pixels); bit i of the hash = pixel_i clears the image mean,
+# compared in exact integers
+_PHASH_PX = """
+  px AS (
+    SELECT doc_id,
+           list_transform(range(64),
+             i -> CASE WHEN length(text) = 0 THEN 0
+                  ELSE ord(substr(text,
+                         CAST(floor(i * length(text) / 64) + 1 AS INT),
+                         1)) % 16 END) AS p
+    FROM {src})"""
+_PHASH_BANDS = """
+  ph AS (
+    SELECT doc_id, {b0} AS b0, {b1} AS b1, {b2} AS b2, {b3} AS b3
+    FROM (SELECT doc_id, p, list_sum(p) AS total FROM px))""".format(
+    b0=_phash_band_sql(0),
+    b1=_phash_band_sql(1),
+    b2=_phash_band_sql(2),
+    b3=_phash_band_sql(3),
+)
+_PHASH_CTES = _PHASH_PX.format(src="documents") + "," + _PHASH_BANDS
+
+#: deterministic 're-encoded copy' plant: the fixture corpus has no
+#: byte-near payloads (verified: min pairwise Hamming 14), so the pairs
+#: query unions a same-length one-character edit of every 13th doc —
+#: the same-image-different-encode scenario the operator exists to
+#: catch. 38 of the 39 plants land within Hamming 3 (one at 4 — missed
+#: honestly; the threshold is the contract, not recall).
+_PHASH_PLANT = """
+  blobs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id,
+           substr(text, 1, 10) || 'Z' || substr(text, 12) AS text
+    FROM documents WHERE doc_id % 13 = 0 AND length(text) > 12)"""
+
+
+@register(
+    "mm_phash64",
+    oracle=f"""
+    WITH {_PHASH_CTES}
+    SELECT doc_id, b0, b1, b2, b3 FROM ph
+    """,
+)
+def mm_phash64(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit perceptual average-hash per image payload (decode stubbed
+    with the locality-preserving character-sample thumbnail — a real
+    deployment injects the 8x8 grayscale averager). bit i = 1 iff
+    pixel_i clears the image mean, compared in exact integers
+    (pixel*64 > sum). Emitted as four 16-bit band ints, the join-ready
+    form. Arrow-batched mapInPandas; no shuffle."""
+    from dns_log_transformer_spark.operators import multimodal
+
+    docs = table(spark, sf, "documents")
+    return multimodal.phash64(docs)
+
+
+@register(
+    "mm_phash_pairs",
+    oracle=f"""
+    WITH {_PHASH_PLANT},
+    {_PHASH_PX.format(src="blobs")},
+    {_PHASH_BANDS},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS INT) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def mm_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual near-dup image pairs (aHash Hamming <= 3) — the
+    multimodal dedup step (pHash/PDQ-style) at the banded-join scale
+    shape: <= 3 bit flips leave at least one of the 4 16-bit bands
+    intact (pigeonhole), so candidates come from an equi-join on
+    (band, value) and the oracle's all-pairs enumeration is matched
+    EXACTLY, never approximated. The corpus is augmented with planted
+    same-length one-character edits (the re-encode scenario; see
+    _PHASH_PLANT) because the raw fixture has no byte-near payloads."""
+    from dns_log_transformer_spark.operators import multimodal
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") % 13 == 0) & (F.length("text") > 12)
+    ).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("Z"),
+            F.expr("substring(text, 12)"),
+        ).alias("text"),
+    )
+    return multimodal.phash_pairs(docs.unionAll(planted), max_hamming=3)

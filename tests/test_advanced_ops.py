@@ -245,3 +245,44 @@ def test_keep_best_picks_highest_quality_per_cluster(spark):
         )
         assert r["best_id"] == expected, (r, members)
         assert r["is_kept"] == (r["doc_id"] == expected)
+
+
+def test_phash_locality_and_pair_detection(spark):
+    from dns_log_transformer_spark.operators import multimodal
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base[:50] + "X" + base[51:]  # same length, one char
+    other = "completely different content about spark plans " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    hashes = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in multimodal.phash64(df).collect()
+    }
+    ham = lambda a, b: sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert ham(hashes[1], hashes[2]) <= 3, "near-identical payloads must hash close"
+    assert ham(hashes[1], hashes[3]) > 3, "unrelated payloads must hash apart"
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal.phash_pairs(df, max_hamming=3).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    # identical payloads are Hamming 0
+    dup = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    out = multimodal.phash_pairs(dup, max_hamming=3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_phash_pairs_query_non_vacuous(spark):
+    from tests.conftest import SF_SMOKE
+
+    rows = ALL_QUERIES["mm_phash_pairs"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0, "planted re-encodes must be detected"
+    assert all(r["hamming"] <= 3 for r in rows)
+    # every detected pair involving a plant links it to its original
+    for r in rows:
+        if r["doc_b"] >= 10000000:
+            assert r["doc_b"] - 10000000 >= 0
