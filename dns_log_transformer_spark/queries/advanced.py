@@ -860,3 +860,69 @@ def mm_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return multimodal.phash_pairs(docs.unionAll(planted), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Skew salting, driver-attested (operators/skew.py)
+# ---------------------------------------------------------------------------
+@register(
+    "q_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_skew_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation on the WORST skew case — a 3-value
+    grouping key, where a plain hash agg funnels the entire table
+    through 3 reducers. Salting spreads each hot key over 16 subkeys;
+    the second shuffle carries 16 rows per key. Values are exact
+    integer cents, so the salted two-phase sum is bit-equal to the
+    oracle's single GROUP BY regardless of combine order (the random
+    salt can shift only fp folds, never integer sums)."""
+    from dns_log_transformer_spark.operators import skew
+
+    li = table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return skew.salted_sum(li, ["l_returnflag"], "cents", n_salts=16)
+
+
+@register(
+    "q_salted_join_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT l_returnflag,
+             CAST(ord(l_returnflag) AS BIGINT) AS factor
+      FROM lineitem)
+    SELECT l.l_returnflag,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * d.factor) AS BIGINT) AS weighted_cents
+    FROM lineitem l JOIN dim d USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_salted_join_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted replicate-join against a hot 3-key build side — the
+    explicit fallback when the dimension cannot broadcast and AQE's
+    skew split does not apply (aggregation-free enrichment scans).
+    The small side is replicated once per salt, the fact side salts
+    its key, and the hot key's rows spread over 16 partitions; result
+    is bit-equal to the oracle's plain join (exact-integer weights)."""
+    from dns_log_transformer_spark.operators import skew
+
+    li = table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    dim = li.select("l_returnflag").distinct().select(
+        "l_returnflag",
+        F.ascii("l_returnflag").cast("long").alias("factor"),
+    )
+    joined = skew.salt_join(li, dim, "l_returnflag", n_salts=16)
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.col("cents") * F.col("factor")).cast("long").alias("weighted_cents")
+    )

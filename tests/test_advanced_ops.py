@@ -286,3 +286,17 @@ def test_phash_pairs_query_non_vacuous(spark):
     for r in rows:
         if r["doc_b"] >= 10000000:
             assert r["doc_b"] - 10000000 >= 0
+
+
+def test_salted_queries_plan_shapes(spark):
+    from tests.conftest import SF_SMOKE
+
+    # salted agg: two aggregation exchanges, the first keyed on (key, salt)
+    plan = plans.physical_plan(ALL_QUERIES["q_salted_skew_agg"].fn(spark, SF_SMOKE))
+    assert "_salt" in plan
+    # salted join: no broadcast of the replicated dim — the point is the
+    # broadcast-infeasible case; the join must carry the salt key
+    plan = plans.physical_plan(
+        ALL_QUERIES["q_salted_join_enrich"].fn(spark, SF_SMOKE)
+    )
+    assert "_salt" in plan
