@@ -6,8 +6,8 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash -> CORRECTNESS_r{N}.json).
 
 All queries live in ``dns_log_transformer_spark.queries`` (one module per
-surface: analytics / dns_pipeline / llm_ops); this file just exposes the
-registry in the driver's shape.
+surface: analytics / dns_pipeline / llm_ops / advanced); this file just
+exposes the registry in the driver's shape.
 """
 
 from __future__ import annotations

@@ -35,7 +35,7 @@ from dns_log_transformer_spark.queries import advanced  # noqa: E402,F401
 # queries whose code changed this round (text_quality_deciles rewrite,
 # q_pagerank_trade, q_argmax_orders) stay out-of-window: each is
 # r4-green, each change is oracle-hash-preserving, and the parity suite
-# (now with the driver-canonicalizer twin) re-attests all 119 every
+# (now with the driver-canonicalizer twin) re-attests all queries every
 # session — swapping them in would cut the trailing-two-round union
 # below 98. The round-5 additions (queries/advanced.py) register AFTER
 # the 50 curated in-window names, so they sit past the driver's

@@ -926,3 +926,120 @@ def q_salted_join_enrich(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("l_returnflag").agg(
         F.sum(F.col("cents") * F.col("factor")).cast("long").alias("weighted_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations audit (Great-Expectations-style, one pass)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_expectations",
+    oracle="""
+    WITH checks AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) - COUNT(text) AS BIGINT) AS null_text,
+        CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS dup_ids,
+        CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END)
+          AS BIGINT) AS bad_n_chars,
+        CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','unk')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+        CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS empty_text
+      FROM documents)
+    SELECT u.expectation, u.violations,
+           (u.violations = 0) AS passed, c.n_rows
+    FROM checks c,
+         (SELECT 'text_not_null' AS expectation, null_text AS violations
+            FROM checks
+          UNION ALL SELECT 'doc_id_unique', dup_ids FROM checks
+          UNION ALL SELECT 'n_chars_consistent', bad_n_chars FROM checks
+          UNION ALL SELECT 'lang_in_domain', bad_lang FROM checks
+          UNION ALL SELECT 'text_not_empty', empty_text FROM checks) u
+    """,
+)
+def corpus_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Expectation-suite audit (the Great-Expectations/dbt-test shape):
+    five invariants — non-null text, unique ids, n_chars==length(text),
+    lang within domain, non-empty text — checked in ONE scan as
+    conditional aggregates (no per-check pass, no join), then unpivoted
+    to a (expectation, violations, passed) report. The audit a corpus
+    ingest runs before promoting a snapshot.
+
+    count(DISTINCT doc_id) is the one non-combinable agg; Spark splits
+    it into its own partial via expand — still a single scan."""
+    d = table(spark, sf, "documents")
+    checks = d.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.count("*") - F.count("text")).cast("long").alias("null_text"),
+        (F.count("*") - F.countDistinct("doc_id"))
+        .cast("long")
+        .alias("dup_ids"),
+        F.sum(
+            (F.col("n_chars") != F.length("text")).cast("long")
+        ).alias("bad_n_chars"),
+        F.sum(
+            (~F.col("lang").isin("en", "de", "fr", "es", "unk")).cast("long")
+        ).alias("bad_lang"),
+        F.sum((F.length("text") == 0).cast("long")).alias("empty_text"),
+    )
+    report = checks.select(
+        "n_rows",
+        F.expr(
+            "stack(5,"
+            " 'text_not_null', null_text,"
+            " 'doc_id_unique', dup_ids,"
+            " 'n_chars_consistent', bad_n_chars,"
+            " 'lang_in_domain', bad_lang,"
+            " 'text_not_empty', empty_text)"
+        ).alias("expectation", "violations"),
+    )
+    return report.select(
+        "expectation",
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+        "n_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov counts per event bigram)
+# ---------------------------------------------------------------------------
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order transition counts over per-user event sequences (the
+    Markov-matrix / next-event-prediction feature): one per-user window
+    pairs each event with its successor, then a |types|^2-bounded count
+    aggregation. One shuffle on user_id, one on the (tiny) type pair;
+    event_id breaks timestamp ties so both engines sequence
+    identically."""
+    ev = table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy(F.asc("ts_sec"), F.asc("event_id"))
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )

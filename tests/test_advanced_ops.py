@@ -300,3 +300,35 @@ def test_salted_queries_plan_shapes(spark):
         ALL_QUERIES["q_salted_join_enrich"].fn(spark, SF_SMOKE)
     )
     assert "_salt" in plan
+
+
+def test_expectations_single_scan_and_transitions_bound(spark):
+    from tests.conftest import SF_SMOKE
+
+    df = ALL_QUERIES["corpus_expectations"].fn(spark, SF_SMOKE)
+    rows = {r["expectation"]: (r["violations"], r["passed"]) for r in df.collect()}
+    assert set(rows) == {
+        "text_not_null",
+        "doc_id_unique",
+        "n_chars_consistent",
+        "lang_in_domain",
+        "text_not_empty",
+    }
+    for v, passed in rows.values():
+        assert passed == (v == 0)
+    # uniqueness must really hold on the fixture
+    assert rows["doc_id_unique"] == (0, True)
+    # one scan: a single parquet FileScan of documents in the plan
+    plan = plans.physical_plan(df)
+    assert plan.count("documents.parquet") <= 2  # tree + detail section
+
+    tr = ALL_QUERIES["q_event_transitions"].fn(spark, SF_SMOKE).collect()
+    types = {"view", "click", "purchase", "signup", "error"}
+    assert all(r["from_type"] in types and r["to_type"] in types for r in tr)
+    assert len(tr) <= len(types) ** 2
+    # total transitions = total events - number of users (each user's
+    # last event has no successor)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in tr) == n_events - n_users
