@@ -332,3 +332,124 @@ def test_expectations_single_scan_and_transitions_bound(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in tr) == n_events - n_users
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the round-5 operators vs pure-python references
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_change = st.tuples(
+    st.integers(0, 6),          # key
+    st.integers(0, 9),          # payload token
+    st.sampled_from(["U", "D"]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_change, min_size=1, max_size=24))
+def test_upsert_latest_matches_dict_reference(spark, changes):
+    # versions = arrival order (unique per key via global index)
+    rows = [
+        (k, f"p{p}", i, op) for i, (k, p, op) in enumerate(changes)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, payload string, version int, op string"
+    )
+    got = {
+        r["k"]: (r["payload"], r["version"])
+        for r in cdc.upsert_latest(df, ["k"]).collect()
+    }
+    ref = {}
+    for k, payload, version, op in rows:
+        ref[k] = (payload, version, op)  # later version always wins
+    expected = {
+        k: (p, v) for k, (p, v, op) in ref.items() if op != "D"
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, raw):
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    r = graph.triangle_count(df).collect()[0]
+    es = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    expected = sum(
+        1
+        for i, x in enumerate(nodes)
+        for y in nodes[i + 1 :]
+        for z in nodes
+        if z > y
+        and (x, y) in es
+        and (x, z) in es
+        and (y, z) in es
+    )
+    assert r["n_triangles"] == expected
+    assert r["n_edges"] == len(edges) and r["n_nodes"] == len(nodes)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.sampled_from("abc"), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scd2_intervals_match_python_reference(spark, obs):
+    rows = [(u, a, t, i) for i, (u, a, t) in enumerate(obs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, attr string, ts_sec long, event_id long"
+    )
+    keyfn = lambda r: (r[0], r[1], r[2], -1 if r[3] is None else r[3])
+    got = sorted(
+        (
+            (r["user_id"], r["valid_from"], r["attr"], r["valid_to"], r["is_current"])
+            for r in cdc.scd2_intervals(
+                df,
+                key_col="user_id",
+                attr_col="attr",
+                ts_col=F.col("ts_sec"),
+                tiebreak_col="event_id",
+            ).collect()
+        ),
+        key=keyfn,
+    )
+    expected = []
+    by_user = {}
+    for u, a, t, i in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        by_user.setdefault(u, []).append((a, t))
+    for u, seq in by_user.items():
+        changes = [
+            (a, t) for j, (a, t) in enumerate(seq) if j == 0 or seq[j - 1][0] != a
+        ]
+        for j, (a, t) in enumerate(changes):
+            nxt = changes[j + 1][1] if j + 1 < len(changes) else None
+            expected.append((u, t, a, nxt, nxt is None))
+    # multiset compare: equal timestamps can yield same-key intervals
+    assert got == sorted(expected, key=keyfn)
