@@ -1043,3 +1043,56 @@ def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining rank-function family: dense_rank / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+@register(
+    "q_rank_functions",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    ranked AS (
+      SELECT o_orderkey, o_orderpriority, cents,
+             CAST(RANK() OVER w AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 6) AS cume
+      FROM o WINDOW w AS (PARTITION BY o_orderpriority
+                          ORDER BY cents, o_orderkey))
+    SELECT o_orderkey, o_orderpriority, cents, rnk, drnk, pct_rank, cume
+    FROM ranked WHERE o_orderkey % 17 = 0
+    """,
+)
+def q_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """The rank-function family not yet attested elsewhere: rank,
+    dense_rank, percent_rank, cume_dist in ONE window pass (all four
+    share the per-priority sort; the plan must carry a single Window
+    node). Ordering key (cents, orderkey) is total, so ranks are
+    deterministic; the two ratio functions divide exact integers and
+    are rounded identically on both engines. Output sampled to every
+    17th order AFTER ranking (the filter must not perturb the frame).
+    """
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.asc("cents"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "cents",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("o_orderkey") % 17 == 0)
+    )
