@@ -34,6 +34,7 @@ from dns_log_transformer_spark.streaming.stateful import (
     funnel_stages,
     running_user_totals,
     sessionized_user_totals,
+    user_activity_profile,
 )
 
 __all__ = [
@@ -51,4 +52,5 @@ __all__ = [
     "running_user_totals",
     "sessionized_user_totals",
     "RUN_EVICT_STATE_STORE",
+    "user_activity_profile",
 ]

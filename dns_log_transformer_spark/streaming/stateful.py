@@ -257,3 +257,88 @@ def funnel_stages(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# TWS list/map-state profile: the remaining state primitives, executed
+# ---------------------------------------------------------------------------
+#: Output of user_activity_profile: one row per (user, input batch).
+_TWS_PROFILE_SCHEMA = (
+    "user_id long, n_types long, top_type string, recent_sum double, "
+    "k_kept long"
+)
+
+
+def _make_profile_processor(k_recent: int):
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _ProfileProcessor(StatefulProcessor):
+        """Per-user activity profile exercising the two TWS state
+        primitives the sessionizer does not: ListState (rolling last-k
+        event values in cents) and MapState (per-event-type counts).
+        Emits, per input batch: the number of distinct types seen, the
+        modal type (count desc, name asc tiebreak — deterministic), the
+        sum of the kept last-k values, and how many are kept."""
+
+        def init(self, handle):
+            self._recent = handle.getListState("recent", "cents long")
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "c long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            batch = pd.concat(list(rows))
+            # deterministic intra-batch order regardless of arrival
+            batch = batch.sort_values("event_id")
+            for t, cnt in batch["event_type"].value_counts().items():
+                prev = (
+                    self._counts.getValue((t,))[0]
+                    if self._counts.containsKey((t,))
+                    else 0
+                )
+                self._counts.updateValue((t,), (prev + int(cnt),))
+            for cents in (
+                (batch["value"] * 100).round().astype("int64").tolist()
+            ):
+                self._recent.appendValue((cents,))
+            kept = [r[0] for r in self._recent.get()][-k_recent:]
+            # ListState has no truncate: rebuild to hold only last-k
+            self._recent.put([(c,) for c in kept])
+            counts = {
+                kv[0][0]: kv[1][0] for kv in self._counts.iterator()
+            }
+            top = min(counts, key=lambda t: (-counts[t], t))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_types": [len(counts)],
+                    "top_type": [top],
+                    "recent_sum": [round(sum(kept) / 100.0, 4)],
+                    "k_kept": [len(kept)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return _ProfileProcessor()
+
+
+def user_activity_profile(events: DataFrame, k_recent: int = 3) -> DataFrame:
+    """``transformWithStateInPandas`` operator exercising ListState
+    (rolling last-k values; rebuilt via put() since the API has no
+    truncate) and MapState (per-type counters with containsKey/
+    getValue/updateValue/iterator) — together with the sessionizer's
+    ValueState + timers this executes every TWS state primitive.
+    Same environment caveats as :func:`sessionized_user_totals`
+    (vendored protobuf, no Python worker daemon, RocksDB provider);
+    asserted by tests/tws_driver.py: cross-batch list truncation to
+    last-k, map counters accumulating across batches, deterministic
+    modal-type tiebreak."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_profile_processor(k_recent),
+        outputStructType=_TWS_PROFILE_SCHEMA,
+        outputMode="update",
+        timeMode="None",
+    )

@@ -34,6 +34,7 @@ from dns_log_transformer_spark.session import get_spark
 from dns_log_transformer_spark.streaming import (
     RUN_EVICT_STATE_STORE,
     sessionized_user_totals,
+    user_activity_profile,
 )
 
 
@@ -117,6 +118,71 @@ def main() -> None:
         poll(lambda g: (1, 1, 1.0, False) in g)
     finally:
         q.stop()
+
+    # --- second query, same JVM: ListState + MapState primitives ---
+    src2 = tempfile.mkdtemp(prefix="tws_profile")
+    stream2 = spark.readStream.schema(schema).json(src2)
+    out2 = user_activity_profile(stream2, k_recent=3)
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("tws_profile")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tws_ck2"))
+        .start()
+    )
+
+    def write2(fname: str, rows: list[dict]) -> None:
+        with open(os.path.join(src2, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def poll2(pred, deadline: float = 120.0) -> set:
+        t0 = time.time()
+        got: set = set()
+        while time.time() - t0 < deadline:
+            rows = spark.sql("SELECT * FROM tws_profile").collect()
+            got = {
+                (r["user_id"], r["n_types"], r["top_type"],
+                 r["recent_sum"], r["k_kept"])
+                for r in rows
+            }
+            if pred(got):
+                return got
+            time.sleep(0.5)
+        raise TimeoutError(f"expected rows never arrived; sink has {got}")
+
+    try:
+        # batch 1: 2 views + 1 click -> top=view, recent=[10,5,2] sum 17
+        write2(
+            "p1.json",
+            [
+                {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 7,
+                 "value": 10.0, "event_type": "view"},
+                {"event_id": 2, "ts": "2024-01-01T00:00:10Z", "user_id": 7,
+                 "value": 5.0, "event_type": "view"},
+                {"event_id": 3, "ts": "2024-01-01T00:00:20Z", "user_id": 7,
+                 "value": 2.0, "event_type": "click"},
+            ],
+        )
+        poll2(lambda g: (7, 2, "view", 17.0, 3) in g)
+        # batch 2: one click -> counts tie view=2 click=2, tiebreak
+        # 'click' (name asc); list truncates to last 3 = [5,2,4] sum 11
+        write2(
+            "p2.json",
+            [{"event_id": 4, "ts": "2024-01-01T00:00:30Z", "user_id": 7,
+              "value": 4.0, "event_type": "click"}],
+        )
+        poll2(lambda g: (7, 2, "click", 11.0, 3) in g)
+        # batch 3: a new type -> n_types=3; map state carried both
+        # earlier counters across batches
+        write2(
+            "p3.json",
+            [{"event_id": 5, "ts": "2024-01-01T00:00:40Z", "user_id": 7,
+              "value": 1.0, "event_type": "purchase"}],
+        )
+        poll2(lambda g: (7, 3, "click", 7.0, 3) in g)
+    finally:
+        q2.stop()
         spark.stop()
     print("PASS")
 
