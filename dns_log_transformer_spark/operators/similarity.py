@@ -458,6 +458,7 @@ def pq_encode(
     m: int = PQ_SUBSPACES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, code array<int> of length m): each vector's subvector s maps
     to its nearest codebook cell by squared L2 over that subspace's dims.
@@ -492,7 +493,11 @@ def pq_encode(
             codes[:, s] = cells[np.argmin(D, axis=1)]
         return pd.Series(list(codes))
 
-    return emb.select(F.col(id_col), encode(F.col(vec_col)).alias("code"))
+    return emb.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        encode(F.col(vec_col)).alias("code"),
+    )
 
 
 def pq_adc_topk(
@@ -988,4 +993,139 @@ def int8_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "dot_q", "rnk")
+    )
+
+
+def ivfpq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 10,
+    n_probe: int = 2,
+    m: int = PQ_SUBSPACES,
+    pq_cells: int = PQ_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the composition both base
+    operators' docstrings name as the production path (Jégou et al.
+    2011; the billion-vector memory layout): the corpus lives as
+    (coarse cell, m residual codes); a query probes its n_probe
+    nearest coarse cells and scores candidates as
+
+        score(v) ~ dot(q, c_cell(v)) + sum_s LUT_q[s][code_s(v)]
+
+    i.e. the coarse-centroid dot plus the ADC estimate of
+    dot(q, v - c_cell(v)). Residual quantization is what lifts PQ's
+    recall: residuals are centered near zero, so the same 4-bit-per-
+    subspace budget spends its cells on the part of the vector the
+    coarse index has not already explained.
+
+    Shape at scale: candidates come from an equi-join on the probed
+    cell (~n_probe/n_cells of the codes, never the corpus); the scan
+    touches m-byte codes; both codebooks and every query LUT broadcast.
+    Determinism mirrors the attested pieces bit-for-bit: seed-partition
+    codebooks rounded to 4 decimals, dim-ordered dot folds, sub-ordered
+    ADC fold, ROUND(score, 4) with id tie-break.
+
+    Measured recall@5 on the sf0.1 fixtures: 0.075 @ n_probe=2, 0.100
+    @ n_probe=5 (floors + probe monotonicity pinned, tests/test_ann.py).
+    The residual trick shows NO lift over plain PQ (0.125) on these
+    RANDOM vectors — coarse centroids of random data are ~0, so
+    residual ~= original and the composition only adds IVF's candidate
+    restriction. That is the honest worst case; on real clustered
+    embeddings the coarse stage absorbs the cluster mean, residual
+    magnitudes shrink, and the same 4-bit budget quantizes far tighter
+    (the published IVF-PQ result). The operator exists for that
+    workload; the fixtures attest its correctness, not its advantage.
+
+    Output: (query_id, vec_id, adc_score, rnk).
+    """
+    # coarse codebook + assignment (the attested IVF recipe)
+    cells0, cmat = pq_codebook(emb, n_cells, id_col, vec_col)
+    codebook = [(int(c), cmat[i]) for i, c in enumerate(cells0)]
+    assign1 = _cell_assigner(codebook, 1)
+    assignp = _cell_assigner(codebook, n_probe)
+    bc_c = _bc(cmat)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def residual(v: pd.Series, cell: pd.Series) -> pd.Series:
+        cmat = bc_c.value
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        R = X - cmat[cell.to_numpy()]
+        return pd.Series(list(R))
+
+    corpus = (
+        emb.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("cell", F.element_at(assign1(F.col("_v")), 1))
+        .withColumn("_r", residual(F.col("_v"), F.col("cell")))
+    )
+    # PQ codebook trained on RESIDUALS (same seed-partition recipe)
+    pq_cb = pq_codebook(corpus.select(id_col, "_r"), pq_cells, id_col, "_r")
+    codes = pq_encode(corpus, pq_cb, m, id_col, "_r", keep_cols=("cell",))
+
+    _, pmat = pq_cb
+    dim = pmat.shape[1]
+    d_sub = dim // m
+    bc_p = _bc(pmat)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut(v: pd.Series) -> pd.Series:
+        pmat = bc_p.value
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        n = X.shape[0]
+        out = np.zeros((n, m * pq_cells), dtype=np.float64)
+        for s in range(m):
+            for ci in range(pq_cells):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(s * d_sub, (s + 1) * d_sub):
+                    acc = acc + X[:, d] * pmat[ci, d]
+                out[:, s * pq_cells + ci] = acc
+        return pd.Series(list(out))
+
+    @F.pandas_udf(T.DoubleType())
+    def q_dot_c(v: pd.Series, cell: pd.Series) -> pd.Series:
+        cmat = bc_c.value
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        C = cmat[cell.to_numpy()]
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for d in range(X.shape[1]):
+            acc = acc + X[:, d] * C[:, d]
+        return pd.Series(acc)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(code: pd.Series, lut_col: pd.Series) -> pd.Series:
+        C = np.vstack(code.to_numpy())
+        L = np.vstack(lut_col.to_numpy())
+        acc = np.zeros(C.shape[0], dtype=np.float64)
+        for s in range(m):  # subspace-ordered fold, mirrors list_sum
+            acc = acc + L[np.arange(C.shape[0]), s * pq_cells + C[:, s]]
+        return pd.Series(acc)
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("_qv"),
+        )
+        .withColumn("_lut", lut(F.col("_qv")))
+        .withColumn("cell", F.explode(assignp(F.col("_qv"))))
+        .withColumn("_qc", q_dot_c(F.col("_qv"), F.col("cell")))
+        .select("query_id", "cell", "_qc", "_lut")
+    )
+    scored = (
+        codes.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("_qc") + adc(F.col("code"), F.col("_lut")), 4
+            ).alias("adc_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "adc_score", "rnk")
     )

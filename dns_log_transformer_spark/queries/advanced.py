@@ -1096,3 +1096,107 @@ def q_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("o_orderkey") % 17 == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with residual encoding (the composition the base ops point to)
+# ---------------------------------------------------------------------------
+def _ivfpq_oracle() -> str:
+    from dns_log_transformer_spark.queries.llm_ops import (
+        _SEMDEDUP_CB,
+        _SQL_DOT,
+    )
+
+    d_sub = 64 // similarity.PQ_SUBSPACES
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    {_SEMDEDUP_CB},
+    corpus_cell AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, cb.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_DOT.format(a='e.v', b='cb.cv')} DESC,
+                          cb.cell) AS rn
+        FROM e, cb)
+      WHERE rn = 1),
+    resid AS (
+      SELECT cc.vec_id, cc.cell,
+             list_transform(range(64), d -> cc.v[d + 1] - cb.cv[d + 1]) AS r
+      FROM corpus_cell cc JOIN cb USING (cell)),
+    pqcb AS (
+      SELECT pcell, list(c ORDER BY dim) AS pcv FROM (
+        SELECT CAST(vec_id % {similarity.PQ_CELLS} AS INT) AS pcell,
+               CAST(u.p[1] AS INT) AS dim,
+               ROUND(AVG(u.p[2]), 4) AS c
+        FROM (
+          SELECT vec_id, unnest(list_zip(range(len(r)), r)) AS p
+          FROM resid) u
+        GROUP BY 1, 2)
+      GROUP BY pcell),
+    codes AS (
+      SELECT vec_id, cell, sub, pcell FROM (
+        SELECT rs.vec_id, rs.cell, s.sub, pqcb.pcell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY rs.vec_id, s.sub
+                 ORDER BY list_sum(list_transform(range({d_sub}),
+                     d -> (rs.r[s.sub*{d_sub} + d + 1]
+                           - pqcb.pcv[s.sub*{d_sub} + d + 1])
+                        * (rs.r[s.sub*{d_sub} + d + 1]
+                           - pqcb.pcv[s.sub*{d_sub} + d + 1]))),
+                   pqcb.pcell) AS rn
+        FROM resid rs, range({similarity.PQ_SUBSPACES}) s(sub), pqcb)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, cb.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_DOT.format(a='e.v', b='cb.cv')} DESC,
+                          cb.cell) AS rn
+        FROM e, cb
+        WHERE e.vec_id % 50 = 0 AND e.vec_id < 2000)
+      WHERE rn <= 2),
+    qdc AS (
+      SELECT p.query_id, p.qv, p.cell,
+             {_SQL_DOT.format(a='p.qv', b='cb.cv')} AS qc
+      FROM probes p JOIN cb USING (cell)),
+    subsc AS (
+      SELECT q.query_id, c.vec_id, q.qc, c.sub,
+             list_sum(list_transform(range({d_sub}),
+                 d -> q.qv[c.sub*{d_sub} + d + 1]
+                      * pqcb.pcv[c.sub*{d_sub} + d + 1])) AS ds
+      FROM codes c
+      JOIN qdc q ON q.cell = c.cell AND c.vec_id <> q.query_id
+      JOIN pqcb ON pqcb.pcell = c.pcell),
+    scored AS (
+      SELECT query_id, vec_id,
+             ROUND(MIN(qc) + list_sum(list(ds ORDER BY sub)), 4)
+               AS adc_score
+      FROM subsc GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, adc_score, rnk FROM (
+      SELECT query_id, vec_id, adc_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_score DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """
+
+
+@register("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ residual top-5 — the production ANN memory layout the PQ
+    and IVF docstrings both point to: coarse cell + m residual codes
+    per corpus vector; queries probe 2 of 10 coarse cells and score
+    candidates as dot(q, coarse centroid) + ADC(residual). Candidates
+    come from an equi-join on the probed cell (never the full corpus);
+    the oracle rebuilds coarse assignment, residuals, the residual PQ
+    codebook, codes, and the two-term score with identical fold
+    orders."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
+    return similarity.ivfpq_adc_topk(emb, queries, k=5)
