@@ -135,10 +135,18 @@ def global_rank(
     ``sort_cols`` MUST be a total order (include a unique tiebreak) or
     tied rows land nondeterministically. Driver state: one row count
     per partition.
+
+    Partition count follows the INPUT when it out-splits the session
+    default: a fixed count makes per-task sorts grow linearly with
+    input (the 6x-at-10x reading in PLANS.md); upstream scan splits
+    grow with input bytes (maxPartitionBytes), so
+    ``max(shuffle.partitions, upstream splits)`` keeps per-task sort
+    size bounded on a cluster without an extra counting job.
     """
     spark = df.sparkSession
-    n_parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
+    n_parts = num_partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        df.rdd.getNumPartitions(),
     )
     cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
     stamped = (
