@@ -913,11 +913,12 @@ def int8_bounds(
     so the shuffle carries 64 groups of map-side-combined partials no
     matter the corpus size; driver state is 2 x dim doubles (bounded).
     """
-    rows = (
+    rows = _require_rows(
         emb.select(F.posexplode(_as_double(F.col(vec_col))).alias("_dim", "_x"))
         .groupBy("_dim")
         .agg(F.min("_x").alias("mn"), F.max("_x").alias("mx"))
-        .collect()
+        .collect(),
+        "int8_bounds",
     )
     mns = [0.0] * len(rows)
     mxs = [0.0] * len(rows)

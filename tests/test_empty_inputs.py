@@ -56,6 +56,21 @@ REPRESENTATIVE = [
     "corpus_negative_pairs",
     "corpus_shuffle",
     "corpus_temperature_sample",
+    # round-5 families
+    "cdc_upsert_merge",
+    "cdc_scd2_intervals",
+    "q_cidr_enrich",
+    "q_ewma_anomaly",
+    "q_triangle_suppliers",
+    "q_event_transitions",
+    "q_rank_functions",
+    "q_salted_skew_agg",
+    "q_salted_join_enrich",
+    "corpus_expectations",
+    "corpus_snapshot_diff",
+    "text_trigram_familiarity",
+    "mm_phash_pairs",
+    "dedup_keep_best",
 ]
 
 # the learning ops: clear ValueError by contract
@@ -65,6 +80,11 @@ LEARNERS = [
     "emb_semantic_dedup",
     "sim_ann_ivf_topk",
     "sim_pq_adc_topk",
+    # round-5 learners: int8 calibration and the IVF-PQ coarse codebook
+    # learn from the corpus
+    "emb_int8_codes",
+    "sim_int8_topk",
+    "sim_ivfpq_topk",
 ]
 
 
