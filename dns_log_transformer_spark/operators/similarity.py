@@ -981,7 +981,7 @@ def int8_topk(
         F.col(id_col).alias("query_id"), F.col("code").alias("q_code")
     )
     scored = (
-        c.join(F.broadcast(q))
+        c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -1056,7 +1056,13 @@ def ivfpq_adc_topk(
         R = X - cmat[cell.to_numpy()]
         return pd.Series(list(R))
 
-    corpus = (
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    # persisted: the assign+residual chain feeds BOTH the residual-
+    # codebook collect (an action inside pq_codebook) and the encode
+    # pass — without the persist the corpus is scanned and assigned
+    # twice (PLANS.md rule 4)
+    corpus = persist_tracked(
         emb.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
         .withColumn("cell", F.element_at(assign1(F.col("_v")), 1))
         .withColumn("_r", residual(F.col("_v"), F.col("cell")))
