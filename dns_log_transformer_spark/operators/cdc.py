@@ -47,9 +47,7 @@ def upsert_latest(
     makes versions unique per key (assert upstream); TPC-H-derived
     feeds here use strictly increasing batch numbers.
     """
-    payload = F.struct(
-        F.col(version_col).alias("_v"), *[F.col(c) for c in changes.columns]
-    )
+    payload = F.struct(*[F.col(c) for c in changes.columns])
     merged = changes.groupBy(*key_cols).agg(
         F.max_by(payload, F.col(version_col)).alias("_row")
     )

@@ -113,6 +113,32 @@ def seeded_shuffle(
     return ranked.drop("_sfl_key")
 
 
+#: (session id, sorted input files) -> upstream split count. The .rdd
+#: probe compiles the physical plan (and under AQE can materialize
+#: upstream stages) — ~1 s per NEW plan, the same cost
+#: text.rebalance_for_fanout caches away (text.py _REBALANCE_CACHE).
+#: Keyed on input files: two plans over the same files may partition
+#: differently post-shuffle, but for the max(conf, splits) decision an
+#: input-bytes-scaled reading is what matters.
+_SPLITS_CACHE: dict = {}
+
+
+def _upstream_splits(df: DataFrame) -> int:
+    key = None
+    try:
+        files = df.inputFiles()  # driver-side listing, no job
+        if files:
+            key = (id(df.sparkSession), tuple(sorted(files)))
+    except Exception:
+        pass
+    if key is not None and key in _SPLITS_CACHE:
+        return _SPLITS_CACHE[key]
+    n = df.rdd.getNumPartitions()
+    if key is not None:
+        _SPLITS_CACHE[key] = n
+    return n
+
+
 def global_rank(
     df: DataFrame,
     sort_cols: list,
@@ -146,7 +172,7 @@ def global_rank(
     spark = df.sparkSession
     n_parts = num_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
-        df.rdd.getNumPartitions(),
+        _upstream_splits(df),
     )
     cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
     stamped = (
@@ -214,6 +240,15 @@ def grouped_rank(
         if count_col:
             out = out.withColumn(count_col, F.lit(None).cast("long"))
         return out
+    if any(r[group_col] is None for r in stats):
+        # create_map rejects null keys at RUNTIME with an opaque error;
+        # surface the contract at build time instead (the window-NTILE
+        # form tolerated null partitions — callers with nullable group
+        # keys must coalesce to a sentinel first)
+        raise ValueError(
+            f"grouped_rank: group column {group_col!r} contains NULL — "
+            "coalesce to a sentinel before ranking"
+        )
     start_map = F.create_map(
         *[x for r in stats for x in (F.lit(r[group_col]), F.lit(int(r["_s"]) - 1))]
     )

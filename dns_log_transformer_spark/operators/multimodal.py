@@ -266,6 +266,11 @@ def phash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> 
     from dns_log_transformer_spark.operators.caching import persist_tracked
 
     # feeds the band explode AND both sides of the verify join
+    if not 0 <= max_hamming <= 3:
+        # pigeonhole over 4 bands is complete only for <= 3 flips; a
+        # larger threshold would silently MISS pairs whose differing
+        # bits touch all four bands (use more/narrower bands instead)
+        raise ValueError("phash_pairs: max_hamming must be 0..3 (4 bands)")
     hashed = persist_tracked(phash64(df, id_col=id_col))
     bands = hashed.select(
         F.col(id_col),

@@ -937,8 +937,12 @@ def _int8_encoder(mns: list[float], mxs: list[float]):
     def encode(v: pd.Series) -> pd.Series:
         x = np.vstack(v.to_numpy()).astype(np.float64)
         # (x - mn) * 254 / range, round HALF-UP, shift to [-127, 127];
-        # constant dims quantize to code 0 (numerator is 0 there)
+        # constant dims quantize to code 0 (numerator is 0 there).
+        # Clamp: vectors OUTSIDE the calibration bounds (queries not
+        # drawn from the corpus) must still produce int8-range codes or
+        # the documented |dot| <= 127^2*dim exactness bound breaks.
         q = _round_half_up((x - mn) * 254.0 / safe, 0).astype(np.int64) - 127
+        q = np.clip(q, -127, 127)
         return pd.Series(list(q.astype(np.int32)))
 
     return encode
@@ -1044,6 +1048,12 @@ def ivfpq_adc_topk(
     """
     # coarse codebook + assignment (the attested IVF recipe)
     cells0, cmat = pq_codebook(emb, n_cells, id_col, vec_col)
+    if len(cells0) != n_cells or not np.array_equal(cells0, np.arange(n_cells)):
+        # cmat is indexed by raw cell id below (residual + q_dot_c UDFs);
+        # a sparse id space would mis-index or crash opaquely
+        raise ValueError(
+            "ivfpq_adc_topk: coarse codebook cells must be dense 0..n_cells-1"
+        )
     codebook = [(int(c), cmat[i]) for i, c in enumerate(cells0)]
     assign1 = _cell_assigner(codebook, 1)
     assignp = _cell_assigner(codebook, n_probe)
@@ -1069,9 +1079,17 @@ def ivfpq_adc_topk(
     )
     # PQ codebook trained on RESIDUALS (same seed-partition recipe)
     pq_cb = pq_codebook(corpus.select(id_col, "_r"), pq_cells, id_col, "_r")
+    pcells, pmat = pq_cb
+    if len(pcells) != pq_cells or not np.array_equal(
+        pcells, np.arange(pq_cells)
+    ):
+        # the LUT is laid out s * pq_cells + cell and adc() indexes it by
+        # raw code — sparse residual cells would silently read wrong slots
+        raise ValueError(
+            "ivfpq_adc_topk: residual codebook cells must be dense "
+            "0..pq_cells-1"
+        )
     codes = pq_encode(corpus, pq_cb, m, id_col, "_r", keep_cols=("cell",))
-
-    _, pmat = pq_cb
     dim = pmat.shape[1]
     d_sub = dim // m
     bc_p = _bc(pmat)

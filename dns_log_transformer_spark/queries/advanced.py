@@ -421,8 +421,9 @@ _INT8_CODE_SQL = f"""
     SELECT vec_id,
            list_transform(generate_series(1, {_INT8_DIM}),
              i -> CASE WHEN mxs[i] = mns[i] THEN -127
-                  ELSE CAST(ROUND((v[i] - mns[i]) * 254.0
-                                  / (mxs[i] - mns[i])) AS INT) - 127
+                  ELSE GREATEST(-127, LEAST(127,
+                         CAST(ROUND((v[i] - mns[i]) * 254.0
+                                    / (mxs[i] - mns[i])) AS INT) - 127))
                   END) AS code
     FROM e, cal)
 """

@@ -38,8 +38,19 @@ def _enable_vendored_protobuf() -> None:
     shim = os.path.join(tempfile.gettempdir(), "spark_graft_protobuf_shim")
     os.makedirs(shim, exist_ok=True)
     link = os.path.join(shim, "google")
+    # refresh a stale/dangling link (SDK path can move across image
+    # upgrades — islink() alone would keep a dead entry and turn the
+    # importorskip into a hard failure); tolerate a concurrent pytest
+    # process winning the symlink race
+    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(
+        _SDK_GOOGLE
+    ):
+        os.unlink(link)
     if not os.path.islink(link):
-        os.symlink(_SDK_GOOGLE, link)
+        try:
+            os.symlink(_SDK_GOOGLE, link)
+        except FileExistsError:
+            pass
     sys.path.insert(0, shim)
     os.environ["PYTHONPATH"] = (
         shim + os.pathsep + os.environ.get("PYTHONPATH", "")

@@ -165,9 +165,7 @@ def test_int8_topk_matches_python_oracle(spark):
 
 
 def test_cidr_enrich_broadcasts_and_ewma_single_sort(spark):
-    import os
-
-    sf = os.environ.get("SPARK_GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
+    from tests.conftest import SF_SMOKE as sf
     plan = plans.physical_plan(ALL_QUERIES["q_cidr_enrich"].fn(spark, sf))
     assert "BroadcastHashJoin" in plan, "CIDR dim must broadcast-equi-join"
     assert "NestedLoop" not in plan, "aligned blocks must not theta-join"
