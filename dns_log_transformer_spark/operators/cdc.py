@@ -32,6 +32,7 @@ def upsert_latest(
     version_col: str = "version",
     op_col: str = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Latest-wins merge: one row per key — the row with the highest
     ``version_col`` — with tombstones (``op_col == delete_op``) dropped
@@ -46,16 +47,25 @@ def upsert_latest(
     ``version`` ties are broken deterministically only if the caller
     makes versions unique per key (assert upstream); TPC-H-derived
     feeds here use strictly increasing batch numbers.
+
+    ``keep_tombstones=True`` keeps the winning delete rows in the
+    output (readers filter them). An INCREMENTALLY maintained table
+    must store tombstones: dropping one forgets the delete, and a
+    lower-versioned upsert for the key replayed in a later batch would
+    resurrect it (the streaming upsert sink's late-arrival case,
+    pinned in test_streaming.py).
     """
     payload = F.struct(*[F.col(c) for c in changes.columns])
     merged = changes.groupBy(*key_cols).agg(
         F.max_by(payload, F.col(version_col)).alias("_row")
     )
     out_cols = [c for c in changes.columns if c not in key_cols]
-    return (
-        merged.select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in out_cols])
-        .filter(F.col(op_col) != delete_op)
+    out = merged.select(
+        *key_cols, *[F.col(f"_row.{c}").alias(c) for c in out_cols]
     )
+    if keep_tombstones:
+        return out
+    return out.filter(F.col(op_col) != delete_op)
 
 
 def scd2_intervals(

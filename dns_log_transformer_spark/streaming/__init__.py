@@ -36,6 +36,10 @@ from dns_log_transformer_spark.streaming.stateful import (
     sessionized_user_totals,
     user_activity_profile,
 )
+from dns_log_transformer_spark.streaming.cdc_sink import (
+    read_latest,
+    upsert_sink,
+)
 
 __all__ = [
     "read_firehose_stream",
@@ -53,4 +57,6 @@ __all__ = [
     "sessionized_user_totals",
     "RUN_EVICT_STATE_STORE",
     "user_activity_profile",
+    "read_latest",
+    "upsert_sink",
 ]

@@ -1,0 +1,123 @@
+"""Streaming CDC upsert sink: ``foreachBatch`` MERGE into a
+bucket-partitioned parquet "latest" table.
+
+The shape a streaming change feed needs downstream of Kafka/Firehose:
+every micro-batch of (key, version, op, payload) changes folds into a
+materialized latest-wins table (operators/cdc.py semantics), so readers
+always see one live row per key. This is the one streaming surface the
+engine had not yet exercised — ``foreachBatch`` (arbitrary batch logic
+per epoch) as opposed to foreach writers, file sinks, and the stateful
+APIs.
+
+Scale design — the merge must NOT rewrite the whole table per batch:
+
+- the table is hash-bucket partitioned on the key
+  (``_kb = md5-bucket(key) % n_buckets`` — the same deterministic
+  bucketing the split/sample family uses);
+- each batch computes the distinct buckets its keys touch, reads ONLY
+  those partitions back (partition pruning on ``_kb``), merges them
+  with the batch, and rewrites ONLY those partitions (dynamic partition
+  overwrite). A batch touching k keys costs O(k/n_buckets of the
+  table), not O(table).
+- tombstones are STORED (``keep_tombstones=True``): an incremental
+  table that drops a delete forgets it, and a lower-versioned upsert
+  replayed later would resurrect the key. ``read_latest`` filters them.
+
+Failure semantics, honestly: foreachBatch replays an epoch after
+failure; the merge is idempotent (latest-wins over base ∪ batch), so a
+replay converges — but parquet-level dynamic overwrite is not atomic
+across partitions (a crash mid-write can leave some buckets new, some
+old until the replay completes). The production answer is a
+transactional table format (Delta/Iceberg/Hudi); this module is the
+engine-level mechanics those formats wrap, kept format-free on purpose.
+The merged batch result is ``localCheckpoint``ed before the write so
+the plan never reads the same files it is overwriting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dns_log_transformer_spark.operators import cdc
+from dns_log_transformer_spark.operators.corpus import hash_bucket
+
+N_BUCKETS_DEFAULT = 16
+
+
+def _with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "_kb", (hash_bucket(F.col(key_col), seed=0) % n_buckets).cast("int")
+    )
+
+
+def read_latest(
+    spark: SparkSession,
+    table_path: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame | None:
+    """The live view: stored rows minus tombstones (and the internal
+    bucket column). None if nothing has been written yet."""
+    if not os.path.isdir(table_path) or not any(
+        e.startswith("_kb=") for e in os.listdir(table_path)
+    ):
+        return None
+    return (
+        spark.read.parquet(table_path)
+        .filter(F.col(op_col) != delete_op)
+        .drop("_kb")
+    )
+
+
+def upsert_sink(
+    changes: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    version_col: str = "version",
+    op_col: str = "op",
+    delete_op: str = "D",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> StreamingQuery:
+    """Start the streaming MERGE: ``changes`` is a streaming DataFrame
+    of change rows; each micro-batch folds into the bucket-partitioned
+    latest table at ``table_path``. Returns the StreamingQuery."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch = _with_bucket(batch_df, key_col, n_buckets)
+        touched = [r["_kb"] for r in batch.select("_kb").distinct().collect()]
+        base = None
+        if os.path.isdir(table_path) and any(
+            e.startswith("_kb=") for e in os.listdir(table_path)
+        ):
+            # partition pruning: only the touched buckets are read back
+            base = spark.read.parquet(table_path).filter(
+                F.col("_kb").isin(touched)
+            )
+        allc = batch if base is None else base.unionByName(batch)
+        merged = cdc.upsert_latest(
+            allc,
+            [key_col, "_kb"],
+            version_col,
+            op_col,
+            delete_op,
+            keep_tombstones=True,
+        )
+        # materialize BEFORE writing: the plan reads the same parquet
+        # partitions the dynamic overwrite replaces
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").partitionBy("_kb").parquet(table_path)
+
+    return (
+        changes.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

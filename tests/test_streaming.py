@@ -694,3 +694,97 @@ def test_stateful_funnel_ignores_null_timestamps(spark, tmp_path):
     assert len(rows) == 1
     # no valid view -> stage 0, and no sentinel t1
     assert rows[0]["stage"] == 0 and rows[0]["t1_us"] is None
+
+
+def test_streaming_upsert_sink_merges_batches(spark, tmp_path):
+    """foreachBatch CDC MERGE: three micro-batches fold into the
+    bucket-partitioned latest table; the stored-tombstone contract means
+    a STALE upsert replayed after a delete cannot resurrect the key; the
+    final live view equals the batch-mode upsert of the full feed."""
+    import json as _json
+
+    from dns_log_transformer_spark.operators import cdc
+    from dns_log_transformer_spark.streaming import read_latest, upsert_sink
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    table = str(tmp_path / "latest")
+    schema = "k long, payload string, version int, op string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = upsert_sink(
+        stream, table, str(tmp_path / "ck"), key_col="k"
+    )
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    all_rows = []
+
+    def feed(name, rows):
+        all_rows.extend(rows)
+        write(name, rows)
+        q.processAllAvailable()
+
+    try:
+        feed(
+            "b1.json",
+            [
+                {"k": i, "payload": f"base{i}", "version": 0, "op": "U"}
+                for i in (1, 2, 3, 4)
+            ],
+        )
+        assert {
+            r["k"] for r in read_latest(spark, table).collect()
+        } == {1, 2, 3, 4}
+        feed(
+            "b2.json",
+            [
+                {"k": 2, "payload": "", "version": 10, "op": "D"},
+                {"k": 3, "payload": "repriced", "version": 11, "op": "U"},
+            ],
+        )
+        got = {
+            r["k"]: r["payload"] for r in read_latest(spark, table).collect()
+        }
+        assert got == {1: "base1", 3: "repriced", 4: "base4"}
+        # LATE ARRIVAL: a stale (lower-version) upsert for the deleted
+        # key replays in a later batch — the stored tombstone must win
+        feed(
+            "b3.json",
+            [
+                {"k": 2, "payload": "stale", "version": 5, "op": "U"},
+                {"k": 5, "payload": "new5", "version": 12, "op": "U"},
+            ],
+        )
+        got = {
+            r["k"]: (r["payload"], r["version"])
+            for r in read_latest(spark, table).collect()
+        }
+        assert got == {
+            1: ("base1", 0),
+            3: ("repriced", 11),
+            4: ("base4", 0),
+            5: ("new5", 12),
+        }, "tombstone must beat the stale replayed upsert"
+        # equivalence with the one-shot batch merge of the whole feed
+        batch = cdc.upsert_latest(
+            spark.createDataFrame(
+                [(r["k"], r["payload"], r["version"], r["op"]) for r in all_rows],
+                schema,
+            ),
+            ["k"],
+        )
+        expected = {
+            r["k"]: (r["payload"], r["version"]) for r in batch.collect()
+        }
+        assert got == expected
+        # the table is genuinely bucket-partitioned (pruned reads/writes)
+        import os as _os
+
+        assert any(
+            e.startswith("_kb=") for e in _os.listdir(table)
+        ), "latest table must be hash-bucket partitioned"
+    finally:
+        q.stop()
