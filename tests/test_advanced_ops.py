@@ -451,3 +451,20 @@ def test_scd2_intervals_match_python_reference(spark, obs):
             expected.append((u, t, a, nxt, nxt is None))
     # multiset compare: equal timestamps can yield same-key intervals
     assert got == sorted(expected, key=keyfn)
+
+
+def test_guard_errors_are_descriptive(spark):
+    import pytest
+
+    from dns_log_transformer_spark.operators import corpus, multimodal
+
+    # grouped_rank: null group key -> clear build-time contract error
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, "a", 3)], "doc_id long, source string, score long"
+    )
+    with pytest.raises(ValueError, match="contains NULL"):
+        corpus.grouped_rank(df, "source", ["score", "doc_id"])
+    # phash_pairs: thresholds beyond the 4-band pigeonhole are rejected
+    blobs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        multimodal.phash_pairs(blobs, max_hamming=4)
