@@ -167,7 +167,9 @@ def sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sent_no: int, sentence: string")
+    # useArrow keeps even this demo surface Arrow-batched — the registry
+    # plan lint forbids row-at-a-time BatchEvalPython anywhere
+    @udtf(returnType="sent_no: int, sentence: string", useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
             if text is None:

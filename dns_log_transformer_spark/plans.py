@@ -54,3 +54,85 @@ def assert_filter_pushed(df: DataFrame, fragment: str) -> None:
     assert any(fragment in p for p in pushed), (
         f"no pushed filter mentions {fragment!r}; got {pushed}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide scale lint
+# ---------------------------------------------------------------------------
+
+_GLOBAL_AGG = re.compile(
+    r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys?=\[\]"
+)
+
+# AQE wrapper/bookkeeping nodes that sit between an Exchange and its real
+# consumer in an executed plan — transparent for ancestry purposes
+_TRANSPARENT_NODE = re.compile(
+    r"ShuffleQueryStage|BroadcastQueryStage|ResultQueryStage"
+    r"|TableCacheQueryStage|AQEShuffleRead|CollectMetrics"
+    r"|== Final Plan ==|== Initial Plan =="
+)
+
+
+def _tree_indent(line: str) -> int:
+    """Depth of a simple-mode plan line (length of the ``:  +- `` prefix)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def scale_lint(df: DataFrame, *, allow_bnlj: bool = False) -> list[str]:
+    """Scale-safety violations in a compiled physical plan.
+
+    The invariants every query in this engine holds at any scale factor
+    (PLANS.md "Config stance" + the per-operator scale notes):
+
+    - no ``CartesianProduct`` — the shuffled all-pairs join strategy is
+      never acceptable; even the documented exact-baseline operators do
+      their all-pairs work as a *broadcast* nested loop or blocked
+      matmul, which at least never shuffles the square
+    - no ``BatchEvalPython`` — Python enters a plan Arrow-batched only
+      (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
+      MapInArrow / arrow-enabled UDTFs); a row-at-a-time UDF in a hot
+      path is a 10-100x tax
+    - ``BroadcastNestedLoopJoin`` only where the caller documents the
+      broadcast side as scale-bounded (scalar subqueries, query
+      workloads, k x dim codebooks) — pass ``allow_bnlj=True`` there
+    - ``Exchange SinglePartition`` may only feed a one-row global
+      aggregate (partial aggs upstream make the exchanged payload one
+      row per map task); a single-partition exchange under a Sort,
+      Window, or join serializes the whole input through one task
+
+    Returns a list of human-readable violations (empty = clean).
+    """
+    plan = physical_plan(df, "simple")
+    out: list[str] = []
+    if "CartesianProduct" in plan:
+        out.append("CartesianProduct: shuffled all-pairs join")
+    if "BatchEvalPython" in plan:
+        out.append("BatchEvalPython: row-at-a-time Python UDF/UDTF")
+    if not allow_bnlj and "BroadcastNestedLoopJoin" in plan:
+        out.append(
+            "BroadcastNestedLoopJoin: undocumented — justify the "
+            "broadcast side's scale bound and allowlist the query"
+        )
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        ind = _tree_indent(ln)
+        parent = ""
+        for prev in reversed(lines[:i]):
+            if not prev.strip():
+                continue
+            pind = _tree_indent(prev)
+            if pind >= ind:
+                continue
+            if _TRANSPARENT_NODE.search(prev):
+                ind = pind
+                continue
+            parent = prev
+            break
+        if not _GLOBAL_AGG.search(parent):
+            out.append(
+                "Exchange SinglePartition feeding a non-global-aggregate "
+                f"consumer: {parent.strip()[:90]!r}"
+            )
+    return out

@@ -15,8 +15,27 @@ import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
+from dns_log_transformer_spark import plans
 from dns_log_transformer_spark.session import TABLES
 from tests.conftest import SF_ORACLE
+
+# Queries whose BroadcastNestedLoopJoin is documented scale-bounded —
+# the broadcast side is a constant-size workload, scalar, or dimension,
+# never corpus-proportional (see each query's docstring):
+BNLJ_DOCUMENTED = {
+    "corpus_source_overlap",  # #sources x 64-long digest pair compare
+    "emb_neardup_pairs",  # exact all-pairs baseline, by contract
+    "q11_important_parts",  # 1-row scalar-subquery threshold broadcast
+    "q15_top_supplier",  # 1-row max(total_revenue) scalar broadcast
+    "q22_idle_balances",  # 1-row avg-balance scalar broadcast
+    "q_recursive_months",  # generated month dimension (tens of rows)
+    "q_triangle_suppliers",  # 1-row count scalars for the ratio report
+    "sim_int8_topk",  # broadcast query workload scan, by contract
+    "sim_pq_adc_topk",  # broadcast per-query LUTs, by contract
+    "sim_topk_bruteforce",  # exact broadcast-queries baseline
+    "text_bm25_topk",  # broadcast query-term constants
+    "text_hybrid_rrf",  # composes the bm25 retriever above
+}
 
 
 @pytest.fixture(scope="module")
@@ -107,6 +126,11 @@ def test_query_parity(spark, duck, name):
         # the suite doesn't accumulate session-lifetime storage
         release_all()
     driver_canon(spark_pdf, name)
+    # registry-wide scale lint: every query's physical plan holds the
+    # PLANS.md invariants (no cartesian, no row-at-a-time Python, BNLJ
+    # only where documented, SinglePartition only into global aggs)
+    violations = plans.scale_lint(sdf, allow_bnlj=name in BNLJ_DOCUMENTED)
+    assert not violations, f"{name}: scale lint: {violations}"
     if name not in ORACLES:
         # rows-only contract: runs and yields a stable schema
         assert spark_pdf is not None

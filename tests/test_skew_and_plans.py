@@ -286,3 +286,51 @@ def test_quality_deciles_plan_has_no_per_source_window(spark):
         per_source[src].append(n)
     for src, sizes in per_source.items():
         assert max(sizes) - min(sizes) <= 1, (src, sorted(sizes))
+
+
+# ---------------------------------------------------------------------------
+# scale_lint self-tests: the registry-wide lint (wired into
+# test_oracle_parity) must actually detect each violation class
+# ---------------------------------------------------------------------------
+
+
+def test_scale_lint_clean_on_global_agg(spark):
+    """One-row global aggregate: SinglePartition exchange is fine."""
+    df = spark.range(1000).agg(F.sum("id").alias("s"))
+    assert plans.scale_lint(df) == []
+
+
+def test_scale_lint_flags_global_window(spark):
+    """An unpartitioned window funnels everything through one task."""
+    from pyspark.sql import Window
+
+    df = spark.range(1000).select(
+        "id", F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    v = plans.scale_lint(df)
+    assert any("SinglePartition" in x for x in v), v
+
+
+def test_scale_lint_flags_cartesian(spark):
+    a = spark.range(50)
+    b = spark.range(50).withColumnRenamed("id", "id2")
+    df = a.hint("shuffle_replicate_nl").crossJoin(b)
+    v = plans.scale_lint(df)
+    assert any("CartesianProduct" in x for x in v), v
+
+
+def test_scale_lint_flags_row_at_a_time_python(spark):
+    from pyspark.sql import types as T
+
+    plain_udf = F.udf(lambda x: x + 1, T.LongType(), useArrow=False)
+    df = spark.range(100).select(plain_udf("id").alias("y"))
+    v = plans.scale_lint(df)
+    assert any("BatchEvalPython" in x for x in v), v
+
+
+def test_scale_lint_bnlj_gated_by_allowlist(spark):
+    a = spark.range(50)
+    b = spark.range(50).withColumnRenamed("id", "id2")
+    df = a.crossJoin(F.broadcast(b))
+    assert any("BroadcastNestedLoopJoin" in x for x in plans.scale_lint(df))
+    assert plans.scale_lint(df, allow_bnlj=True) == []
