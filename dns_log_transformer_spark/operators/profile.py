@@ -95,3 +95,39 @@ def source_overlap(
         matches.alias("n_sig_matches"),
         F.round(matches / num_hashes, 4).alias("est_jaccard"),
     )
+
+
+def observed_write(
+    df: DataFrame,
+    keep: "F.Column",
+    metrics: dict[str, "F.Column"],
+) -> DataFrame:
+    """Run a filter-and-land pipeline with observability metrics riding
+    the SAME action (``df.observe`` / ``pyspark.sql.Observation``) —
+    the zero-extra-scan monitoring surface a 100 TB ingest needs: the
+    counters a separate audit query would cost a full second scan to
+    compute are collected as a side effect of the one write that was
+    happening anyway.
+
+    ``metrics`` are aggregate expressions evaluated over the PRE-filter
+    stream (the observe node sits below the keep-filter, so rejected
+    rows are still counted); the kept rows land in the ``noop`` sink
+    (the scale stand-in for the real parquet/stream sink). Returns the
+    observed metrics as a driver-built (metric, value) DataFrame —
+    bounded at len(metrics) rows.
+
+    Reference analog: none — the reference counts rejects in process
+    memory per request (app/app.py:255-263); this is the distributed
+    equivalent where the counters survive executor parallelism.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    observed.filter(keep).write.format("noop").mode("overwrite").save()
+    got = obs.get  # blocks until the action above has populated it
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(k, int(got[k])) for k in metrics],
+        "metric string, value long",
+    )

@@ -1201,3 +1201,64 @@ def sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
     )
     return similarity.ivfpq_adc_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Observed ingest: metrics ride the landing write (df.observe surface)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_observed_ingest",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_seen,
+             CAST(SUM(CASE WHEN text IS NOT NULL AND LENGTH(text) >= 200
+                               AND lang IN ('en','de','fr','es')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+             CAST(COALESCE(SUM(LENGTH(text)), 0) AS BIGINT) AS chars_seen,
+             CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lang
+      FROM documents)
+    SELECT u.metric, u.value FROM (
+      SELECT 'rows_seen' AS metric, rows_seen AS value FROM m
+      UNION ALL SELECT 'rows_kept', rows_kept FROM m
+      UNION ALL SELECT 'chars_seen', chars_seen FROM m
+      UNION ALL SELECT 'dropped_lang', dropped_lang FROM m) u
+    """,
+)
+def corpus_observed_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-gated landing write with observability counters riding
+    the SAME action via ``df.observe`` (``CollectMetrics`` node +
+    ``pyspark.sql.Observation``) — no second scan, no separate audit
+    job. The keep-gate (non-null text, >=200 chars, Latin-script
+    language set) is applied ABOVE the observe node so the counters see
+    every input row — rows_kept/dropped_lang count what the gate keeps
+    and drops;
+    the kept corpus lands in the noop sink (the real sink's stand-in).
+
+    The oracle replays the same aggregates declaratively — attesting
+    that metrics collected across executor parallelism equal the
+    single-pass SQL truth.
+    """
+    from dns_log_transformer_spark.operators import profile
+
+    docs = table(spark, sf, "documents")
+    latin = ("en", "de", "fr", "es")
+    keep = (
+        F.col("text").isNotNull()
+        & (F.length("text") >= 200)
+        & F.col("lang").isin(*latin)
+    )
+    return profile.observed_write(
+        docs,
+        keep,
+        {
+            "rows_seen": F.count(F.lit(1)).cast("long"),
+            "rows_kept": F.sum(keep.cast("long")).cast("long"),
+            "chars_seen": F.coalesce(
+                F.sum(F.length("text")), F.lit(0)
+            ).cast("long"),
+            "dropped_lang": F.sum(
+                (~F.col("lang").isin(*latin)).cast("long")
+            ).cast("long"),
+        },
+    )

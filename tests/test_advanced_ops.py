@@ -468,3 +468,37 @@ def test_guard_errors_are_descriptive(spark):
     blobs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError, match="max_hamming"):
         multimodal.phash_pairs(blobs, max_hamming=4)
+
+
+def test_observed_write_counts_rejected_rows(spark):
+    """df.observe metrics ride the landing action and see PRE-filter
+    rows: the gate drops two of four docs, yet rows_seen counts all
+    four — no second scan (the plan carries one CollectMetrics node
+    below the filter)."""
+    from pyspark.sql import functions as F
+
+    from dns_log_transformer_spark import plans
+    from dns_log_transformer_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, "x" * 10), (2, None), (3, "y" * 3), (4, "z" * 10)],
+        "doc_id long, text string",
+    )
+    keep = F.col("text").isNotNull() & (F.length("text") >= 10)
+    out = profile.observed_write(
+        df,
+        keep,
+        {
+            "rows_seen": F.count(F.lit(1)).cast("long"),
+            "rows_kept": F.sum(keep.cast("long")).cast("long"),
+        },
+    )
+    got = {r["metric"]: r["value"] for r in out.collect()}
+    assert got == {"rows_seen": 4, "rows_kept": 2}
+    # the observe node is part of the pipeline plan, not a second job
+    from pyspark.sql import Observation
+
+    observed = df.observe(
+        Observation(), F.count(F.lit(1)).alias("n")
+    ).filter(keep)
+    assert "CollectMetrics" in plans.physical_plan(observed, "simple")
