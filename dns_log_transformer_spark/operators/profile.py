@@ -127,7 +127,9 @@ def observed_write(
     observed.filter(keep).write.format("noop").mode("overwrite").save()
     got = obs.get  # blocks until the action above has populated it
     spark = df.sparkSession
+    # SUM over zero rows observes as null — report empty-input counters
+    # as 0 (the empty-pipeline contract: run clean, count nothing)
     return spark.createDataFrame(
-        [(k, int(got[k])) for k in metrics],
+        [(k, 0 if got[k] is None else int(got[k])) for k in metrics],
         "metric string, value long",
     )

@@ -71,6 +71,7 @@ REPRESENTATIVE = [
     "text_trigram_familiarity",
     "mm_phash_pairs",
     "dedup_keep_best",
+    "corpus_observed_ingest",
 ]
 
 # the learning ops: clear ValueError by contract
