@@ -167,9 +167,13 @@ def sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """
     from pyspark.sql.functions import udtf
 
-    # useArrow keeps even this demo surface Arrow-batched — the registry
-    # plan lint forbids row-at-a-time BatchEvalPython anywhere
-    @udtf(returnType="sent_no: int, sentence: string", useArrow=True)
+    # Deliberately NOT useArrow=True: A/B-measured at sf0.1 (warm,
+    # min-of-3) the Arrow UDTF runs 0.70s vs 0.28s for the pickled path
+    # — Arrow's per-value conversion overhead dominates this small-row
+    # 1->N workload. This is the registry's single documented
+    # row-at-a-time Python exception (ROW_PYTHON_DOCUMENTED in the plan
+    # lint); pipelines use the pure-codegen sentences_fast twin below.
+    @udtf(returnType="sent_no: int, sentence: string")
     class SentenceSplit:
         def eval(self, text: str):
             if text is None:

@@ -78,7 +78,12 @@ def _tree_indent(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-"))
 
 
-def scale_lint(df: DataFrame, *, allow_bnlj: bool = False) -> list[str]:
+def scale_lint(
+    df: DataFrame,
+    *,
+    allow_bnlj: bool = False,
+    allow_row_python: bool = False,
+) -> list[str]:
     """Scale-safety violations in a compiled physical plan.
 
     The invariants every query in this engine holds at any scale factor
@@ -90,8 +95,11 @@ def scale_lint(df: DataFrame, *, allow_bnlj: bool = False) -> list[str]:
       matmul, which at least never shuffles the square
     - no ``BatchEvalPython`` — Python enters a plan Arrow-batched only
       (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
-      MapInArrow / arrow-enabled UDTFs); a row-at-a-time UDF in a hot
-      path is a 10-100x tax
+      MapInArrow); a row-at-a-time UDF in a hot path is a 10-100x tax.
+      Pass ``allow_row_python=True`` only where the caller MEASURED the
+      pickled path faster (the sentence-split UDTF: Arrow's per-value
+      conversion loses on small-row 1->N fan-out) and a codegen twin
+      exists for pipelines
     - ``BroadcastNestedLoopJoin`` only where the caller documents the
       broadcast side as scale-bounded (scalar subqueries, query
       workloads, k x dim codebooks) — pass ``allow_bnlj=True`` there
@@ -106,7 +114,7 @@ def scale_lint(df: DataFrame, *, allow_bnlj: bool = False) -> list[str]:
     out: list[str] = []
     if "CartesianProduct" in plan:
         out.append("CartesianProduct: shuffled all-pairs join")
-    if "BatchEvalPython" in plan:
+    if not allow_row_python and "BatchEvalPython" in plan:
         out.append("BatchEvalPython: row-at-a-time Python UDF/UDTF")
     if not allow_bnlj and "BroadcastNestedLoopJoin" in plan:
         out.append(

@@ -37,6 +37,12 @@ BNLJ_DOCUMENTED = {
     "text_hybrid_rrf",  # composes the bm25 retriever above
 }
 
+# The single measured row-at-a-time Python exception: the sentence-split
+# UDTF's pickled path beats Arrow 0.28s vs 0.70s at sf0.1 (per-value
+# conversion overhead on small-row 1->N fan-out); pipelines use the
+# pure-codegen sentences_fast twin (see operators/text.py).
+ROW_PYTHON_DOCUMENTED = {"text_sentences"}
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -129,7 +135,11 @@ def test_query_parity(spark, duck, name):
     # registry-wide scale lint: every query's physical plan holds the
     # PLANS.md invariants (no cartesian, no row-at-a-time Python, BNLJ
     # only where documented, SinglePartition only into global aggs)
-    violations = plans.scale_lint(sdf, allow_bnlj=name in BNLJ_DOCUMENTED)
+    violations = plans.scale_lint(
+        sdf,
+        allow_bnlj=name in BNLJ_DOCUMENTED,
+        allow_row_python=name in ROW_PYTHON_DOCUMENTED,
+    )
     assert not violations, f"{name}: scale lint: {violations}"
     if name not in ORACLES:
         # rows-only contract: runs and yields a stable schema

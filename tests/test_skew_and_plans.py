@@ -326,6 +326,8 @@ def test_scale_lint_flags_row_at_a_time_python(spark):
     df = spark.range(100).select(plain_udf("id").alias("y"))
     v = plans.scale_lint(df)
     assert any("BatchEvalPython" in x for x in v), v
+    # the measured-exception escape hatch clears ONLY this class
+    assert plans.scale_lint(df, allow_row_python=True) == []
 
 
 def test_scale_lint_bnlj_gated_by_allowlist(spark):
