@@ -33,6 +33,8 @@ def upsert_latest(
     op_col: str = "op",
     delete_op: str = "D",
     keep_tombstones: bool = False,
+    tiebreak_cols: list[str] | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Latest-wins merge: one row per key — the row with the highest
     ``version_col`` — with tombstones (``op_col == delete_op``) dropped
@@ -44,9 +46,21 @@ def upsert_latest(
     ``max_by`` packs the whole row through a partial+final aggregation
     (map-side combine shrinks duplicate keys before the exchange), so there is
     no window sort and no join — the same plan shape as dedup_exact.
-    ``version`` ties are broken deterministically only if the caller
-    makes versions unique per key (assert upstream); TPC-H-derived
-    feeds here use strictly increasing batch numbers.
+
+    Version-tie policy (two rows with equal (key, version)): by default
+    the ordering key is the bare version and the winner is whichever row
+    ``max_by`` sees last — NOT deterministic. Two opt-in guards:
+
+    - ``tiebreak_cols``: extra columns folded into the ordering key
+      (lexicographic struct comparison: version first, then each
+      tiebreaker), making the winner total whenever
+      (version, *tiebreak_cols) is unique per key. The streaming CDC
+      sink passes ``[op_col]`` so an upsert/delete collision at the same
+      version resolves deterministically (max string — 'U' beats 'D').
+    - ``strict=True``: raise ``ValueError`` if any (key, version) pair
+      occurs more than once. Costs one extra aggregation over the feed
+      (an eager action), so it is for batch validation, not per-epoch
+      streaming.
 
     ``keep_tombstones=True`` keeps the winning delete rows in the
     output (readers filter them). An INCREMENTALLY maintained table
@@ -55,9 +69,30 @@ def upsert_latest(
     resurrect it (the streaming upsert sink's late-arrival case,
     pinned in test_streaming.py).
     """
+    if strict:
+        dup = (
+            changes.groupBy(*key_cols, version_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r = dup[0]
+            raise ValueError(
+                "upsert_latest(strict=True): duplicate (key, version) "
+                f"pair {tuple(r[c] for c in key_cols)} @ "
+                f"{r[version_col]!r} — the winner would be "
+                "nondeterministic; pass tiebreak_cols or dedupe upstream"
+            )
     payload = F.struct(*[F.col(c) for c in changes.columns])
+    order_key = (
+        F.struct(F.col(version_col), *[F.col(c) for c in tiebreak_cols])
+        if tiebreak_cols
+        else F.col(version_col)
+    )
     merged = changes.groupBy(*key_cols).agg(
-        F.max_by(payload, F.col(version_col)).alias("_row")
+        F.max_by(payload, order_key).alias("_row")
     )
     out_cols = [c for c in changes.columns if c not in key_cols]
     out = merged.select(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Output schema of the image-metadata extractor.
@@ -250,7 +250,12 @@ def phash64(
     return blobs.select(F.col(id_col), "blob").mapInPandas(run, PHASH_SCHEMA)
 
 
-def phash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+def phash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    bucket_cap: int = 100,
+) -> DataFrame:
     """Perceptual near-dup pairs: images whose 64-bit aHashes differ in
     <= max_hamming bits. EXACT via banding + pigeonhole: <= 3 flips
     cannot touch all 4 of the 16-bit bands, so every qualifying pair
@@ -259,9 +264,16 @@ def phash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> 
     per-band popcounts of the XOR (ints <= 2^16, plain bit_count).
 
     Shape at scale: identical to SimHash banding (operators/dedup.py) —
-    candidate volume is bounded by band-bucket occupancy; a hot bucket
-    (monochrome thumbnails) is the documented skew risk and takes the
-    same cap-window treatment if it appears.
+    candidate volume is bounded by band-bucket occupancy, and a hot
+    (band, key) bucket (web-scale monochrome thumbnails all hash to the
+    same bands) is guarded the same way as dedup_text_embedding_lsh:
+    buckets holding more than ``bucket_cap`` members are EXCLUDED from
+    the candidate join (a per-key window count on the same (band, key)
+    the join shuffles on — no extra join, no driver-side key list).
+    Recall note for capped buckets: a pair is still found if ANY of its
+    <= 4 shared bands stays under the cap; pairs whose every shared
+    band is oversized are exact/near-exact-dup territory — route those
+    through content-hash dedup (operators/dedup.py) instead.
     """
     from dns_log_transformer_spark.operators.caching import persist_tracked
 
@@ -272,9 +284,18 @@ def phash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> 
         # bits touch all four bands (use more/narrower bands instead)
         raise ValueError("phash_pairs: max_hamming must be 0..3 (4 bands)")
     hashed = persist_tracked(phash64(df, id_col=id_col))
-    bands = hashed.select(
-        F.col(id_col),
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "key"),
+    bands = (
+        hashed.select(
+            F.col(id_col),
+            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+                "band", "key"
+            ),
+        )
+        .withColumn(
+            "_c", F.count("*").over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_c") <= bucket_cap)
+        .drop("_c")
     )
     cand = (
         bands.alias("x")

@@ -18,30 +18,74 @@ from dns_log_transformer_spark.queries import dns_pipeline  # noqa: E402,F401
 from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 from dns_log_transformer_spark.queries import advanced  # noqa: E402,F401
 
-# The external correctness harness checks the first 50 registered queries
-# in iteration order; everything in _DEPRIORITIZED moves to the tail.
+# The external correctness harness checks the first 50 registered
+# queries in iteration order; _WINDOW pins exactly which 50 those are.
 #
-# Round-5 rotation policy (keep every query's driver attestation fresh):
-# IN — (a) text_hashed_embedding + emb_pq_codes, this round's
-# canonicalizer fixes (their r4 rows errored; the fix must land a green
-# row); (b) all 45 queries whose most recent green driver row is round
-# 2 — the stalest attestations in the registry; (c) three round-3
-# exemplars (q16_supplier_count — bench flagged it round 4;
-# q_approx_distinct — the HLL dedup-first rewrite; q_sliding_native —
-# streaming-window family).
-# OUT — every r4-green query (the union of r4's greens and this window
-# covers 98 of 119 distinct queries within the trailing two rounds) and
-# the remaining 21 r3-green queries (rotate back in round 6). The three
-# queries whose code changed this round (text_quality_deciles rewrite,
-# q_pagerank_trade, q_argmax_orders) stay out-of-window: each is
-# r4-green, each change is oracle-hash-preserving, and the parity suite
-# (now with the driver-canonicalizer twin) re-attests all queries every
-# session — swapping them in would cut the trailing-two-round union
-# below 98. The round-5 additions (queries/advanced.py) register AFTER
-# the 50 curated in-window names, so they sit past the driver's
-# first-50 gate this round (pytest-parity-attested at sf0.01 now;
-# rotate them into the round-6 window for their first driver rows).
-_DEPRIORITIZED = [
+# Round-6 rotation policy (mechanically enforced by tests/test_ledger.py
+# against tools/ledger.py — every registered query must be green within
+# the trailing three driver rounds OR inside this window):
+# IN — (a) all 19 round-5 additions, which have NEVER had a driver
+# correctness row (they were registered past the round-5 window by the
+# documented deferral; this is the debt VERDICT r5 ordered paid first);
+# (b) the three r4-greens whose code changed in round 5
+# (text_quality_deciles rewrite, q_pagerank_trade cache fix,
+# q_argmax_orders tiebreak fix) — each change is oracle-hash-preserving
+# per the parity suite, but the bar wants driver rows on current code;
+# (c) all 21 queries whose latest green row is round 3 — the stalest
+# attestations, which would violate the 3-round freshness floor at r6;
+# (d) the remaining slots go to new round-6 queries (never attested)
+# and, if any are left, the stalest r4 greens.
+# OUT — everything green in r4/r5 with unchanged code: the parity suite
+# (driver-canonicalizer twin included) re-attests all registered
+# queries against DuckDB at sf0.01 every pytest session.
+_WINDOW = [
+    # (a) round-5 additions — first driver rows
+    "cdc_upsert_merge",
+    "cdc_scd2_intervals",
+    "q_cidr_enrich",
+    "q_ewma_anomaly",
+    "q_triangle_suppliers",
+    "emb_int8_codes",
+    "sim_int8_topk",
+    "sim_ivfpq_topk",
+    "text_trigram_familiarity",
+    "corpus_snapshot_diff",
+    "dedup_keep_best",
+    "mm_phash64",
+    "mm_phash_pairs",
+    "q_salted_skew_agg",
+    "q_salted_join_enrich",
+    "corpus_expectations",
+    "q_event_transitions",
+    "q_rank_functions",
+    "corpus_observed_ingest",
+    # (b) code changed in round 5 while out of window
+    "text_quality_deciles",
+    "q_pagerank_trade",
+    "q_argmax_orders",
+    # (c) stalest attestations (latest green: round 3)
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_above_customer_avg",
+    "q_cube_returnflag",
+    "q_customer_order_counts",
+    "q_customer_running_totals",
+    "q_customers_without_orders",
+    "q_date_functions",
+    "q_event_time_buckets",
+    "q_grouping_sets",
+    "q_scalar_functions",
+    "q_sessionize_events",
+    "q_ship_within_week",
+    # (d) new round-6 queries / stalest r4 greens fill the rest
     "corpus_bloom_decontaminate",
     "corpus_bloom_verified_decon",
     "corpus_boilerplate",
@@ -49,74 +93,17 @@ _DEPRIORITIZED = [
     "corpus_negative_pairs",
     "corpus_prepare_funnel",
     "corpus_shuffle",
-    "corpus_source_overlap",
-    "corpus_span_dedup",
-    "corpus_temperature_sample",
-    "corpus_token_budget",
-    "dedup_simhash_pairs",
-    "dedup_text_embedding_lsh",
-    "dns_bind9_lines",
-    "dns_quarantine_stats",
-    "mm_resize",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q1_pricing_summary",
-    "q20_heavy_shippers",
-    "q21_sole_returner",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_supplier_volume",
-    "q6_revenue_delta",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_above_customer_avg",
-    "q_approx_percentiles",
-    "q_argmax_orders",
-    "q_bitmap_distinct",
-    "q_cube_returnflag",
-    "q_customer_order_counts",
-    "q_customer_running_totals",
-    "q_customers_without_orders",
-    "q_date_functions",
-    "q_event_funnel",
-    "q_event_time_buckets",
-    "q_gapfill_buckets",
-    "q_global_rank",
-    "q_grouping_sets",
-    "q_hll_sketch_merge",
-    "q_iqr_outliers",
-    "q_json_props",
-    "q_pagerank_trade",
-    "q_recursive_months",
-    "q_rolling_hour",
-    "q_scalar_functions",
-    "q_sessionize_events",
-    "q_ship_within_week",
-    "q_unpivot_measures",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_pq_adc_topk",
-    "sketch_cms_topk",
-    "text_bm25_topk",
-    "text_fingerprint",
-    "text_hybrid_rrf",
-    "text_quality_classifier",
-    "text_quality_deciles",
 ]
 
 
 def _reorder() -> None:
-    tail = {n: ALL_QUERIES.pop(n) for n in _DEPRIORITIZED if n in ALL_QUERIES}
-    ALL_QUERIES.update(tail)  # re-insert at the end, preserving their order
+    assert len(_WINDOW) == 50, f"driver window must be exactly 50, got {len(_WINDOW)}"
+    missing = [n for n in _WINDOW if n not in ALL_QUERIES]
+    assert not missing, f"window names not registered: {missing}"
+    ordered = {n: ALL_QUERIES[n] for n in _WINDOW}
+    ordered.update({n: q for n, q in ALL_QUERIES.items() if n not in ordered})
+    ALL_QUERIES.clear()
+    ALL_QUERIES.update(ordered)
 
 
 _reorder()

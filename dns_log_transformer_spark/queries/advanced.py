@@ -455,8 +455,11 @@ def emb_int8_codes(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.col("code").cast("array<string>"), ",").alias(
             "code_csv"
         ),
-        F.aggregate(
-            "code", F.lit(0).cast("long"), lambda acc, x: acc + x
+        # explicit slot-sum over the fixed 64 dims (PLANS.md rule 3:
+        # no interpreted higher-order-function lambda in a hot path)
+        sum(
+            F.col("code").getItem(i).cast("long")
+            for i in range(similarity.EMBEDDING_DIM)
         ).alias("code_sum"),
     )
 

@@ -48,6 +48,22 @@ from dns_log_transformer_spark.operators.corpus import hash_bucket
 N_BUCKETS_DEFAULT = 16
 
 
+def _require_local_path(table_path: str) -> None:
+    """Table discovery uses os.path/os.listdir, which only sees the
+    driver-local filesystem: an hdfs:// or s3:// path would silently
+    look like "no table yet" and the first batch would OVERWRITE
+    instead of merging. Enforce the documented local-path contract
+    (a production deployment swaps this module for a transactional
+    table format anyway — see the module docstring)."""
+    scheme = table_path.split("://", 1)[0] if "://" in table_path else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            "cdc_sink tables are driver-local-filesystem only "
+            f"(got scheme {scheme!r}); use Delta/Iceberg/Hudi for "
+            "remote object-store tables"
+        )
+
+
 def _with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
     return df.withColumn(
         "_kb", (hash_bucket(F.col(key_col), seed=0) % n_buckets).cast("int")
@@ -62,6 +78,7 @@ def read_latest(
 ) -> DataFrame | None:
     """The live view: stored rows minus tombstones (and the internal
     bucket column). None if nothing has been written yet."""
+    _require_local_path(table_path)
     if not os.path.isdir(table_path) or not any(
         e.startswith("_kb=") for e in os.listdir(table_path)
     ):
@@ -86,12 +103,12 @@ def upsert_sink(
     """Start the streaming MERGE: ``changes`` is a streaming DataFrame
     of change rows; each micro-batch folds into the bucket-partitioned
     latest table at ``table_path``. Returns the StreamingQuery."""
+    _require_local_path(table_path)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch = _with_bucket(batch_df, key_col, n_buckets)
         touched = [r["_kb"] for r in batch.select("_kb").distinct().collect()]
         base = None
@@ -110,11 +127,25 @@ def upsert_sink(
             op_col,
             delete_op,
             keep_tombstones=True,
+            # total order under (key, version) collisions: the op string
+            # breaks the tie deterministically ('U' beats 'D'), so an
+            # epoch replay containing a same-version upsert+delete pair
+            # converges to the same table either way
+            tiebreak_cols=[op_col],
         )
         # materialize BEFORE writing: the plan reads the same parquet
         # partitions the dynamic overwrite replaces
         merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").partitionBy("_kb").parquet(table_path)
+        # dynamic overwrite scoped to THIS write (writer option, not a
+        # session conf.set — a session-wide flip would silently turn
+        # every later partitioned mode('overwrite') on the shared
+        # session into a partition-matching overwrite)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kb")
+            .parquet(table_path)
+        )
 
     return (
         changes.writeStream.foreachBatch(merge_batch)

@@ -379,6 +379,68 @@ def test_upsert_latest_matches_dict_reference(spark, changes):
 )
 @given(
     st.lists(
+        st.tuples(
+            st.integers(0, 3),           # key — narrow: force collisions
+            st.integers(0, 2),           # version — narrow: force ties
+            st.integers(0, 9),           # payload token
+            st.sampled_from(["U", "D"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_upsert_latest_colliding_versions_deterministic(spark, changes):
+    """Version ties resolved via tiebreak_cols are TOTAL: the result
+    matches a dict reference ordering by (version, op, payload) — ASCII
+    string comparison, identical in Spark struct order and Python."""
+    rows = [(k, f"p{p}", v, op) for k, v, p, op in changes]
+    df = spark.createDataFrame(
+        rows, "k long, payload string, version int, op string"
+    )
+    got = {
+        r["k"]: (r["payload"], r["version"], r["op"])
+        for r in cdc.upsert_latest(
+            df, ["k"], tiebreak_cols=["op", "payload"]
+        ).collect()
+    }
+    best = {}
+    for k, payload, version, op in rows:
+        cand = (version, op, payload)
+        if k not in best or cand > best[k]:
+            best[k] = cand
+    expected = {
+        k: (p, v, op) for k, (v, op, p) in best.items() if op != "D"
+    }
+    assert got == expected
+
+
+def test_upsert_latest_strict_raises_on_version_ties(spark):
+    import pytest
+
+    dup = spark.createDataFrame(
+        [(1, "a", 0, "U"), (1, "b", 0, "U"), (2, "c", 1, "U")],
+        "k long, payload string, version int, op string",
+    )
+    with pytest.raises(ValueError, match="duplicate \\(key, version\\)"):
+        cdc.upsert_latest(dup, ["k"], strict=True)
+    clean = spark.createDataFrame(
+        [(1, "a", 0, "U"), (1, "b", 1, "U"), (2, "c", 1, "U")],
+        "k long, payload string, version int, op string",
+    )
+    rows = {
+        r["k"]: r["payload"]
+        for r in cdc.upsert_latest(clean, ["k"], strict=True).collect()
+    }
+    assert rows == {1: "b", 2: "c"}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
         st.tuples(st.integers(0, 9), st.integers(0, 9)),
         min_size=0,
         max_size=25,

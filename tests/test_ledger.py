@@ -1,0 +1,44 @@
+"""Mechanical rotation-policy enforcement (round-5 VERDICT task 6).
+
+The driver attests only the first 50 registered queries per round; the
+registry's window rotation must guarantee no query's attestation goes
+stale unnoticed. These tests turn the policy into code: every
+registered query is either green within the trailing three driver
+rounds or sits inside the upcoming round's window.
+
+No SparkSession needed — the ledger reads the checked-in
+CORRECTNESS_r*.json files and the registry's iteration order.
+"""
+
+from __future__ import annotations
+
+from dns_log_transformer_spark.queries import ALL_QUERIES
+from tools.ledger import WINDOW_SIZE, audit, load_ledger
+
+
+def test_every_query_fresh_or_scheduled():
+    report = audit(list(ALL_QUERIES))
+    assert not report["violations"], (
+        "stale/never-attested queries outside the driver window — "
+        f"rotate them in: {report['violations']}"
+    )
+
+
+def test_window_prioritizes_unattested_queries():
+    """Anything with NO green driver row ever must occupy a window slot
+    — implemented code without driver evidence is the one debt class
+    the bar calls out."""
+    latest, _current = load_ledger()
+    registered = list(ALL_QUERIES)
+    window = set(registered[:WINDOW_SIZE])
+    never = [n for n in registered if n not in latest]
+    out = [n for n in never if n not in window]
+    assert not out, f"never-attested queries left outside the window: {out}"
+
+
+def test_ledger_reads_history():
+    latest, current = load_ledger()
+    assert current >= 5
+    # spot-pin: queries green in r5's window per CORRECTNESS_r05.json
+    assert latest.get("q_full_outer_yearly", 0) >= 5
+    assert latest.get("emb_pq_codes", 0) >= 5

@@ -788,3 +788,62 @@ def test_streaming_upsert_sink_merges_batches(spark, tmp_path):
         ), "latest table must be hash-bucket partitioned"
     finally:
         q.stop()
+
+
+def test_upsert_sink_leaves_session_conf_alone(spark, tmp_path):
+    """The merge scopes partitionOverwriteMode to the writer (an
+    .option on the DataFrameWriter) — a session-wide conf.set inside
+    foreachBatch would silently flip every later partitioned
+    mode('overwrite') on the shared session to partition-matching."""
+    import json as _json
+
+    from dns_log_transformer_spark.streaming import upsert_sink
+
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    src = tmp_path / "changes"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i in (1, 2):
+            f.write(
+                _json.dumps(
+                    {"k": i, "payload": f"p{i}", "version": 0, "op": "U"}
+                )
+                + "\n"
+            )
+    stream = spark.readStream.schema(
+        "k long, payload string, version int, op string"
+    ).json(str(src))
+    q = upsert_sink(
+        stream, str(tmp_path / "latest"), str(tmp_path / "ck"), key_col="k"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before
+    ), "merge_batch leaked partitionOverwriteMode into the session"
+    # ...and the scoped dynamic overwrite actually merged (both keys live)
+    from dns_log_transformer_spark.streaming import read_latest
+
+    assert {
+        r["k"] for r in read_latest(spark, str(tmp_path / "latest")).collect()
+    } == {1, 2}
+
+
+def test_cdc_sink_rejects_remote_table_paths(spark, tmp_path):
+    """Table discovery is os.path-based (driver-local only); a remote
+    scheme must fail loudly instead of silently overwriting."""
+    import pytest
+
+    from dns_log_transformer_spark.streaming import read_latest, upsert_sink
+
+    with pytest.raises(ValueError, match="driver-local"):
+        read_latest(spark, "s3://bucket/latest")
+    stream = spark.readStream.schema("k long, version int, op string").json(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="driver-local"):
+        upsert_sink(
+            stream, "hdfs:///tables/latest", str(tmp_path / "ck"), key_col="k"
+        )
