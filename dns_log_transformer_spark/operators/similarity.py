@@ -1038,11 +1038,13 @@ def ivfpq_adc_topk(
     The residual trick shows NO lift over plain PQ (0.125) on these
     RANDOM vectors — coarse centroids of random data are ~0, so
     residual ~= original and the composition only adds IVF's candidate
-    restriction. That is the honest worst case; on real clustered
-    embeddings the coarse stage absorbs the cluster mean, residual
-    magnitudes shrink, and the same 4-bit budget quantizes far tighter
-    (the published IVF-PQ result). The operator exists for that
-    workload; the fixtures attest its correctness, not its advantage.
+    restriction. That is the honest worst case. On CLUSTERED
+    embeddings — the workload the operator exists for — the coarse
+    stage absorbs the cluster mean, residual magnitudes shrink, and the
+    same 4-bit budget quantizes far tighter (the published IVF-PQ
+    result): pinned at recall@5 0.23 vs plain PQ's 0.14 on a seeded
+    8-blob fixture at equal code budget
+    (test_ivfpq_residual_lift_on_clustered_embeddings).
 
     Output: (query_id, vec_id, adc_score, rnk).
     """

@@ -239,3 +239,48 @@ def test_ivfpq_recall_floors_and_probe_monotonicity(spark):
     # every query answered with full k
     got = _topk_sets(similarity.ivfpq_adc_topk(emb, queries, k=5, n_probe=2))
     assert set(got) == set(exact) and all(len(v) == 5 for v in got.values())
+
+
+def test_ivfpq_residual_lift_on_clustered_embeddings(spark):
+    """The operator's reason to exist, pinned as a measurement (round-5
+    VERDICT task 5): on CLUSTERED embeddings — the workload IVF-PQ is
+    built for — residual encoding beats plain PQ at the SAME code
+    budget (m=8 subspaces x 16 cells). 8 seeded Gaussian blobs in 64
+    dims; ids are assigned so id % n_cells == cluster, standing in for
+    a trained coarse quantizer (pq_codebook's seed-partition recipe
+    then recovers the true cluster centers, which is exactly what
+    k-means would). Everything downstream is bit-deterministic, so the
+    numbers are stable, not statistical: PQ 0.14, IVF-PQ 0.23 (and the
+    n_probe=2 candidate restriction costs nothing because clusters are
+    well-separated — the published IVF-PQ behavior)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    K, DIM, PER = 8, 64, 50
+    centers = rng.normal(0.0, 1.0, (K, DIM))
+    rows = []
+    for c in range(K):
+        pts = centers[c] + rng.normal(0.0, 0.15, (PER, DIM))
+        for i in range(PER):
+            # id % K == cluster: the seed-partition coarse codebook
+            # (id % n_cells groups) then averages within-cluster points
+            rows.append((int(c + K * (c * PER + i)), [float(x) for x in pts[i]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).limit(20)
+    exact = _topk_sets(similarity.brute_force_topk(emb, queries, k=5))
+
+    def recall(appr):
+        hits = sum(len(exact[q] & appr.get(q, set())) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    r_pq = recall(_topk_sets(similarity.pq_adc_topk(emb, queries, k=5)))
+    r_ivfpq = recall(
+        _topk_sets(
+            similarity.ivfpq_adc_topk(emb, queries, k=5, n_cells=K, n_probe=2)
+        )
+    )
+    assert r_ivfpq > r_pq, (
+        f"residual encoding must lift recall on clustered data: "
+        f"ivfpq={r_ivfpq:.3f} vs pq={r_pq:.3f}"
+    )
+    assert r_ivfpq >= 0.20, f"IVF-PQ clustered recall@5 = {r_ivfpq:.3f}"
