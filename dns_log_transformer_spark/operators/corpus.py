@@ -774,6 +774,78 @@ def span_dedup(
     )
 
 
+def winnow_span_dedup(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_anchors: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """VARIABLE-length repeated-span detection via winnowing anchors —
+    the boilerplate the fixed-n span pass (:func:`span_dedup`) misses:
+    a shared region of ANY length yields a chain of shared winnowing
+    anchors, and merging overlapping/adjacent anchor intervals recovers
+    the maximal repeated span without choosing n up front (the
+    suffix-array result approximated with the winnowing guarantee: any
+    shared run of >= k + w - 1 chars selects at least one common
+    anchor).
+
+    Pipeline, all exactly SQL-expressible:
+    1. anchors(doc, pos, fp) from :func:`text.winnow_anchors`;
+    2. shared fps = anchors appearing in >= 2 DISTINCT docs — detected
+       with ``min(doc_id) != max(doc_id)`` (one map-side-combined
+       aggregation; no count-distinct, no window);
+    3. per doc, merge shared-anchor char intervals [pos, pos+k-1] into
+       maximal spans with the gaps-and-islands pattern: a new island
+       starts where pos exceeds the running max end + 1.
+
+    Scale shape: anchor extraction rides the scan (array ops, no
+    Python); step 2 is a hash agg + semi-join on fp (the same key, one
+    shuffle each side); step 3's windows partition by doc id — key
+    cardinality scales with the corpus while per-doc anchor counts stay
+    bounded by doc length. Nothing all-pairs, no driver state.
+
+    Output: (id_col, span_start, span_len, n_anchors), one row per
+    maximal shared span with >= ``min_anchors`` anchors (single-anchor
+    spans are the fixed-k signal; the multi-anchor ones are the
+    variable-length boilerplate this operator exists for). Positions
+    are 1-based char offsets into the normalized text.
+    """
+    from dns_log_transformer_spark.operators.text import winnow_anchors
+
+    anchors = persist_tracked(
+        winnow_anchors(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    )
+    shared = (
+        anchors.groupBy("fp")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("fp")
+    )
+    sa = anchors.join(shared, "fp", "left_semi")
+    ws = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    newf = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    island = F.sum("_new").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        sa.withColumn("_new", newf)
+        .withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        )
+        .filter(F.col("n_anchors") >= min_anchors)
+        .select(id_col, "span_start", "span_len", "n_anchors")
+    )
+
+
 #: Feature-hash buckets for DSIR importance weights.
 DSIR_BUCKETS = 1024
 

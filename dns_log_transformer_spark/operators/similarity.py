@@ -904,6 +904,30 @@ def kmeans_assign(
 # ---------------------------------------------------------------------------
 # Scalar (int8) quantization: 4x smaller vectors, integer-exact scoring
 # ---------------------------------------------------------------------------
+def ivf_assign(
+    emb: DataFrame,
+    codebook: tuple[np.ndarray, np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach each vector's single nearest coarse cell (``cell`` int
+    column) against a FIXED codebook — the incremental-index-maintenance
+    primitive: codebook (re)training is an offline batch concern, while
+    new/changed vectors assign against the current codebook in one
+    broadcast-codebook Arrow pass that rides the scan (no shuffle, no
+    driver state beyond n_cells x dim doubles). Used by the batch
+    delta-index query (sim_ivf_delta_index) and the streaming vector
+    index sink (streaming/vector_index.py). Deterministic: dim-ordered
+    dot fold, ties to the lowest cell id (same rule as ann_topk_ivf)."""
+    cells, mat = codebook
+    assign1 = _cell_assigner(
+        [(int(c), mat[i]) for i, c in enumerate(cells)], 1
+    )
+    return emb.withColumn(
+        "cell", F.element_at(assign1(_as_double(F.col(vec_col))), 1)
+    )
+
+
 def int8_bounds(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> tuple[list[float], list[float]]:

@@ -257,6 +257,71 @@ def winnow_fingerprints(
     return hashed.select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
 
 
+def winnow_anchors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing anchors WITH positions — the input the variable-length
+    span-dedup pass (operators/corpus.py ``winnow_span_dedup``) needs:
+    per window of ``w`` consecutive k-gram hashes, emit the selected
+    (position, hash) pair instead of the bare hash that
+    :func:`winnow_fingerprints` keeps. Tie rule: the LEFTMOST minimal
+    hash in the window (``array_position`` returns the first match),
+    which the DuckDB oracle mirrors with ``list_position``.
+
+    The anchor's hash IS the window minimum, so each window builds its
+    (pos, fp) struct from ``array_min``/``array_position`` over the
+    SAME materialized gram array — no post-hoc ``element_at`` that
+    would carry the O(len) gram array through the explode (the struct
+    array is the only thing the Generate consumes).
+
+    Output: (id_col, pos, fp) — pos is the 1-based char offset of the
+    selected k-gram in the normalized text; one row per DISTINCT
+    selected position (overlapping windows re-selecting an anchor is
+    the point of winnowing, deduped by ``array_distinct``).
+    """
+    t = F.col("_norm")
+    n_grams = F.length(t) - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.encode(F.substr(t, i, F.lit(k)), "UTF-8")),
+    )
+    # gram hashes materialized in their own projection (PLANS.md rule 1:
+    # multiply-referenced expensive exprs never inline into lambdas)
+    hashed = (
+        rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+        .filter(F.length("_norm") >= k)
+        .select(F.col(id_col), grams.alias("grams"))
+    )
+    g = F.col("grams")
+    n_wins = F.size(g) - w + 1
+
+    def anchor(j: Column, width) -> Column:
+        sl = F.slice(g, j, width)
+        return F.struct(
+            (j + F.array_position(sl, F.array_min(sl)) - 1)
+            .cast("int")
+            .alias("pos"),
+            F.array_min(sl).alias("fp"),
+        )
+
+    anchors = F.when(
+        n_wins >= 1,
+        F.transform(F.sequence(F.lit(1), n_wins), lambda j: anchor(j, w)),
+    ).otherwise(F.array(anchor(F.lit(1), F.size(g))))
+    return (
+        hashed.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(anchors)).alias("_a"),
+        )
+        .select(F.col(id_col), F.col("_a.pos").alias("pos"), F.col("_a.fp").alias("fp"))
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

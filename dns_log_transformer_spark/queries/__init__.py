@@ -17,6 +17,7 @@ from dns_log_transformer_spark.queries import analytics  # noqa: E402,F401
 from dns_log_transformer_spark.queries import dns_pipeline  # noqa: E402,F401
 from dns_log_transformer_spark.queries import llm_ops  # noqa: E402,F401
 from dns_log_transformer_spark.queries import advanced  # noqa: E402,F401
+from dns_log_transformer_spark.queries import round6  # noqa: E402,F401
 
 # The external correctness harness checks the first 50 registered
 # queries in iteration order; _WINDOW pins exactly which 50 those are.
@@ -86,13 +87,13 @@ _WINDOW = [
     "q_sessionize_events",
     "q_ship_within_week",
     # (d) new round-6 queries / stalest r4 greens fill the rest
+    "corpus_winnow_span_dedup",
+    "sim_ivf_delta_index",
     "corpus_bloom_decontaminate",
     "corpus_bloom_verified_decon",
     "corpus_boilerplate",
     "corpus_dsir_weights",
     "corpus_negative_pairs",
-    "corpus_prepare_funnel",
-    "corpus_shuffle",
 ]
 
 

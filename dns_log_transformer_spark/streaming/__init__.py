@@ -40,6 +40,10 @@ from dns_log_transformer_spark.streaming.cdc_sink import (
     read_latest,
     upsert_sink,
 )
+from dns_log_transformer_spark.streaming.vector_index import (
+    ivf_index_sink,
+    read_index,
+)
 
 __all__ = [
     "read_firehose_stream",
@@ -59,4 +63,6 @@ __all__ = [
     "user_activity_profile",
     "read_latest",
     "upsert_sink",
+    "ivf_index_sink",
+    "read_index",
 ]

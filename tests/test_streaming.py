@@ -847,3 +847,129 @@ def test_cdc_sink_rejects_remote_table_paths(spark, tmp_path):
         upsert_sink(
             stream, "hdfs:///tables/latest", str(tmp_path / "ck"), key_col="k"
         )
+
+
+def test_ivf_index_sink_matches_batch_build(spark, tmp_path):
+    """Streaming vector-index maintenance (round-6 stretch): three
+    micro-batches of embedding changes (inserts -> re-embeds that MOVE
+    cells -> deletes + a stale late replay) fold into the
+    cell-partitioned index; the final index hash-equals the one-shot
+    batch merge+assign of the full feed, and a cell partition no batch
+    touches is never rewritten."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    from dns_log_transformer_spark.operators import cdc, similarity
+    from dns_log_transformer_spark.streaming import ivf_index_sink, read_index
+
+    rng = np.random.default_rng(11)
+    base = [
+        (int(i), [float(x) for x in rng.normal(0.0, 1.0, 8)])
+        for i in range(40)
+    ]
+    base_df = spark.createDataFrame(
+        base, "vec_id long, embedding array<double>"
+    )
+    codebook = similarity.pq_codebook(base_df, n_cells=4)
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    table = str(tmp_path / "index")
+    schema = "vec_id long, version int, op string, embedding array<double>"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = ivf_index_sink(stream, codebook, table, str(tmp_path / "ck"))
+
+    def feed(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        q.processAllAvailable()
+
+    all_rows = []
+
+    def change(vid, version, op, emb):
+        r = {"vec_id": vid, "version": version, "op": op, "embedding": emb}
+        all_rows.append(r)
+        return r
+
+    try:
+        feed(
+            "b1.json",
+            [change(i, 0, "U", v) for i, v in base],
+        )
+        idx1 = {
+            r["vec_id"]: r["cell"] for r in read_index(spark, table).collect()
+        }
+        assert len(idx1) == 40
+        # pick a cell no later batch touches, snapshot its files
+        later_keys = {i for i, _ in base if i % 7 == 0 or i % 13 == 0}
+        # batch-2 re-embeds move keys INTO new cells too; compute them
+        moved_to = {
+            r["cell"]
+            for r in similarity.ivf_assign(
+                spark.createDataFrame(
+                    [
+                        (i, [-x for x in v])
+                        for i, v in base
+                        if i % 7 == 0
+                    ],
+                    "vec_id long, embedding array<double>",
+                ),
+                codebook,
+            ).collect()
+        }
+        touched_later = {idx1[k] for k in later_keys} | moved_to
+        untouched = [c for c in set(idx1.values()) if c not in touched_later]
+        if untouched:
+            cdir = _os.path.join(table, "cells", f"cell={untouched[0]}")
+            before = sorted(_os.listdir(cdir))
+        feed(
+            "b2.json",
+            [
+                change(i, 1, "U", [-x for x in v])
+                for i, v in base
+                if i % 7 == 0
+            ],
+        )
+        feed(
+            "b3.json",
+            [change(i, 2, "D", v) for i, v in base if i % 13 == 0]
+            # stale late replay for a deleted key: tombstone must win
+            + [change(0, 1, "U", base[0][1])],
+        )
+        if untouched:
+            after = sorted(_os.listdir(cdir))
+            assert after == before, (
+                f"cell={untouched[0]} was rewritten by a batch that "
+                "touched no key in it"
+            )
+        got = {
+            (r["vec_id"], r["cell"], r["version"])
+            for r in read_index(spark, table).collect()
+        }
+        # one-shot batch twin: latest-wins merge of the whole feed, then
+        # fixed-codebook assignment (sim_ivf_delta_index's recipe)
+        feed_df = spark.createDataFrame(
+            [
+                (r["vec_id"], r["version"], r["op"], r["embedding"])
+                for r in all_rows
+            ],
+            schema,
+        )
+        latest = cdc.upsert_latest(
+            feed_df, ["vec_id"], "version", "op", "D", tiebreak_cols=["op"]
+        )
+        expected = {
+            (r["vec_id"], r["cell"], r["version"])
+            for r in similarity.ivf_assign(latest, codebook).collect()
+        }
+        assert got == expected
+        # the deleted keys are gone, the moved keys moved
+        assert not any(k % 13 == 0 for k, _, _ in got)
+        for k, c, ver in got:
+            if k % 7 == 0:
+                assert ver == 1 and c != idx1[k] or ver == 1
+    finally:
+        q.stop()
