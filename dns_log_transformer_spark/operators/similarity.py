@@ -904,6 +904,48 @@ def kmeans_assign(
 # ---------------------------------------------------------------------------
 # Scalar (int8) quantization: 4x smaller vectors, integer-exact scoring
 # ---------------------------------------------------------------------------
+def knn_predict_labels(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label propagation: each query takes the majority label of
+    its k exact-cosine nearest neighbors — the standard weak-labeling /
+    dataset-audit pass (predict a label for unlabeled or held-out
+    points from their neighborhood).
+
+    Composition of attested pieces: :func:`brute_force_topk` supplies
+    the deterministic neighbor set (rounded cosine, id tie-break); the
+    label join BROADCASTS the |Q| x k neighbor rows into the corpus
+    scan (never shuffles the corpus); the vote is two bounded
+    aggregations. Vote ties: highest count, then smallest label
+    (max_by on struct(n_votes, -label) — a total order).
+
+    Output: (query_id, pred_label, n_votes).
+    """
+    nn = brute_force_topk(emb, queries, k, id_col, vec_col)
+    votes = (
+        emb.select(F.col(id_col), F.col(label_col))
+        .join(F.broadcast(nn.select("query_id", id_col)), id_col)
+        .groupBy("query_id", label_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.max_by(
+            F.struct(F.col(label_col).alias("lab"), F.col("n_votes")),
+            F.struct(F.col("n_votes"), (-F.col(label_col)).alias("_neg")),
+        ).alias("_w")
+    )
+    return best.select(
+        "query_id",
+        F.col("_w.lab").alias("pred_label"),
+        F.col("_w.n_votes").alias("n_votes"),
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     codebook: tuple[np.ndarray, np.ndarray],

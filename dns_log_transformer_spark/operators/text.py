@@ -10,7 +10,7 @@ stopword stats a la Gopher rules; n-gram-free stopword language ID).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dns_log_transformer_spark.operators.caching import persist_tracked
@@ -255,6 +255,82 @@ def winnow_fingerprints(
         ),
     ).otherwise(F.array(F.array_min(g)))
     return hashed.select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    n_docs: int,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic salient-term
+    extraction (tf x ln(N/df)). ``n_docs`` is the corpus document count
+    (passed in, not computed here, so the caller decides the scan it
+    comes from — parquet metadata makes it free).
+
+    Shape at scale: explode -> (doc, term) counts (map-side combined,
+    the vocab_topk shape); document frequency is one vocabulary-sized
+    aggregation of the tf rows; the tf<->df join keys on term
+    (vocabulary-sized dimension); the top-k window partitions by doc id
+    (cardinality scales with the corpus). Determinism: score rounded to
+    4 decimals, ties broken by term ascending.
+
+    Output: (id_col, term, tfidf, rnk), rnk 1..k per document.
+    """
+    tf = (
+        rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col(id_col), "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the cheap
+    gibberish/compression-quality signal (low entropy = repeated-char
+    spam, high = random noise; natural text sits in a band):
+
+        H = ln(n) - sum(c_i * ln(c_i)) / n
+
+    over per-character counts c_i. explode to (doc, char) -> hash agg
+    with map-side combine (alphabet-bounded groups per doc) -> one
+    per-doc aggregation; rides the scan like token counting. Entropy
+    rounds to 4 decimals (the per-doc sum spans at most alphabet-many
+    small terms, so float fold order stays far inside the rounding).
+
+    Output: (id_col, n_chars, entropy); empty/null texts drop out.
+    """
+    chars = (
+        rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col)))
+        .filter(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .filter(F.length("ch") > 0)
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return counts.groupBy(id_col).agg(
+        n.cast("long").alias("n_chars"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 4
+        ).alias("entropy"),
+    )
 
 
 def winnow_anchors(

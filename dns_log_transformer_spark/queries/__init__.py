@@ -89,11 +89,11 @@ _WINDOW = [
     # (d) new round-6 queries / stalest r4 greens fill the rest
     "corpus_winnow_span_dedup",
     "sim_ivf_delta_index",
+    "emb_knn_label",
+    "text_tfidf_topterms",
+    "text_char_entropy",
     "corpus_bloom_decontaminate",
     "corpus_bloom_verified_decon",
-    "corpus_boilerplate",
-    "corpus_dsir_weights",
-    "corpus_negative_pairs",
 ]
 
 

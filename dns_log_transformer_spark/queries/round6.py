@@ -184,3 +184,128 @@ def sim_ivf_delta_index(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_assign(latest, codebook).select(
         "vec_id", "cell", "version"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label propagation (majority vote over exact-cosine neighbors)
+# ---------------------------------------------------------------------------
+def _knn_oracle() -> str:
+    from dns_log_transformer_spark.queries.llm_ops import _SQL_DOT
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < 2000),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_SQL_DOT.format(a="e.v", b="q.qv")}
+               / (sqrt({_SQL_DOT.format(a="e.v", b="e.v")})
+                  * sqrt({_SQL_DOT.format(a="q.qv", b="q.qv")})), 4)
+               AS cos_sim
+      FROM e, q WHERE e.vec_id <> q.query_id),
+    top5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored)
+      WHERE rnk <= 5),
+    votes AS (
+      SELECT t.query_id, emb.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM top5 t JOIN embeddings emb ON emb.vec_id = t.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, label AS pred_label, n_votes FROM (
+      SELECT query_id, label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, label ASC) AS rn
+      FROM votes)
+    WHERE rn = 1
+    """
+
+
+@register("emb_knn_label", oracle=_knn_oracle())
+def emb_knn_label(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN label propagation over the embedding table's label column
+    (the ANN-family fixed query workload): majority label of the 5
+    exact-cosine nearest neighbors, ties to the smallest label. The
+    label join broadcasts the |Q| x k neighbor rows into the corpus
+    scan; see operators/similarity.py knn_predict_labels."""
+    from dns_log_transformer_spark.operators import similarity
+
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
+    return similarity.knn_predict_labels(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF top terms
+# ---------------------------------------------------------------------------
+_SQL_TOKENS_R6 = (
+    r"(CASE WHEN trim(text) IS NULL OR trim(text) = '' "
+    r"THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(text), '\s+') END)"
+)
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS_R6}) AS term FROM documents)
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t
+              FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs / dfreq.df_t), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term), n)
+    SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (tf x ln(N/df), score rounded to
+    4 decimals, term-ascending tie-break) — classic salient-term
+    extraction; see operators/text.py tfidf_topterms for the scale
+    shape (vocab-keyed join, doc-keyed top-k window)."""
+    from dns_log_transformer_spark.operators import text
+
+    docs = table(spark, sf, "documents")
+    return text.tfidf_topterms(docs, n_docs=docs.count(), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality scoring
+# ---------------------------------------------------------------------------
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text) + 1),
+                    i -> substr(text, CAST(i AS INT), 1))) AS ch
+      FROM documents WHERE length(text) > 0),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the cheap
+    gibberish/spam signal (H = ln n - sum c ln c / n over char counts);
+    see operators/text.py char_entropy."""
+    from dns_log_transformer_spark.operators import text
+
+    docs = table(spark, sf, "documents")
+    return text.char_entropy(docs)

@@ -32,6 +32,7 @@ BNLJ_DOCUMENTED = {
     "q_triangle_suppliers",  # 1-row count scalars for the ratio report
     "sim_int8_topk",  # broadcast query workload scan, by contract
     "sim_pq_adc_topk",  # broadcast per-query LUTs, by contract
+    "emb_knn_label",  # composes the broadcast-queries baseline below
     "sim_topk_bruteforce",  # exact broadcast-queries baseline
     "text_bm25_topk",  # broadcast query-term constants
     "text_hybrid_rrf",  # composes the bm25 retriever above

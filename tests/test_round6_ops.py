@@ -1,0 +1,156 @@
+"""Unit coverage for the round-6 operators (winnow span dedup, IVF
+delta index, kNN labels, TF-IDF, char entropy) — semantics on
+constructed inputs plus plan-shape assertions for their scale claims.
+Oracle parity at sf0.01 is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.operators import corpus, similarity, text
+from dns_log_transformer_spark.plans import physical_plan
+
+
+def test_winnow_span_dedup_finds_variable_length_boilerplate(spark):
+    """A ~120-char paragraph shared by two docs (surrounded by distinct
+    prose) must surface as ONE maximal span per doc covering most of the
+    paragraph — the variable-length detection the fixed-8-gram pass
+    cannot express. A third doc without the paragraph yields nothing."""
+    boiler = (
+        "subscribe to our newsletter for updates terms of service apply "
+        "all rights reserved contact support for assistance today"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha bravo charlie delta unique one {boiler} tail one xyz"),
+            (2, f"completely different opening words here {boiler} other ending"),
+            (3, "nothing shared with the others at all just plain text"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = corpus.winnow_span_dedup(docs, k=8, w=4, min_anchors=2).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_len"], r["n_anchors"])
+        )
+    assert 3 not in by_doc, "doc without shared content produced spans"
+    assert 1 in by_doc and 2 in by_doc
+    # the shared paragraph is ~120 chars; the merged span must cover the
+    # bulk of it in one island (NOT fragment into 8-char pieces)
+    for d in (1, 2):
+        longest = max(s_len for _, s_len, _ in by_doc[d])
+        assert longest >= 90, f"doc {d} span too short: {by_doc[d]}"
+        assert len(by_doc[d]) <= 2, f"doc {d} fragmented: {by_doc[d]}"
+
+
+def test_winnow_span_dedup_plan_shape(spark):
+    """No cartesian product, no Python in the plan; the shared-anchor
+    pass is an aggregate + semi-ish join on fp, islands window by doc."""
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body shared portion here "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    plan = physical_plan(corpus.winnow_span_dedup(docs), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.char_entropy(df).collect()}
+    assert set(rows) == {1, 2, 3}, "empty/null texts must drop out"
+    assert rows[1]["entropy"] == 0.0 and rows[1]["n_chars"] == 4
+    assert rows[2]["entropy"] == round(math.log(2), 4)
+    assert rows[3]["entropy"] == round(math.log(4), 4)
+
+
+def test_tfidf_topterms_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),
+            (2, "dog fish"),
+            (3, "fish fish fish bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_topterms(docs, n_docs=3, k=2).collect()
+    got = {(r["doc_id"], r["rnk"]): (r["term"], r["tfidf"]) for r in out}
+    ln = math.log
+    # doc 1: cat tf=2 df=1 -> 2*ln(3); dog tf=1 df=2 -> ln(1.5)
+    assert got[(1, 1)] == ("cat", round(2 * ln(3), 4))
+    assert got[(1, 2)] == ("dog", round(ln(3 / 2), 4))
+    # doc 3: fish tf=3 df=2 -> 3*ln(1.5)=1.2164; bird tf=1 df=1 -> ln 3
+    assert got[(3, 1)] == ("fish", round(3 * ln(3 / 2), 4))
+    assert got[(3, 2)] == ("bird", round(ln(3), 4))
+
+
+def test_knn_predict_labels_votes_and_ties(spark):
+    """Two tight clusters with known labels; a tie case resolves to the
+    smallest label."""
+    rows = []
+    # cluster A (label 1) near (1, 0); cluster B (label 2) near (0, 1)
+    for i, eps in enumerate([0.00, 0.01, 0.02, 0.03]):
+        rows.append((i, [1.0, eps], 1))
+    for i, eps in enumerate([0.00, 0.01, 0.02, 0.03]):
+        rows.append((10 + i, [eps, 1.0], 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.knn_predict_labels(emb, q, k=3).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 1 and out[0]["n_votes"] == 3
+    # k=6 -> 3 from own cluster (excl. self), 3 from the other: tie ->
+    # smallest label wins
+    out = similarity.knn_predict_labels(emb, q, k=6).collect()
+    assert out[0]["pred_label"] == 1 and out[0]["n_votes"] == 3
+
+
+def test_knn_label_join_broadcasts_neighbors(spark):
+    """The corpus-side label join must broadcast the bounded |Q| x k
+    neighbor rows — the corpus never reshuffles for the vote."""
+    emb = spark.range(0, 100).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 3).cast("double")
+        ).alias("embedding"),
+        (F.col("id") % 4).cast("int").alias("label"),
+    )
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    plan = physical_plan(similarity.knn_predict_labels(emb, q, k=5), "simple")
+    assert "BroadcastHashJoin" in plan, "label join must broadcast neighbors"
+
+
+def test_ivf_assign_matches_topk_cell_choice(spark):
+    """ivf_assign's nearest cell equals the n_probe=1 head of the
+    attested probe list (same codebook, same tie rule)."""
+    emb = spark.range(0, 60).select(
+        F.col("vec_id").alias("vec_id")
+        if False
+        else F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") + i) % 5).cast("double") for i in range(4)]
+        ).alias("embedding"),
+    )
+    cb = similarity.pq_codebook(emb, n_cells=4)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(emb, cb).collect()
+    }
+    cells, mat = cb
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    for vid, v in vecs.items():
+        scores = mat @ v
+        best = int(cells[int(np.argmax(scores))])
+        assert got[vid] == best
