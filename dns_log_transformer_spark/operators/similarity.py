@@ -1067,6 +1067,83 @@ def int8_topk(
     )
 
 
+def int8_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefilter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank — the canonical production ANN
+    shape (every FAISS/ScaNN deployment): a CHEAP first pass over
+    compressed codes narrows each query to ``prefilter`` candidates,
+    then an exact float-cosine pass over only those candidates fixes
+    the quantization-induced ranking errors near the top.
+
+    Stage 1 scores int8 codes by exact integer dot (bit-reproducible,
+    no rounding discipline needed) and keeps the top ``prefilter`` per
+    query (integer ties to the lowest id — a total order both engines
+    agree on). Stage 2 re-reads the corpus for ONLY the |Q| x prefilter
+    candidate ids (a broadcast semi-join into the scan — the full
+    vectors never travel through the stage-1 shuffle; at 100 TB
+    carrying 64 int8 codes instead of 64 float64s through the wide
+    stage is the point) and ranks by exact cosine, ROUND(_, 4) + id
+    tie-break, the brute-force family's determinism contract.
+
+    Recall contract: stage 2 can only REORDER stage-1 survivors, so
+    recall@k(rerank) >= the agreement of int8 top-``prefilter`` with
+    the exact top-k — with prefilter >> k the quantized prefilter
+    almost always retains the true neighbors it merely mis-ranked
+    (pinned vs plain int8 top-k in tests/test_ann.py).
+
+    Output: (query_id, vec_id, cos_sim, rnk), rnk 1..k per query.
+    """
+    mns, mxs = int8_bounds(emb, vec_col)
+    c = int8_encode(emb, mns, mxs, id_col, vec_col)
+    q8 = int8_encode(queries, mns, mxs, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("q_code")
+    )
+    pre = (
+        c.crossJoin(F.broadcast(q8))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            dot_pd(F.col("code"), F.col("q_code")).cast("long").alias("_dot8"),
+        )
+    )
+    wpre = W.partitionBy("query_id").orderBy(F.desc("_dot8"), F.asc(id_col))
+    cand = (
+        pre.withColumn("_prnk", F.row_number().over(wpre))
+        .filter(F.col("_prnk") <= prefilter)
+        .select("query_id", id_col)
+    )
+    qv = with_norm(queries, vec_col, "q_nrm").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "q_nrm"
+    )
+    cv = with_norm(emb.select(id_col, vec_col), vec_col)
+    rer = (
+        cv.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                dot_pd(F.col(vec_col), F.col("q_vec"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos_sim", "rnk")
+    )
+
+
 def ivfpq_adc_topk(
     emb: DataFrame,
     queries: DataFrame,

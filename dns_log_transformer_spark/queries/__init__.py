@@ -86,14 +86,16 @@ _WINDOW = [
     "q_scalar_functions",
     "q_sessionize_events",
     "q_ship_within_week",
-    # (d) new round-6 queries / stalest r4 greens fill the rest
+    # (d) new round-6 queries fill the rest (never-attested beats the
+    # stale-r4-green fillers that briefly held the last two slots —
+    # those stay fresh outside the window until the r7 rotation)
     "corpus_winnow_span_dedup",
     "sim_ivf_delta_index",
     "emb_knn_label",
     "text_tfidf_topterms",
     "text_char_entropy",
-    "corpus_bloom_decontaminate",
-    "corpus_bloom_verified_decon",
+    "sim_int8_rerank",
+    "q_regr_trends",
 ]
 
 

@@ -242,6 +242,173 @@ def emb_knn_label(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-stage ANN: int8 integer-dot prefilter -> exact cosine rerank
+# ---------------------------------------------------------------------------
+def _int8_rerank_oracle() -> str:
+    from dns_log_transformer_spark.queries.advanced import _INT8_CODE_SQL
+    from dns_log_transformer_spark.queries.llm_ops import _SQL_DOT
+
+    return f"""
+    WITH {_INT8_CODE_SQL},
+    q8 AS (SELECT vec_id AS query_id, code AS q_code FROM codes
+           WHERE vec_id % 50 = 0 AND vec_id < 2000),
+    pre AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q8.query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q8.query_id
+                 ORDER BY CAST(list_sum(list_transform(
+                            list_zip(c.code, q8.q_code),
+                            p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)
+                            DESC,
+                          c.vec_id) AS prnk
+        FROM codes c, q8 WHERE c.vec_id <> q8.query_id)
+      WHERE prnk <= 20),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id % 50 = 0 AND vec_id < 2000),
+    rer AS (
+      SELECT pre.query_id, pre.vec_id,
+             ROUND({_SQL_DOT.format(a="e.v", b="qv.qv")}
+               / (sqrt({_SQL_DOT.format(a="e.v", b="e.v")})
+                  * sqrt({_SQL_DOT.format(a="qv.qv", b="qv.qv")})), 4)
+               AS cos_sim
+      FROM pre JOIN e ON e.vec_id = pre.vec_id
+               JOIN qv ON qv.query_id = pre.query_id)
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM rer)
+    WHERE rnk <= 5
+    """
+
+
+@register("sim_int8_rerank", oracle=_int8_rerank_oracle())
+def sim_int8_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage ANN (the canonical production shape): int8 integer-dot
+    prefilter to 20 candidates per query, exact float-cosine rerank to
+    top 5. The compressed first pass bounds the scan's memory traffic;
+    the exact second pass touches only |Q| x 20 candidate ids via a
+    broadcast semi-join into the corpus scan. See
+    operators/similarity.py int8_rerank_topk for the recall contract
+    and scale shape."""
+    from dns_log_transformer_spark.operators import similarity
+
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
+    return similarity.int8_rerank_topk(emb, queries, k=5, prefilter=20)
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression / correlation (exact integer-cent sums)
+# ---------------------------------------------------------------------------
+@register(
+    "q_regr_trends",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(year(l_shipdate) AS INT) AS ship_year,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    sums AS (
+      SELECT returnflag, ship_year,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS n_d,
+             CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(18,0))) AS DOUBLE) AS syy
+      FROM pts GROUP BY 1, 2),
+    d2 AS (
+      SELECT returnflag, ship_year, n, n_d, sx, sy,
+             n_d * sxy - sx * sy AS cov_n,
+             n_d * sxx - sx * sx AS varx_n,
+             n_d * syy - sy * sy AS vary_n
+      FROM sums)
+    SELECT returnflag, ship_year, n,
+           ROUND(cov_n / varx_n, 4) AS slope,
+           ROUND((sy - cov_n / varx_n * sx) / n_d / 100.0, 4) AS intercept,
+           ROUND(cov_n / (sqrt(varx_n) * sqrt(vary_n)), 4) AS corr_xy
+    FROM d2
+    """,
+)
+def q_regr_trends(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(returnflag, ship year) OLS regression of extended price on
+    quantity, plus Pearson correlation — the statistical-aggregate
+    family (regr_slope / regr_intercept / corr) in an engine-exact
+    formulation: both engines aggregate EXACT integer cents into
+    DECIMAL(18,0) per-row products (no fp fold-order dependence, no
+    int64 overflow at any corpus size — the decimal sum holds 38
+    digits), cast the exact sums to double ONCE, and evaluate the
+    identical closed-form expressions (slope = cov_n/varx_n etc.),
+    ROUND(_, 4). Spark's builtin regr_slope would fold doubles in
+    partition order — nondeterministic across engines AND runs; this
+    formulation is the scale-safe exact twin: one map-side-combined
+    hash aggregation, group count bounded by flags x years, zero
+    driver state.
+    """
+    li = table(spark, sf, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.round(F.col("l_quantity") * 100, 0).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("returnflag", "ship_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("n_d"),
+        F.sum(F.col("x").cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,0)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(18,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    d2 = sums.select(
+        "returnflag",
+        "ship_year",
+        "n",
+        "n_d",
+        "sx",
+        "sy",
+        (F.col("n_d") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "cov_n"
+        ),
+        (F.col("n_d") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "varx_n"
+        ),
+        (F.col("n_d") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "vary_n"
+        ),
+    )
+    return d2.select(
+        "returnflag",
+        "ship_year",
+        "n",
+        F.round(F.col("cov_n") / F.col("varx_n"), 4).alias("slope"),
+        F.round(
+            (F.col("sy") - F.col("cov_n") / F.col("varx_n") * F.col("sx"))
+            / F.col("n_d")
+            / 100.0,
+            4,
+        ).alias("intercept"),
+        F.round(
+            F.col("cov_n")
+            / (F.sqrt(F.col("varx_n")) * F.sqrt(F.col("vary_n"))),
+            4,
+        ).alias("corr_xy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-document TF-IDF top terms
 # ---------------------------------------------------------------------------
 _SQL_TOKENS_R6 = (

@@ -284,3 +284,30 @@ def test_ivfpq_residual_lift_on_clustered_embeddings(spark):
         f"ivfpq={r_ivfpq:.3f} vs pq={r_pq:.3f}"
     )
     assert r_ivfpq >= 0.20, f"IVF-PQ clustered recall@5 = {r_ivfpq:.3f}"
+
+
+def test_int8_rerank_recall_beats_plain_int8(spark):
+    """The rerank stage's reason to exist: at equal k, reranking the
+    int8 top-20 with exact cosine must agree with the exact brute-force
+    top-5 at least as well as the plain int8 top-5 — stage 2 can only
+    reorder stage-1 survivors, and with prefilter >> k the quantized
+    pass retains the true neighbors it mis-ranked. Deterministic
+    fixture, so the readings are stable, not statistical."""
+    emb = read_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    exact = _topk_sets(similarity.brute_force_topk(emb, queries, k=5))
+
+    def recall(appr):
+        hits = sum(len(exact[q] & appr.get(q, set())) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    r_plain = recall(_topk_sets(similarity.int8_topk(emb, queries, k=5)))
+    r_rerank = recall(
+        _topk_sets(similarity.int8_rerank_topk(emb, queries, k=5, prefilter=20))
+    )
+    assert r_rerank >= r_plain, (
+        f"rerank recall {r_rerank:.3f} < plain int8 {r_plain:.3f}"
+    )
+    # int8 over random 64-dim vectors is already near-exact; the floor
+    # pins that the composed two-stage pipeline stays there
+    assert r_rerank >= 0.9, f"int8+rerank recall@5 = {r_rerank:.3f}"

@@ -31,6 +31,7 @@ BNLJ_DOCUMENTED = {
     "q_recursive_months",  # generated month dimension (tens of rows)
     "q_triangle_suppliers",  # 1-row count scalars for the ratio report
     "sim_int8_topk",  # broadcast query workload scan, by contract
+    "sim_int8_rerank",  # stage 1 is the same broadcast-queries scan
     "sim_pq_adc_topk",  # broadcast per-query LUTs, by contract
     "emb_knn_label",  # composes the broadcast-queries baseline below
     "sim_topk_bruteforce",  # exact broadcast-queries baseline
