@@ -812,10 +812,13 @@ def winnow_span_dedup(
     variable-length boilerplate this operator exists for). Positions
     are 1-based char offsets into the normalized text.
     """
-    from dns_log_transformer_spark.operators.text import winnow_anchors
+    from dns_log_transformer_spark.operators.text import winnow_anchors_arrow
 
+    # the Arrow anchor extractor — pinned exactly equal to the Catalyst
+    # winnow_anchors and ~4x cheaper (anchor extraction was 60% of this
+    # operator's cost as two interpreted higher-order-function passes)
     anchors = persist_tracked(
-        winnow_anchors(df, id_col=id_col, text_col=text_col, k=k, w=w)
+        winnow_anchors_arrow(df, id_col=id_col, text_col=text_col, k=k, w=w)
     )
     shared = (
         anchors.groupBy("fp")

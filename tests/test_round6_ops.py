@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from dns_log_transformer_spark.operators import corpus, similarity, text
 from dns_log_transformer_spark.plans import physical_plan
+from tests.conftest import SF_SMOKE
 
 
 def test_winnow_span_dedup_finds_variable_length_boilerplate(spark):
@@ -47,7 +48,8 @@ def test_winnow_span_dedup_finds_variable_length_boilerplate(spark):
 
 
 def test_winnow_span_dedup_plan_shape(spark):
-    """No cartesian product, no Python in the plan; the shared-anchor
+    """No cartesian product, no row-at-a-time Python; anchor extraction
+    is ONE Arrow map pass (never BatchEvalPython); the shared-anchor
     pass is an aggregate + semi-ish join on fp, islands window by doc."""
     docs = spark.range(0, 50).select(
         F.col("id").alias("doc_id"),
@@ -57,8 +59,41 @@ def test_winnow_span_dedup_plan_shape(spark):
     )
     plan = physical_plan(corpus.winnow_span_dedup(docs), "simple")
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_winnow_anchors_arrow_equals_catalyst(spark):
+    """The Arrow anchor fast path is pinned EXACTLY equal to the
+    Catalyst winnow_anchors on real fixture text plus the tie/edge
+    cases that exercise every branch: repeated-gram hash ties (leftmost
+    must win), texts with fewer than w grams (global-min branch), and
+    texts shorter than k (dropped)."""
+    from dns_log_transformer_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    edge = spark.createDataFrame(
+        [
+            (9_000_001, "aaaaaaaaaaaaaaaaaaaaaaaa"),  # all grams identical
+            (9_000_002, "abcdefghij"),  # 3 grams < w -> global min
+            (9_000_003, "abcdefgh"),  # exactly one gram
+            (9_000_004, "short"),  # < k chars -> no rows
+            (9_000_005, "xyzxyzxyzxyzxyzxyzxyz"),  # period-3 repeats
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionAll(edge)
+    slow = sorted(
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in text_ops.winnow_anchors(both).collect()
+    )
+    fast = sorted(
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in text_ops.winnow_anchors_arrow(both).collect()
+    )
+    assert len(slow) > 0
+    assert fast == slow
 
 
 def test_char_entropy_known_values(spark):
