@@ -44,6 +44,10 @@ from dns_log_transformer_spark.streaming.vector_index import (
     ivf_index_sink,
     read_index,
 )
+from dns_log_transformer_spark.streaming.neardup_index import (
+    neardup_index_sink,
+    read_pairs,
+)
 
 __all__ = [
     "read_firehose_stream",
@@ -65,4 +69,6 @@ __all__ = [
     "upsert_sink",
     "ivf_index_sink",
     "read_index",
+    "neardup_index_sink",
+    "read_pairs",
 ]

@@ -1,0 +1,240 @@
+"""Streaming near-dup index maintenance: ``foreachBatch`` incremental
+MinHash-LSH deduplication of a document stream against everything
+ingested so far — the production crawl-dedup shape (dedupe each new
+crawl batch against the accumulated corpus WITHOUT rescanning it), the
+text twin of the vector-index sink (streaming/vector_index.py).
+
+Three materializations under ``table_path``:
+
+- ``buckets/`` — the LSH band-bucket index, partitioned on ``_bb``
+  (hash bucket of the (band, key) pair): one row per (doc, band) with
+  the doc's band key. A new batch's candidate lookup reads ONLY the
+  ``_bb`` partitions its own band keys hash into.
+- ``shingles/`` — the verification store, partitioned on ``_kb`` (hash
+  bucket of doc id): each doc's distinct shingle set, read back ONLY
+  for the partner ids of surviving candidate pairs (their ``_kb``
+  buckets), never the whole corpus.
+- ``pairs/`` — append-only output: (doc_a, doc_b, jaccard) with
+  jaccard >= threshold, doc_a < doc_b, emitted exactly once — in the
+  micro-batch where the LATER of the two docs arrives.
+
+Per micro-batch the cost is O(batch + matching bucket partitions +
+candidate partners): shingling/signatures ride the batch scan, the
+candidate equi-join touches the batch's ``_bb`` partitions of the
+index, and verification re-joins shingles for surviving candidates
+only. Nothing is ever O(corpus); the index tables are append-only
+(documents are immutable — there is no re-embed/move case here, which
+is why this sink needs no directory/tombstone machinery; replayed doc
+ids are dropped against the shingle store so pairs never re-emit).
+
+Correctness contract (pinned in test_streaming): streaming the corpus
+in any batch split yields pairs/ EXACTLY equal to the one-shot batch
+``dedup.minhash_lsh_pairs`` of the full corpus at the same parameters
+— same bucketing, same exact-Jaccard verification, same rounding.
+
+Same honesty caveat as cdc_sink: parquet appends are not transactional
+across the three tables; a transactional format is the production
+wrapper. Sizing: ``n_buckets`` bounds the partition fan-out — size it
+so a typical batch touches a small fraction (thousands at 100 TB;
+the default 16 is fixture-scaled).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dns_log_transformer_spark.operators import dedup
+from dns_log_transformer_spark.operators.corpus import hash_bucket
+from dns_log_transformer_spark.streaming.cdc_sink import (
+    N_BUCKETS_DEFAULT,
+    _require_local_path,
+)
+
+
+def _has_partitions(path: str, prefix: str) -> bool:
+    return os.path.isdir(path) and any(
+        e.startswith(prefix) for e in os.listdir(path)
+    )
+
+
+def read_pairs(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """All near-dup pairs emitted so far: (doc_a, doc_b, jaccard).
+    None if nothing has been written yet."""
+    _require_local_path(table_path)
+    pairs = os.path.join(table_path, "pairs")
+    if not os.path.isdir(pairs):
+        return None
+    return spark.read.parquet(pairs)
+
+
+def neardup_index_sink(
+    docs: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = dedup.NUM_HASHES,
+    num_bands: int = dedup.NUM_BANDS,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> StreamingQuery:
+    """Start the incremental near-dup detection: ``docs`` is a streaming
+    DataFrame of (id, text) document rows; each micro-batch is checked
+    against the accumulated index and folded into it. Returns the
+    StreamingQuery."""
+    _require_local_path(table_path)
+    buckets_path = os.path.join(table_path, "buckets")
+    shingles_path = os.path.join(table_path, "shingles")
+    pairs_path = os.path.join(table_path, "pairs")
+    rows = num_hashes // num_bands
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+
+        # 1. shingle the batch (docs with no shingles can never pair);
+        #    within-batch id replays collapse to one row
+        sh_b = (
+            dedup.with_shingles(batch_df, id_col, text_col, n)
+            .filter(F.col("n_shingles") > 0)
+            .dropDuplicates([id_col])
+            .withColumn(
+                "_kb", (hash_bucket(F.col(id_col), seed=0) % n_buckets).cast("int")
+            )
+            .localCheckpoint()
+        )
+
+        # 2. drop ids already indexed (cross-batch replay): anti-join
+        #    against ONLY the shingle-store buckets the batch ids hash to
+        if _has_partitions(shingles_path, "_kb="):
+            seen_kb = [r["_kb"] for r in sh_b.select("_kb").distinct().collect()]
+            seen = (
+                spark.read.parquet(shingles_path)
+                .filter(F.col("_kb").isin(seen_kb))
+                .select(id_col)
+            )
+            sh_b = sh_b.join(F.broadcast(seen), id_col, "left_anti").localCheckpoint()
+        if sh_b.isEmpty():
+            return
+
+        # 3. band buckets for the batch (the attested signature recipe)
+        sig = dedup.minhash_signatures(sh_b, id_col, num_hashes)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{k * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    ).alias("key"),
+                )
+                for k in range(num_bands)
+            ]
+        )
+        bk_b = (
+            sig.select(F.col(id_col), F.explode(bands).alias("b"))
+            .select(
+                id_col,
+                F.col("b.band").alias("band"),
+                F.col("b.key").alias("key"),
+            )
+            .withColumn(
+                "_bb",
+                (
+                    hash_bucket(F.concat_ws(":", "band", "key"), seed=1)
+                    % n_buckets
+                ).cast("int"),
+            )
+            .localCheckpoint()
+        )
+
+        # 4. candidates: batch band keys vs (touched index partitions +
+        #    the batch itself); each unordered pair once, batch-side driven
+        all_bk = bk_b
+        if _has_partitions(buckets_path, "_bb="):
+            touched_bb = [
+                r["_bb"] for r in bk_b.select("_bb").distinct().collect()
+            ]
+            old_bk = spark.read.parquet(buckets_path).filter(
+                F.col("_bb").isin(touched_bb)
+            )
+            all_bk = bk_b.unionByName(old_bk)
+        cand = (
+            bk_b.select("band", "key", F.col(id_col).alias("_n"))
+            .join(
+                all_bk.select("band", "key", F.col(id_col).alias("_o")),
+                ["band", "key"],
+            )
+            .filter(F.col("_n") != F.col("_o"))
+            .select(
+                F.least("_n", "_o").alias("doc_a"),
+                F.greatest("_n", "_o").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .localCheckpoint()
+        )
+
+        # 5. verify exact Jaccard on candidates only; partner shingles
+        #    come from the batch plus ONLY the partners' _kb buckets
+        partners = (
+            cand.select(F.col("doc_a").alias(id_col))
+            .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+            .withColumn(
+                "_kb", (hash_bucket(F.col(id_col), seed=0) % n_buckets).cast("int")
+            )
+        )
+        all_sh = sh_b.select(id_col, "shingles")
+        if _has_partitions(shingles_path, "_kb="):
+            partner_kb = [
+                r["_kb"] for r in partners.select("_kb").distinct().collect()
+            ]
+            old_sh = (
+                spark.read.parquet(shingles_path)
+                .filter(F.col("_kb").isin(partner_kb))
+                .join(F.broadcast(partners.select(id_col)), id_col, "left_semi")
+                .select(id_col, "shingles")
+            )
+            all_sh = all_sh.unionByName(old_sh)
+        verify = cand.join(
+            all_sh.select(
+                F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        ).join(
+            all_sh.select(
+                F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = inter.cast("double") / union.cast("double")
+        out = (
+            verify.withColumn("jaccard", F.round(jac, 4))
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+        # 6. emit + fold the batch into the index (append-only: docs are
+        #    immutable and replays were dropped in step 2)
+        out.write.mode("append").parquet(pairs_path)
+        bk_b.write.mode("append").partitionBy("_bb").parquet(buckets_path)
+        sh_b.select(id_col, "shingles", "_kb").write.mode("append").partitionBy(
+            "_kb"
+        ).parquet(shingles_path)
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -973,3 +973,101 @@ def test_ivf_index_sink_matches_batch_build(spark, tmp_path):
                 assert ver == 1 and c != idx1[k] or ver == 1
     finally:
         q.stop()
+
+
+def test_neardup_index_sink_matches_batch_lsh(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup maintenance (the crawl-dedup
+    shape): documents stream in three micro-batches — including a
+    cross-batch replay of an already-indexed id — and the accumulated
+    pairs/ output must EXACTLY equal the one-shot batch
+    dedup.minhash_lsh_pairs of the full corpus at the same parameters.
+    A shingle-store bucket no later batch touches is never rewritten
+    (partition-pruned reads AND append-only writes pinned)."""
+    import json as _json
+    import os as _os
+
+    from dns_log_transformer_spark.operators import dedup
+    from dns_log_transformer_spark.streaming import (
+        neardup_index_sink,
+        read_pairs,
+    )
+
+    # fixture docs: the sf0.001 corpus is heavily near-duplicated, so
+    # real pairs exist across (and within) batches
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        .select("doc_id", "text")
+        .collect()
+    ]
+    assert len(docs) >= 30
+    b1, b2, b3 = docs[0::3], docs[1::3], docs[2::3]
+    # cross-batch replay: b3 re-delivers two b1 docs (at-least-once
+    # sources do this); the sink must not re-emit their pairs
+    b3 = b3 + b1[:2]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    table = str(tmp_path / "ndindex")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = neardup_index_sink(stream, table, str(tmp_path / "ck"))
+
+    def feed(name, rows):
+        with open(src / name, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        q.processAllAvailable()
+
+    try:
+        feed("b1.json", b1)
+        feed("b2.json", b2)
+        # snapshot a shingle bucket none of b3's NEW ids hash into
+        sh_dir = _os.path.join(table, "shingles")
+        from dns_log_transformer_spark.operators.corpus import hash_bucket
+        from pyspark.sql import functions as F
+
+        new_ids = spark.createDataFrame(
+            [(d,) for d, _ in docs[2::3]], "doc_id long"
+        )
+        new_kb = {
+            r["_kb"]
+            for r in new_ids.select(
+                (hash_bucket(F.col("doc_id"), seed=0) % 16).alias("_kb")
+            ).collect()
+        }
+        existing_kb = [
+            e for e in _os.listdir(sh_dir) if e.startswith("_kb=")
+        ]
+        untouched = [
+            e for e in existing_kb if int(e.split("=")[1]) not in new_kb
+        ]
+        before = (
+            sorted(_os.listdir(_os.path.join(sh_dir, untouched[0])))
+            if untouched
+            else None
+        )
+        feed("b3.json", b3)
+        if untouched:
+            after = sorted(_os.listdir(_os.path.join(sh_dir, untouched[0])))
+            assert after == before, (
+                f"shingle bucket {untouched[0]} rewritten by a batch "
+                "with no new id in it"
+            )
+        got = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in read_pairs(spark, table).collect()
+        }
+        full = spark.createDataFrame(docs, "doc_id long, text string")
+        want = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.minhash_lsh_pairs(full).collect()
+        }
+        assert len(want) > 0, "fixture produced no near-dup pairs"
+        assert got == want
+        # exactly-once emission: no pair appears twice in pairs/
+        pdf = read_pairs(spark, table).groupBy("doc_a", "doc_b").count()
+        assert pdf.filter(F.col("count") > 1).count() == 0
+    finally:
+        q.stop()
