@@ -48,6 +48,11 @@ from dns_log_transformer_spark.streaming.neardup_index import (
     neardup_index_sink,
     read_pairs,
 )
+from dns_log_transformer_spark.streaming.sketch_sink import (
+    read_cms,
+    read_source_sketches,
+    sketch_table_sink,
+)
 
 __all__ = [
     "read_firehose_stream",
@@ -71,4 +76,7 @@ __all__ = [
     "read_index",
     "neardup_index_sink",
     "read_pairs",
+    "sketch_table_sink",
+    "read_cms",
+    "read_source_sketches",
 ]

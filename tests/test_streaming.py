@@ -1071,3 +1071,79 @@ def test_neardup_index_sink_matches_batch_lsh(spark, tmp_path):
         assert pdf.filter(F.col("count") > 1).count() == 0
     finally:
         q.stop()
+
+
+def test_sketch_table_sink_matches_batch_sketches(spark, tmp_path):
+    """Streaming sketch-table upkeep: CMS is linear and HLL register
+    merge is max-based, so under ANY batch split the streamed grid must
+    equal the one-shot batch grid CELL-FOR-CELL and the per-source HLL
+    estimates must equal the batch estimates exactly — the mergeable-
+    summary property that makes sketches the streaming-native state."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dns_log_transformer_spark.operators.sketches import cms_counters
+    from dns_log_transformer_spark.streaming import (
+        read_cms,
+        read_source_sketches,
+        sketch_table_sink,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"], r["source"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        .select("doc_id", "text", "source")
+        .collect()
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    table = str(tmp_path / "sketches")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).json(str(src))
+    q = sketch_table_sink(stream, table, str(tmp_path / "ck"))
+
+    try:
+        for i, chunk in enumerate([docs[0::3], docs[1::3], docs[2::3]]):
+            with open(src / f"b{i}.json", "w") as f:
+                for d, t, s in chunk:
+                    f.write(
+                        _json.dumps(
+                            {"doc_id": d, "text": t, "source": s}
+                        )
+                        + "\n"
+                    )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    got_grid = {
+        (r["j"], r["h"]): r["c"] for r in read_cms(spark, table).collect()
+    }
+    want_grid = {
+        (r["j"], r["h"]): r["c"] for r in cms_counters(full).collect()
+    }
+    assert len(want_grid) > 0
+    assert got_grid == want_grid
+
+    got_src = {
+        r["source"]: r["est_docs"]
+        for r in read_source_sketches(spark, table).collect()
+    }
+    want_src = {
+        r["source"]: r["est_docs"]
+        for r in full.groupBy("source")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("doc_id"))
+            .cast("long")
+            .alias("est_docs")
+        )
+        .collect()
+    }
+    assert got_src == want_src
