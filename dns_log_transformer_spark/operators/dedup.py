@@ -220,29 +220,18 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    num_hashes: int = NUM_HASHES,
-    num_bands: int = NUM_BANDS,
+def _lsh_band_candidates(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    num_bands: int,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs: shingle -> signature -> band buckets ->
-    candidate pairs (equi-join on band key — the LSH trick that replaces
-    the O(n^2) comparison) -> verify exact Jaccard on the candidates only.
-
-    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
-    """
+    """(doc_a, doc_b) distinct candidate pairs from MinHash band buckets
+    of an already-shingled (id_col, shingles) DataFrame — the blocking
+    stage shared by ``minhash_lsh_pairs`` (Jaccard verify) and
+    ``minhash_lsh_candidates`` (external rerankers, e.g. the TF-IDF
+    cosine verify in operators/text.py)."""
     rows = num_hashes // num_bands
-    # persisted: consumed by the band-bucket candidate join AND (twice)
-    # by the Jaccard verification re-join below.
-    sh = (
-        persist_tracked(
-            with_shingles(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
-        )
-    )
     sig = minhash_signatures(sh, id_col, num_hashes)
     bands = F.array(
         *[
@@ -267,12 +256,54 @@ def minhash_lsh_pairs(
     bucketed = persist_tracked(bucketed)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"))
-    cand = (
+    return (
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """The blocking stage alone: distinct (doc_a, doc_b) MinHash-LSH band
+    candidates, no verification — feed these to an external verify/rerank
+    (exact Jaccard, TF-IDF cosine, edit distance)."""
+    sh = persist_tracked(
+        with_shingles(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
+    )
+    return _lsh_band_candidates(sh, id_col, num_hashes, num_bands)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle -> signature -> band buckets ->
+    candidate pairs (equi-join on band key — the LSH trick that replaces
+    the O(n^2) comparison) -> verify exact Jaccard on the candidates only.
+
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    # persisted: consumed by the band-bucket candidate join AND (twice)
+    # by the Jaccard verification re-join below.
+    sh = (
+        persist_tracked(
+            with_shingles(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
+        )
+    )
+    cand = _lsh_band_candidates(sh, id_col, num_hashes, num_bands)
     verify = (
         cand.join(
             sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")),
@@ -461,4 +492,83 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (round 6)
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_len: int = 24,
+    prefix_len: int = 40,
+    window: int = 3,
+    max_distance: int = 20,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez-Stolfo blocking): sort the
+    corpus on a normalized blocking key, pair each row with its next
+    ``window`` neighbors in sort order, verify with Levenshtein edit
+    distance on a fixed-length normalized prefix.
+
+    The classic entity-resolution complement to hash blocking
+    (MinHash/SimHash buckets): hash blocks catch token-set overlap,
+    sort order catches shared-prefix variants (appended/truncated
+    tails) that token hashing can miss entirely.
+
+    Shape at scale:
+    - the global sort order comes from ``corpus.global_rank`` — a
+      range-partitioned parallel sort, never a single-task Window
+      (PLANS.md q_global_rank note);
+    - candidate generation is a 1->window ``explode(sequence(...))``
+      (window is a small constant) followed by an EQUI-join on the
+      neighbor rank — no range join, no BNLJ; rank keys are unique, so
+      the join has zero skew by construction;
+    - the verify is JVM-side ``levenshtein`` on ``prefix_len``-bounded
+      strings: O(prefix_len^2) per candidate, constant per row.
+    - total work is O(n log n) sort + O(n * window) verify — the
+      linear-in-corpus blocking the method exists for.
+
+    Determinism: the sort key is (block_key, id) — a total order; NULL
+    text is coalesced to '' so both engines agree on NULL placement
+    (DuckDB sorts NULLS LAST, Spark NULLS FIRST).
+
+    Output: (doc_a, doc_b, edit_distance), doc_a < doc_b.
+    """
+    from dns_log_transformer_spark.operators.corpus import global_rank
+
+    norm = F.coalesce(normalized(F.col(text_col)), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        F.substring(norm, 1, key_len).alias("_block_key"),
+        F.substring(norm, 1, prefix_len).alias("_prefix"),
+    )
+    ranked = global_rank(base, ["_block_key", id_col], rank_col="_rn")
+    # ranked is localCheckpoint-backed inside global_rank, so both join
+    # branches below re-read materialized blocks, not the scan.
+    left = ranked.select(
+        F.col(id_col).alias("_id_a"),
+        F.col("_prefix").alias("_prefix_a"),
+        F.explode(
+            F.sequence(F.col("_rn") + 1, F.col("_rn") + window)
+        ).alias("_rn_b"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("_id_b"),
+        F.col("_prefix").alias("_prefix_b"),
+        F.col("_rn").alias("_rn_b"),
+    )
+    lev = F.levenshtein("_prefix_a", "_prefix_b")
+    return (
+        left.join(right, "_rn_b")
+        .withColumn("edit_distance", lev.cast("int"))
+        .filter(F.col("edit_distance") <= max_distance)
+        .select(
+            F.least("_id_a", "_id_b").alias("doc_a"),
+            F.greatest("_id_a", "_id_b").alias("doc_b"),
+            "edit_distance",
+        )
     )

@@ -64,7 +64,13 @@ _WINDOW = [
     "text_quality_deciles",
     "q_pagerank_trade",
     "q_argmax_orders",
-    # (c) stalest attestations (latest green: round 3)
+    # (c) stalest attestations (latest green: round 3). Four of the 21
+    # r3-greens (q_scalar_functions, q_date_functions, q_ship_within_week,
+    # q_customer_order_counts — the lowest-risk single-table queries)
+    # yielded their slots to the four later round-6 additions below:
+    # never-attested beats stale-green (the (d) rule); the displaced four
+    # keep their r3 rows and rotate into the r7 window when the floor
+    # moves past them.
     "q10_returned_items",
     "q12_priority_lines",
     "q13_order_distribution",
@@ -77,15 +83,11 @@ _WINDOW = [
     "q9_product_profit",
     "q_above_customer_avg",
     "q_cube_returnflag",
-    "q_customer_order_counts",
     "q_customer_running_totals",
     "q_customers_without_orders",
-    "q_date_functions",
     "q_event_time_buckets",
     "q_grouping_sets",
-    "q_scalar_functions",
     "q_sessionize_events",
-    "q_ship_within_week",
     # (d) new round-6 queries fill the rest (never-attested beats the
     # stale-r4-green fillers that briefly held the last two slots —
     # those stay fresh outside the window until the r7 rotation)
@@ -96,6 +98,10 @@ _WINDOW = [
     "text_char_entropy",
     "sim_int8_rerank",
     "q_regr_trends",
+    "dedup_sorted_neighborhood",
+    "text_tfidf_cosine_rerank",
+    "q_key_skew_report",
+    "q_ri_audit",
 ]
 
 

@@ -476,3 +476,233 @@ def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = table(spark, sf, "documents")
     return text.char_entropy(docs)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (blocking-sort + edit-distance verify)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             COALESCE(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      '') AS t
+      FROM documents),
+    b AS (SELECT doc_id, substr(t, 1, 24) AS bk,
+                 substr(t, 1, 40) AS prefix FROM n),
+    r AS (SELECT doc_id, prefix,
+                 ROW_NUMBER() OVER (ORDER BY bk, doc_id) AS rn FROM b),
+    cand AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             levenshtein(a.prefix, b.prefix) AS ed
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
+    SELECT LEAST(ida, idb) AS doc_a, GREATEST(ida, idb) AS doc_b,
+           CAST(ed AS INT) AS edit_distance
+    FROM cand WHERE ed <= 20
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood dedup (the entity-resolution classic): range-
+    partitioned global sort on a normalized 24-char blocking key, each
+    row paired with its next 3 sort neighbors, Levenshtein verify on the
+    40-char normalized prefix, distance <= 20. Catches shared-prefix
+    variants token-hash blocking misses. See
+    operators/dedup.py sorted_neighborhood_pairs for the scale shape
+    (global_rank sort, explode+equi-join candidates — no range join)."""
+    from dns_log_transformer_spark.operators import dedup
+
+    docs = table(spark, sf, "documents")
+    return dedup.sorted_neighborhood_pairs(
+        docs, key_len=24, prefix_len=40, window=3, max_distance=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine rerank of MinHash-LSH candidates (two-stage dedup verify)
+# ---------------------------------------------------------------------------
+def _tfidf_rerank_oracle() -> str:
+    from dns_log_transformer_spark.queries.llm_ops import _MH_PAIRS_CTES
+
+    return rf"""
+    WITH {_MH_PAIRS_CTES},
+    tok AS (SELECT doc_id, unnest({_SQL_TOKENS_R6}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t
+              FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (SELECT tf.doc_id, tf.term,
+                 CAST(ROUND(tf.tf * ln(nd.n_docs / dfreq.df_t) * 10000)
+                      AS BIGINT) AS w
+          FROM tf JOIN dfreq USING (term), nd),
+    nrm AS (SELECT doc_id, SUM(CAST(w * w AS DECIMAL(38,0))) AS nsq
+            FROM w GROUP BY doc_id),
+    dots AS (SELECT c.doc_a, c.doc_b,
+                    SUM(CAST(wa.w * wb.w AS DECIMAL(38,0))) AS dot
+             FROM cand c JOIN w wa ON wa.doc_id = c.doc_a
+                         JOIN w wb ON wb.doc_id = c.doc_b
+                                  AND wb.term = wa.term
+             GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                 / (sqrt(CAST(na.nsq AS DOUBLE))
+                    * sqrt(CAST(nb.nsq AS DOUBLE))), 4) AS cosine
+    FROM cand c JOIN nrm na ON na.doc_id = c.doc_a
+                JOIN nrm nb ON nb.doc_id = c.doc_b
+                LEFT JOIN dots d ON d.doc_a = c.doc_a AND d.doc_b = c.doc_b
+    """
+
+
+@register("text_tfidf_cosine_rerank", oracle=_tfidf_rerank_oracle())
+def text_tfidf_cosine_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage dedup verify: MinHash-LSH band candidates (the attested
+    blocking stage) -> EXACT integer-quantized TF-IDF cosine per
+    candidate pair. Deliberately candidate-restricted — an unblocked
+    term-postings cosine join fans out df(term)^2 per term, quadratic on
+    common vocabulary (operators/text.py tfidf_cosine_rerank docstring).
+    Weights/dots/norms are exact DECIMAL sums of quantized integers; the
+    only double step is the final division, ROUND(_, 4)."""
+    from dns_log_transformer_spark.operators import dedup, text
+
+    docs = table(spark, sf, "documents")
+    cand = dedup.minhash_lsh_candidates(docs)
+    return text.tfidf_cosine_rerank(docs, cand, n_docs=docs.count())
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler (heavy hitters + skew ratios — the salting advisor)
+# ---------------------------------------------------------------------------
+@register(
+    "q_key_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1),
+    s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+    top5 AS (
+      SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 5)
+    SELECT t.key, t.cnt, s.n_rows, s.n_keys,
+           ROUND(t.cnt * 100.0 / s.n_rows, 4) AS share_pct,
+           ROUND(t.cnt * CAST(s.n_keys AS DOUBLE) / s.n_rows, 4)
+             AS skew_ratio
+    FROM top5 t, s
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew profiler: per-key counts on lineitem.l_suppkey,
+    top-5 heavy hitters with their share of rows and skew ratio
+    (count / mean count) — the diagnostic that decides when the salted
+    paths (operators/skew.py) are worth their extra shuffle. Shape: one
+    map-side-combined count agg; top-5 via TakeOrderedAndProject; the
+    1-row stats side broadcasts (documented scalar BNLJ, the
+    q22_idle_balances category)."""
+    li = table(spark, sf, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    counts = persist_tracked(counts)  # stats agg + top-5 both read it
+    stats = counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top5 = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(5)
+    return top5.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "cnt",
+        "n_rows",
+        "n_keys",
+        F.round(F.col("cnt") * 100.0 / F.col("n_rows"), 4).alias("share_pct"),
+        F.round(
+            F.col("cnt") * F.col("n_keys").cast("double") / F.col("n_rows"), 4
+        ).alias("skew_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (orphan detection across a broken snapshot)
+# ---------------------------------------------------------------------------
+@register(
+    "q_ri_audit",
+    oracle="""
+    WITH oe AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+    se AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 <> 0),
+    c1 AS (
+      SELECT 'lineitem_orphan_order' AS check_name,
+             CAST(COUNT(*) FILTER (oe.o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM lineitem l LEFT JOIN oe ON l.l_orderkey = oe.o_orderkey),
+    c2 AS (
+      SELECT 'lineitem_orphan_supplier' AS check_name,
+             CAST(COUNT(*) FILTER (se.s_suppkey IS NULL) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l LEFT JOIN se ON l.l_suppkey = se.s_suppkey),
+    c3 AS (
+      SELECT 'orders_orphan_customer' AS check_name,
+             CAST(COUNT(*) FILTER (c.c_custkey IS NULL) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    c4 AS (
+      SELECT 'lineitem_orphan_part' AS check_name,
+             CAST(COUNT(*) FILTER (p.p_partkey IS NULL) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey),
+    u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+          UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+    SELECT check_name, n_orphans, n_total,
+           ROUND(n_orphans * 100.0 / n_total, 4) AS orphan_pct
+    FROM u
+    """,
+)
+def q_ri_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit over a deliberately broken snapshot
+    (orders halved on even keys, supplier missing every 10th) plus two
+    intact FKs as controls: per-FK orphan counts via left join +
+    conditional count — the data-quality gate a warehouse runs after
+    every partial reload. Shape: each check is one join (dims broadcast
+    when small, shuffle-hash otherwise) into a one-row global aggregate;
+    the 4 one-row results union. Orphan side never shuffles twice."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    part = table(spark, sf, "part")
+    supp = table(spark, sf, "supplier")
+
+    def check(name, fact, fk, dim, pk):
+        dk = dim.select(F.col(pk))
+        return (
+            fact.select(F.col(fk))
+            .join(dk, fact[fk] == dk[pk], "left")
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            )
+        )
+
+    oe = orders.filter(F.col("o_orderkey") % 2 == 0)
+    se = supp.filter(F.col("s_suppkey") % 10 != 0)
+    u = (
+        check("lineitem_orphan_order", li, "l_orderkey", oe, "o_orderkey")
+        .unionAll(
+            check("lineitem_orphan_supplier", li, "l_suppkey", se, "s_suppkey")
+        )
+        .unionAll(
+            check("orders_orphan_customer", orders, "o_custkey", cust, "c_custkey")
+        )
+        .unionAll(check("lineitem_orphan_part", li, "l_partkey", part, "p_partkey"))
+    )
+    return u.select(
+        "check_name",
+        "n_orphans",
+        "n_total",
+        F.round(F.col("n_orphans") * 100.0 / F.col("n_total"), 4).alias(
+            "orphan_pct"
+        ),
+    )

@@ -189,3 +189,70 @@ def test_ivf_assign_matches_topk_cell_choice(spark):
         scores = mat @ v
         best = int(cells[int(np.argmax(scores))])
         assert got[vid] == best
+
+
+def test_sorted_neighborhood_finds_prefix_variants(spark):
+    """Docs sharing a long normalized prefix but with divergent tails
+    (the variants token-hash blocking can miss) must pair with the
+    right edit distance; unrelated docs must not pair."""
+    from dns_log_transformer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The   QUICK brown fox jumps over the lazy dog extra tail A"),
+            (2, "the quick brown fox jumps over the lazy dog extra tail B"),
+            (3, "zzz completely unrelated content about spark partitions"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.sorted_neighborhood_pairs(
+        docs, key_len=24, prefix_len=40, window=2, max_distance=5
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["edit_distance"] for r in rows}
+    # 1 and 2 share the normalized 40-char prefix exactly -> distance 0
+    assert got.get((1, 2)) == 0
+    # NULL and '' both normalize to '' -> adjacent in sort order, distance 0
+    assert got.get((4, 5)) == 0
+    # nothing pairs with the unrelated doc within distance 5
+    assert not any(3 in p for p in got)
+
+
+def test_sorted_neighborhood_plan_shape(spark):
+    """The candidate join must be an EQUI-join on the neighbor rank (no
+    CartesianProduct, no BroadcastNestedLoopJoin from a range
+    condition), and the verify must stay JVM-side (no Python nodes)."""
+    from dns_log_transformer_spark.operators import dedup
+    from dns_log_transformer_spark.session import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    df = dedup.sorted_neighborhood_pairs(docs)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "levenshtein" in plan
+
+
+def test_tfidf_cosine_rerank_identical_and_disjoint(spark):
+    """Identical docs -> cosine 1.0; candidate pair with no shared term
+    -> cosine 0.0 (the left-join coalesce path); a pair sharing half
+    its terms lands strictly between."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta"),
+            (4, "alpha beta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    rows = text.tfidf_cosine_rerank(docs, pairs, n_docs=4).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in rows}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+    assert 0.0 < got[(1, 4)] < 1.0
