@@ -886,3 +886,77 @@ def tfidf_cosine_rerank(
             ).alias("cosine"),
         )
     )
+
+
+def bpe_merge_steps(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``k`` greedy BPE merge steps over whitespace tokens — the
+    tokenizer-induction loop (count adjacent-pair frequencies, merge the
+    most frequent pair corpus-wide, repeat), run at word granularity so
+    the merge table reads as multi-word expressions.
+
+    Per step: ONE scan of the (persisted) token strings -> adjacent
+    pairs via ``arrays_zip(slice(toks,1,n-1), slice(toks,2,n-1))`` +
+    explode (all codegen — no higher-order lambda, PLANS.md rule 3) ->
+    map-side-combined pair count -> global top-1 via
+    TakeOrderedAndProject. The winning pair (ONE row of driver state
+    per step — bounded by construction) is folded back as a literal
+    ``replace(' '||t||' ', ' l r ', ' l_r ')`` — literal string
+    replace is non-overlapping left-to-right over the INPUT in both
+    engines, so greedy-merge semantics agree exactly. Ties break
+    (count DESC, lhs ASC, rhs ASC) — binary string order both engines.
+
+    Shape at 100 TB: k scans of the evolving token column (the
+    replaces stack as codegen projections over the persisted base),
+    k pair-count aggregations whose key space is the bigram
+    vocabulary; nothing else. This is the standard distributed BPE
+    trainer shape; char-level BPE is the same loop seeded with
+    char-split tokens.
+
+    Output: (merge_rank, lhs, rhs, pair_count), one row per step.
+    """
+    spark = df.sparkSession
+    base = (
+        rebalance_for_fanout(df.select(F.col(text_col)))
+        .select(F.array_join(tokens(F.col(text_col)), " ").alias("t"))
+        .filter(F.col("t") != "")
+    )
+    base = persist_tracked(base)  # scanned once per merge step
+    cur = base
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(k):
+        toks = F.split(F.col("t"), " ")
+        n = F.size(toks)
+        pair_arr = F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("lhs"),
+            F.slice(toks, 2, n - 1).alias("rhs"),
+        )
+        top = (
+            cur.select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .groupBy("lhs", "rhs")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        merges.append((i + 1, lhs, rhs, cnt))
+        cur = cur.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("t"), F.lit(" ")),
+                    F.lit(f" {lhs} {rhs} "),
+                    F.lit(f" {lhs}_{rhs} "),
+                )
+            ).alias("t")
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )

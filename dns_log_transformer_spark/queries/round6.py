@@ -706,3 +706,52 @@ def q_ri_audit(spark: SparkSession, sf: str) -> DataFrame:
             "orphan_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (k greedy tokenizer-training steps)
+# ---------------------------------------------------------------------------
+def _bpe_oracle(k: int = 5) -> str:
+    """The same k greedy merges as chained CTE layers: step i counts
+    adjacent pairs of r{i-1}, picks the (count DESC, lhs, rhs) top-1,
+    and rewrites via the identical literal-replace; DuckDB's replace()
+    and Spark's replace() both substitute non-overlapping left-to-right
+    over the INPUT string, so greedy-merge semantics agree exactly."""
+    parts = [
+        r"""r0 AS (
+      SELECT array_to_string(string_split_regex(trim(text), '\s+'), ' ') AS t
+      FROM documents WHERE trim(text) IS NOT NULL AND trim(text) <> '')"""
+    ]
+    selects = []
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+    p{i} AS (SELECT pr[1] AS lhs, pr[2] AS rhs FROM (
+        SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS pr
+        FROM (SELECT string_split(t, ' ') AS tk FROM r{i - 1}))),
+    c{i} AS (SELECT lhs, rhs, COUNT(*) AS cnt FROM p{i} GROUP BY 1, 2
+             ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+    r{i} AS (SELECT trim(replace(' ' || r.t || ' ',
+                   ' ' || c.lhs || ' ' || c.rhs || ' ',
+                   ' ' || c.lhs || '_' || c.rhs || ' ')) AS t
+             FROM r{i - 1} r, c{i} c)"""
+        )
+        selects.append(
+            f"SELECT {i} AS merge_rank, lhs, rhs, "
+            f"CAST(cnt AS BIGINT) AS pair_count FROM c{i}"
+        )
+    return "WITH " + ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("text_bpe_merges", oracle=_bpe_oracle(5))
+def text_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer induction: 5 greedy BPE merge steps at word granularity
+    (count adjacent pairs corpus-wide, merge the most frequent, repeat).
+    Each step is one scan of the persisted token strings + a map-side-
+    combined pair count + a TakeOrderedAndProject top-1 (one row of
+    driver state per step). See operators/text.py bpe_merge_steps for
+    the scale shape and the engine-exact replace semantics."""
+    from dns_log_transformer_spark.operators import text
+
+    docs = table(spark, sf, "documents")
+    return text.bpe_merge_steps(docs, k=5)

@@ -256,3 +256,27 @@ def test_tfidf_cosine_rerank_identical_and_disjoint(spark):
     assert got[(1, 2)] == 1.0
     assert got[(1, 3)] == 0.0
     assert 0.0 < got[(1, 4)] < 1.0
+
+
+def test_bpe_merge_steps_greedy_semantics(spark):
+    """Hand-checkable corpus: 'a b' wins step 1 (3 occurrences), the
+    merged token then chains into 'a_b c' at step 2 — and the greedy
+    left-to-right non-overlap rule means 'x x x' counts 2 pairs but
+    merges only the leftmost per scan."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c"),
+            (3, "a b d"),
+            (4, "x x x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.bpe_merge_steps(docs, k=3).collect()
+    got = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
+    # step 1: (a,b) x3 beats (x,x) x2 and (b,c) x2
+    assert got[0] == (1, "a", "b", 3)
+    # step 2: (a_b, c) x2 ties (x, x) x2; lexical tie-break -> a_b < x
+    assert got[1] == (2, "a_b", "c", 2)
+    # step 3: (x, x) x2 wins; doc 4 rewrites to 'x_x x' (leftmost only)
+    assert got[2] == (3, "x", "x", 2)

@@ -20,6 +20,7 @@ QUERIES = (
     "text_tfidf_cosine_rerank",
     "q_key_skew_report",
     "q_ri_audit",
+    "text_bpe_merges",
 )
 
 
