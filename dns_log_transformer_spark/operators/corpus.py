@@ -618,6 +618,32 @@ def bloom_decontaminate(
         .distinct()
     )
     words = bloom_bits_collect(bench_set, "shingle", k, m_bits)
+    return decontaminate_against(df, words, n, id_col, text_col, k, m_bits)
+
+
+def decontaminate_against(
+    df: DataFrame,
+    words: list[int],
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """The probe half of ``bloom_decontaminate``, against an ALREADY
+    MATERIALIZED bitset (e.g. the streaming-maintained filter table,
+    streaming/bloom_sink.py): k codegen bit tests riding the corpus
+    scan, zero joins. Same output contract as ``bloom_decontaminate``."""
+    from dns_log_transformer_spark.operators.dedup import with_shingles
+    from dns_log_transformer_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        _bloom_h1h2,
+        bloom_hit_from_hashes,
+    )
+
+    k = BLOOM_K if k is None else k
+    m_bits = BLOOM_BITS if m_bits is None else m_bits
 
     corpus_sh = with_shingles(df, id_col, text_col, n)
     posting = corpus_sh.select(

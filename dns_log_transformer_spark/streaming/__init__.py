@@ -53,6 +53,11 @@ from dns_log_transformer_spark.streaming.sketch_sink import (
     read_source_sketches,
     sketch_table_sink,
 )
+from dns_log_transformer_spark.streaming.bloom_sink import (
+    bloom_filter_sink,
+    bloom_words_list,
+    read_bloom_words,
+)
 
 __all__ = [
     "read_firehose_stream",
@@ -79,4 +84,7 @@ __all__ = [
     "sketch_table_sink",
     "read_cms",
     "read_source_sketches",
+    "bloom_filter_sink",
+    "bloom_words_list",
+    "read_bloom_words",
 ]

@@ -1147,3 +1147,81 @@ def test_sketch_table_sink_matches_batch_sketches(spark, tmp_path):
         .collect()
     }
     assert got_src == want_src
+
+
+def test_bloom_filter_sink_matches_batch_and_is_replay_proof(spark, tmp_path):
+    """Streaming Bloom upkeep: bit-OR is associative, commutative AND
+    idempotent, so under any batch split — including a REPLAYED chunk
+    (the at-least-once case that would corrupt a counting sketch) —
+    the accumulated bitset must equal the one-shot batch bitset, and a
+    corpus decontaminated against the stored words must equal the
+    batch bloom_decontaminate output row-for-row."""
+    import json as _json
+
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.operators.dedup import with_shingles
+    from dns_log_transformer_spark.operators.sketches import bloom_word_rows
+    from dns_log_transformer_spark.streaming import (
+        bloom_filter_sink,
+        bloom_words_list,
+        read_bloom_words,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        .select("doc_id", "text")
+        .collect()
+    ]
+    bench_docs, corpus_docs = docs[:40], docs[40:120]
+    src = tmp_path / "bench"
+    src.mkdir()
+    table = str(tmp_path / "bloomtab")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = bloom_filter_sink(stream, table, str(tmp_path / "ck"))
+
+    try:
+        # three splits, then REPLAY the middle chunk as a fourth batch
+        chunks = [bench_docs[0::3], bench_docs[1::3], bench_docs[2::3],
+                  bench_docs[1::3]]
+        for i, chunk in enumerate(chunks):
+            with open(src / f"b{i}.json", "w") as f:
+                for d, t in chunk:
+                    f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    bench_full = spark.createDataFrame(bench_docs, "doc_id long, text string")
+    want_rows = bloom_word_rows(
+        with_shingles(bench_full, "doc_id", "text", 8)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct(),
+        "shingle",
+    )
+    got = {r["word"]: r["bits"] for r in read_bloom_words(spark, table).collect()}
+    want = {r["word"]: r["bits"] for r in want_rows.collect()}
+    assert len(want) > 0
+    assert got == want
+
+    corpus_full = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    words = bloom_words_list(spark, table)
+    got_decon = {
+        r["doc_id"]: (r["n_maybe_hits"], r["maybe_contaminated"])
+        for r in corpus.decontaminate_against(corpus_full, words).collect()
+    }
+    want_decon = {
+        r["doc_id"]: (r["n_maybe_hits"], r["maybe_contaminated"])
+        for r in corpus.bloom_decontaminate(corpus_full, bench_full).collect()
+    }
+    assert got_decon == want_decon
+    # the streamed benchmark must contaminate its own members: probe a
+    # benchmark doc's text against the stored filter -> all-hit
+    self_probe = corpus.decontaminate_against(
+        spark.createDataFrame(bench_docs[:5], "doc_id long, text string"), words
+    ).collect()
+    assert all(
+        r["maybe_contaminated"] for r in self_probe if r["n_shingles"] > 0
+    )
