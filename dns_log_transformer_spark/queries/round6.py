@@ -755,3 +755,169 @@ def text_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = table(spark, sf, "documents")
     return text.bpe_merge_steps(docs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift report (categorical share + mean shift across snapshots)
+# ---------------------------------------------------------------------------
+@register(
+    "q_snapshot_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             event_id % 3 <> 0 AS in_a,
+             event_id % 5 <> 0 AS in_b,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN user_id % 2 = 0
+                  THEN CAST(ROUND(value * 100) AS BIGINT) + 10
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents_b
+      FROM events),
+    per AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (in_a) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (in_b) AS BIGINT) AS n_b,
+             SUM(CASE WHEN in_a THEN CAST(cents AS DECIMAL(38,0))
+                      ELSE 0 END) AS s_a,
+             SUM(CASE WHEN in_b THEN CAST(cents_b AS DECIMAL(38,0))
+                      ELSE 0 END) AS s_b
+      FROM tagged GROUP BY event_type),
+    tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+                   CAST(SUM(n_b) AS BIGINT) AS t_b FROM per)
+    SELECT p.event_type, p.n_a, p.n_b,
+           ROUND(p.n_a * 100.0 / t.t_a, 4) AS share_a_pct,
+           ROUND(p.n_b * 100.0 / t.t_b, 4) AS share_b_pct,
+           ROUND(p.n_b * 100.0 / t.t_b - p.n_a * 100.0 / t.t_a, 4)
+             AS share_drift_pp,
+           ROUND(CAST(p.s_a AS DOUBLE) / p.n_a / 100.0, 4) AS mean_a,
+           ROUND(CAST(p.s_b AS DOUBLE) / p.n_b / 100.0, 4) AS mean_b
+    FROM per p, tot t
+    """,
+)
+def q_snapshot_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift report between two event snapshots (the
+    monitoring gate that catches a broken upstream feed BEFORE it
+    poisons training data): per-category row share and mean value for
+    snapshot A (every event_id % 3 != 0) vs snapshot B (% 5 != 0,
+    values shifted +0.10 for even users — the planted drift), with the
+    share drift in percentage points. Both snapshots come out of ONE
+    scan via conditional aggregation (no second read, no join between
+    snapshots); means are exact integer-cent DECIMAL sums divided once
+    at the end; the 1-row totals side broadcasts (documented scalar
+    BNLJ, the q22 category). Category cardinality bounds every
+    post-scan structure."""
+    ev = table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    tagged = ev.select(
+        "event_type",
+        (F.col("event_id") % 3 != 0).alias("in_a"),
+        (F.col("event_id") % 5 != 0).alias("in_b"),
+        cents.alias("cents"),
+        F.when(F.col("user_id") % 2 == 0, cents + 10)
+        .otherwise(cents)
+        .alias("cents_b"),
+    )
+    per = tagged.groupBy("event_type").agg(
+        F.sum(F.col("in_a").cast("long")).cast("bigint").alias("n_a"),
+        F.sum(F.col("in_b").cast("long")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.when(F.col("in_a"), F.col("cents"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("s_a"),
+        F.sum(
+            F.when(F.col("in_b"), F.col("cents_b"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("s_b"),
+    )
+    tot = per.agg(
+        F.sum("n_a").cast("bigint").alias("t_a"),
+        F.sum("n_b").cast("bigint").alias("t_b"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a") * 100.0 / F.col("t_a"), 4).alias("share_a_pct"),
+        F.round(F.col("n_b") * 100.0 / F.col("t_b"), 4).alias("share_b_pct"),
+        F.round(
+            F.col("n_b") * 100.0 / F.col("t_b")
+            - F.col("n_a") * 100.0 / F.col("t_a"),
+            4,
+        ).alias("share_drift_pp"),
+        F.round(F.col("s_a").cast("double") / F.col("n_a") / 100.0, 4).alias(
+            "mean_a"
+        ),
+        F.round(F.col("s_b").cast("double") / F.col("n_b") / 100.0, 4).alias(
+            "mean_b"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimator (per-key count products — the shuffle-planning twin
+# of q_key_skew_report)
+# ---------------------------------------------------------------------------
+@register(
+    "q_join_size_estimate",
+    oracle="""
+    WITH ca AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt_l
+                FROM lineitem GROUP BY 1),
+    cb AS (SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt_o
+           FROM orders GROUP BY 1),
+    prod AS (
+      SELECT ca.key, ca.cnt_l, cb.cnt_o,
+             CAST(ca.cnt_l * cb.cnt_o AS BIGINT) AS out_rows
+      FROM ca JOIN cb USING (key)),
+    tot AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS est_total FROM prod)
+    SELECT p.key, p.cnt_l, p.cnt_o, p.out_rows, t.est_total,
+           ROUND(p.out_rows * 100.0 / t.est_total, 4) AS share_pct
+    FROM prod p, tot t
+    ORDER BY p.out_rows DESC, p.key ASC LIMIT 10
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-output-size estimation WITHOUT running the join (the
+    planning primitive behind broadcast/salt decisions): per-key count
+    products of lineitem x orders on orderkey — exact |A join B| =
+    sum_key cnt_a * cnt_b — with the top-10 contributing keys and each
+    key's share of the estimated output. Shape: two map-side-combined
+    count aggs (each a tiny fraction of the join's own shuffle, since
+    only (key, count) rows move), one equi-join on the distinct-key
+    tables, TakeOrderedAndProject top-10; the 1-row total broadcasts
+    (documented scalar BNLJ). Together with q_key_skew_report this is
+    the pre-flight a 100 TB join gets before committing to a shuffle
+    strategy."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    ca = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_l")
+    )
+    cb = orders.groupBy(F.col("o_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_o")
+    )
+    prod = ca.join(cb, "key").select(
+        "key",
+        "cnt_l",
+        "cnt_o",
+        (F.col("cnt_l") * F.col("cnt_o")).cast("bigint").alias("out_rows"),
+    )
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    prod = persist_tracked(prod)  # total agg + top-10 both read it
+    tot = prod.agg(F.sum("out_rows").cast("bigint").alias("est_total"))
+    return (
+        prod.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("out_rows"), F.asc("key"))
+        .limit(10)
+        .select(
+            "key",
+            "cnt_l",
+            "cnt_o",
+            "out_rows",
+            "est_total",
+            F.round(
+                F.col("out_rows") * 100.0 / F.col("est_total"), 4
+            ).alias("share_pct"),
+        )
+    )

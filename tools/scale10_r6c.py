@@ -21,6 +21,8 @@ QUERIES = (
     "q_key_skew_report",
     "q_ri_audit",
     "text_bpe_merges",
+    "q_snapshot_drift",
+    "q_join_size_estimate",
 )
 
 
