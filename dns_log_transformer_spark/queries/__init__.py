@@ -64,12 +64,12 @@ _WINDOW = [
     "text_quality_deciles",
     "q_pagerank_trade",
     "q_argmax_orders",
-    # (c) stalest attestations (latest green: round 3). Seven of the 21
+    # (c) stalest attestations (latest green: round 3). Nine of the 21
     # r3-greens (q_scalar_functions, q_date_functions, q_ship_within_week,
     # q_customer_order_counts, q_event_time_buckets,
-    # q_customers_without_orders, q_above_customer_avg — the lowest-risk
-    # single-join/single-table queries)
-    # yielded their slots to the later round-6 additions below:
+    # q_customers_without_orders, q_above_customer_avg, q_grouping_sets,
+    # q_cube_returnflag — the lowest-risk single-join/single-table
+    # queries) yielded their slots to the later round-6 additions below:
     # never-attested beats stale-green (the (d) rule); the displaced four
     # keep their r3 rows and rotate into the r7 window when the floor
     # moves past them.
@@ -83,9 +83,7 @@ _WINDOW = [
     "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
-    "q_cube_returnflag",
     "q_customer_running_totals",
-    "q_grouping_sets",
     "q_sessionize_events",
     # (d) new round-6 queries fill the rest (never-attested beats the
     # stale-r4-green fillers that briefly held the last two slots —
@@ -104,6 +102,8 @@ _WINDOW = [
     "text_bpe_merges",
     "q_snapshot_drift",
     "q_join_size_estimate",
+    "cdc_time_travel",
+    "q_event_paths",
 ]
 
 

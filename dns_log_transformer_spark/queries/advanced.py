@@ -51,6 +51,36 @@ _CDC_FEED_SQL = """
 """
 
 
+def _cdc_feed(o: DataFrame) -> DataFrame:
+    """The deterministic synthetic change feed behind _CDC_FEED_SQL:
+    base snapshot at version 0, every 3rd key repriced (+5.00) at
+    version 1, every 11th key deleted at version 2. Shared by
+    cdc_upsert_merge and cdc_time_travel (queries/round6.py)."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents.alias("cents"),
+        F.lit(0).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    reprice = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (cents + 500).alias("cents"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(0).cast("long").alias("cents"),
+        F.lit(2).alias("version"),
+        F.lit("D").alias("op"),
+    )
+    return base.unionAll(reprice).unionAll(deletes)
+
+
 @register(
     "cdc_upsert_merge",
     oracle=f"""
@@ -82,37 +112,8 @@ def cdc_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     no window, no join, tombstones dropped post-argmax so a late delete
     beats an early upsert.
     """
-    o = table(spark, sf, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    base = o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        cents.alias("cents"),
-        F.lit(0).alias("version"),
-        F.lit("U").alias("op"),
-    )
-    reprice = (
-        o.filter(F.col("o_orderkey") % 3 == 0)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            (cents + 500).alias("cents"),
-            F.lit(1).alias("version"),
-            F.lit("U").alias("op"),
-        )
-    )
-    deletes = (
-        o.filter(F.col("o_orderkey") % 11 == 0)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.lit(0).cast("long").alias("cents"),
-            F.lit(2).alias("version"),
-            F.lit("D").alias("op"),
-        )
-    )
     merged = cdc.upsert_latest(
-        base.unionAll(reprice).unionAll(deletes), ["o_orderkey"]
+        _cdc_feed(table(spark, sf, "orders")), ["o_orderkey"]
     )
     return (
         merged.groupBy("o_orderstatus")

@@ -921,3 +921,100 @@ def q_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("share_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC time travel (AS-OF reconstruction at every version cut)
+# ---------------------------------------------------------------------------
+def _time_travel_oracle() -> str:
+    from dns_log_transformer_spark.queries.advanced import _CDC_FEED_SQL
+
+    return f"""
+    WITH {_CDC_FEED_SQL},
+    fanned AS (
+      SELECT f.*, CAST(v.as_of AS INT) AS as_of
+      FROM feed f, unnest(range(f.version, 3)) AS v(as_of)),
+    merged AS (
+      SELECT as_of, o_orderkey,
+             arg_max(o_orderstatus, version) AS o_orderstatus,
+             arg_max(cents, version) AS cents,
+             arg_max(op, version) AS op
+      FROM fanned GROUP BY as_of, o_orderkey)
+    SELECT as_of, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged WHERE op <> 'D'
+    GROUP BY as_of, o_orderstatus
+    """
+
+
+@register("cdc_time_travel", oracle=_time_travel_oracle())
+def cdc_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-travel reads over the CDC feed (the AS OF query a
+    transactional table format answers from its version log): the table
+    state reconstructed at EVERY version cut (0 = base snapshot,
+    1 = after the reprice batch, 2 = after deletes) in ONE pass — each
+    change row fans out to the versions it is visible at via
+    ``explode(sequence(version, max))`` (codegen, fan-out bounded by
+    the version count), then the attested latest-wins merge
+    (operators/cdc.py) keyed on (as_of, key). Per-(as_of, status)
+    counts + exact cent sums attest each reconstruction. One hash
+    shuffle total; no per-version rescans."""
+    from dns_log_transformer_spark.operators import cdc
+    from dns_log_transformer_spark.queries.advanced import _cdc_feed
+
+    feed = _cdc_feed(table(spark, sf, "orders"))
+    fanned = feed.withColumn(
+        "as_of", F.explode(F.sequence(F.col("version"), F.lit(2)))
+    ).withColumn("as_of", F.col("as_of").cast("int"))
+    merged = cdc.upsert_latest(fanned, ["as_of", "o_orderkey"])
+    return (
+        merged.groupBy("as_of", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (3-step event-type sequences)
+# ---------------------------------------------------------------------------
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH w AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e3
+      FROM events)
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM w WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, e1, e2, e3 LIMIT 15
+    """,
+)
+def q_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-15 three-step user paths (the sequence-mining extension of
+    q_event_transitions' bigrams): per-user LEAD window over (ts,
+    event_id) — a total order, so ties are deterministic — then a
+    map-side-combined path count and TakeOrderedAndProject. The window
+    partitions by user_id (cardinality scales with the corpus; no
+    global sort)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        paths.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(15)
+    )

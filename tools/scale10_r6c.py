@@ -23,6 +23,8 @@ QUERIES = (
     "text_bpe_merges",
     "q_snapshot_drift",
     "q_join_size_estimate",
+    "cdc_time_travel",
+    "q_event_paths",
 )
 
 
