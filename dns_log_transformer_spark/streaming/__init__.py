@@ -58,6 +58,12 @@ from dns_log_transformer_spark.streaming.bloom_sink import (
     bloom_words_list,
     read_bloom_words,
 )
+from dns_log_transformer_spark.streaming.mv_sink import (
+    compact_mv,
+    merge_epoch,
+    mv_sink,
+    read_mv,
+)
 
 __all__ = [
     "read_firehose_stream",
@@ -87,4 +93,8 @@ __all__ = [
     "bloom_filter_sink",
     "bloom_words_list",
     "read_bloom_words",
+    "mv_sink",
+    "merge_epoch",
+    "read_mv",
+    "compact_mv",
 ]

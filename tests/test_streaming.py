@@ -1225,3 +1225,82 @@ def test_bloom_filter_sink_matches_batch_and_is_replay_proof(spark, tmp_path):
     assert all(
         r["maybe_contaminated"] for r in self_probe if r["n_shingles"] > 0
     )
+
+
+def test_mv_sink_exactly_once_under_replay_and_compaction(spark, tmp_path):
+    """Epoch-fenced view maintenance: counting aggregates are NOT
+    idempotent, so the sink fences each epoch into its own partition —
+    a REPLAYED epoch overwrites itself instead of double-counting.
+    The streamed view must equal the one-shot batch aggregate after
+    (a) normal splits, (b) an explicit epoch replay, and (c) a
+    mid-stream compaction followed by another replay of an already-
+    folded epoch."""
+    import json as _json
+
+    from dns_log_transformer_spark.streaming import (
+        compact_mv,
+        merge_epoch,
+        mv_sink,
+        read_mv,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .collect()
+    )
+    rows = [(r["user_id"], r["cents"]) for r in ev]
+    src = tmp_path / "facts"
+    src.mkdir()
+    table = str(tmp_path / "mv")
+    stream = spark.readStream.schema("user_id long, cents long").json(str(src))
+    q = mv_sink(stream, table, str(tmp_path / "ck"), "user_id", "cents")
+
+    try:
+        for i, chunk in enumerate([rows[0::3], rows[1::3], rows[2::3]]):
+            with open(src / f"b{i}.json", "w") as f:
+                for u, c in chunk:
+                    f.write(_json.dumps({"user_id": u, "cents": c}) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(rows, "user_id long, cents long")
+    want = {
+        r["key"]: (r["n_rows"], r["sum_val"])
+        for r in full.groupBy(F.col("user_id").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_val"),
+        )
+        .collect()
+    }
+
+    def got():
+        return {
+            r["key"]: (r["n_rows"], r["sum_val"])
+            for r in read_mv(spark, table).collect()
+        }
+
+    assert got() == want
+
+    # (b) replay epoch 1 (same content, same epoch id) -> unchanged
+    chunk1 = spark.createDataFrame(rows[1::3], "user_id long, cents long")
+    merge_epoch(chunk1, 1, table, "user_id", "cents")
+    assert got() == want
+
+    # (c) compact (epochs fold into the base, fence advances), then
+    # replay an already-folded epoch -> the fence drops it as a no-op
+    # (without the fence this would double-count: the partial no longer
+    # exists as a partition, so overwrite-idempotence can't save it)
+    compact_mv(spark, table)
+    assert got() == want
+    merge_epoch(chunk1, 1, table, "user_id", "cents")
+    assert got() == want
+    # (d) a NEW epoch after compaction still lands normally
+    extra = spark.createDataFrame([(999_999, 100)], "user_id long, cents long")
+    merge_epoch(extra, 7, table, "user_id", "cents")
+    want[999_999] = (1, 100)
+    assert got() == want
