@@ -60,21 +60,23 @@ _WINDOW = [
     "q_event_transitions",
     "q_rank_functions",
     "corpus_observed_ingest",
-    # (b) code changed in round 5 while out of window
+    # (b) code changed while out of window (deciles/pagerank/argmax in
+    # round 5; q2's plan rewrite — semi-join pushdown + window min — in
+    # round 6, oracle-hash-preserving per the parity suite)
     "text_quality_deciles",
     "q_pagerank_trade",
     "q_argmax_orders",
-    # (c) stalest attestations (latest green: round 3). Nine of the 21
+    "q2_min_cost_supplier",
+    # (c) stalest attestations (latest green: round 3). Ten of the 21
     # r3-greens (q_scalar_functions, q_date_functions, q_ship_within_week,
     # q_customer_order_counts, q_event_time_buckets,
     # q_customers_without_orders, q_above_customer_avg, q_grouping_sets,
-    # q_cube_returnflag — the lowest-risk single-join/single-table
-    # queries) yielded their slots to the later round-6 additions below:
-    # never-attested beats stale-green (the (d) rule); the displaced four
-    # keep their r3 rows and rotate into the r7 window when the floor
-    # moves past them.
+    # q_cube_returnflag, q12_priority_lines — the lowest-risk
+    # single-join/single-table queries) yielded their slots to the later
+    # round-6 additions below and to q2's (b) slot: never-attested and
+    # code-changed beat stale-green; the displaced ten keep their r3
+    # rows and rotate into the r7 window when the floor moves past them.
     "q10_returned_items",
-    "q12_priority_lines",
     "q13_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",

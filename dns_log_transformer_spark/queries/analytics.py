@@ -1540,26 +1540,42 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H-Q2-shape: cheapest supplier per part (partsupp derived from
     lineitem as MIN(unit price) per part-supplier pair — the fixture set
     has no partsupp table). The correlated MIN subquery is decorrelated
-    into a per-part aggregate joined back on the part key; the equality
-    compares bit-identical doubles (same division, MIN is
-    order-independent). Dim joins broadcast; ties keep all rows in both
-    engines."""
+    into a per-part window MIN; ties keep all rows in both engines; the
+    equality compares bit-identical doubles (same division, MIN is
+    order-independent).
+
+    Round-6 plan rewrite (oracle-hash-preserving): (a) the selective
+    ``p_size = 10`` part filter is pushed BELOW the aggregate as a
+    broadcast semi-join on the lineitem scan — the per-part min is
+    computed WITHIN each part, so pruning parts first cannot change it,
+    and the heavy (partkey, suppkey) aggregation now sees ~1/50 of the
+    rows; (b) the min-cost comparison is a window MIN over the (already
+    partkey-clustered) aggregate instead of a second aggregate + self
+    join — the old plan computed the aggregate TWICE (once per join
+    side). One lineitem scan, one agg shuffle, one window over the same
+    key, broadcast dims."""
     li = table(spark, sf, "lineitem")
     part = table(spark, sf, "part")
     supp = table(spark, sf, "supplier")
     nation = table(spark, sf, "nation")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+    part10 = part.filter(F.col("p_size") == 10)
+    li10 = li.join(
+        F.broadcast(part10.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = li10.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
             "ps_supplycost"
         )
     )
-    mc = ps.groupBy("l_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    w = W.partitionBy("l_partkey")
+    keep = ps.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
     return (
-        ps.join(mc, "l_partkey")
-        .filter(F.col("ps_supplycost") == F.col("min_cost"))
-        .join(
-            F.broadcast(part.filter(F.col("p_size") == 10)),
-            F.col("l_partkey") == F.col("p_partkey"),
+        keep.join(
+            F.broadcast(part10), F.col("l_partkey") == F.col("p_partkey")
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
