@@ -72,6 +72,19 @@ REPRESENTATIVE = [
     "mm_phash_pairs",
     "dedup_keep_best",
     "corpus_observed_ingest",
+    # round-6 families
+    "dedup_sorted_neighborhood",  # global_rank's empty-partition path
+    "text_tfidf_cosine_rerank",  # empty corpus -> empty candidates
+    "text_bpe_merges",  # zero pairs -> zero merge rows, stable schema
+    "q_key_skew_report",
+    "q_ri_audit",
+    "q_snapshot_drift",
+    "q_join_size_estimate",
+    "cdc_time_travel",
+    "q_event_paths",
+    "corpus_winnow_span_dedup",
+    "q_regr_trends",
+    "text_char_entropy",
 ]
 
 # the learning ops: clear ValueError by contract
@@ -86,6 +99,10 @@ LEARNERS = [
     "emb_int8_codes",
     "sim_int8_topk",
     "sim_ivfpq_topk",
+    # round-6 learners: the int8 rerank's calibration and the delta
+    # index's coarse codebook learn from the corpus
+    "sim_int8_rerank",
+    "sim_ivf_delta_index",
 ]
 
 
