@@ -280,3 +280,32 @@ def test_bpe_merge_steps_greedy_semantics(spark):
     assert got[1] == (2, "a_b", "c", 2)
     # step 3: (x, x) x2 wins; doc 4 rewrites to 'x_x x' (leftmost only)
     assert got[2] == (3, "x", "x", 2)
+
+
+def test_tfidf_cosine_rerank_plan_reuses_weight_cache(spark):
+    """The quantized weight table feeds three consumers (norms + both
+    pair sides); the plan must read it back from the persisted
+    intermediate (InMemoryTableScan) rather than recomputing the
+    tokenize+tf+df pipeline per branch."""
+    from dns_log_transformer_spark.session import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    df = text.tfidf_cosine_rerank(docs, pairs, n_docs=100)
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_cdc_time_travel_single_merge_shuffle(spark):
+    """AS-OF reconstruction at every version must be ONE (as_of, key)
+    merge — the version fan-out rides the scan as a Generate, with no
+    per-version join or rescan (no Join nodes at all before the dims,
+    and exactly one Generate)."""
+    from dns_log_transformer_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["cdc_time_travel"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # one Generate tree node (formatted plans list each node twice:
+    # once in the tree, once in the detail section)
+    assert plan.count("+- Generate") == 1  # explode(sequence) once
+    assert "Join" not in plan  # pure union -> agg pipeline
