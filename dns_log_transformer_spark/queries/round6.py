@@ -1018,3 +1018,51 @@ def q_event_paths(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (top-k co-purchased part pairs)
+# ---------------------------------------------------------------------------
+@register(
+    "q_copurchase_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY 1, 2
+    ORDER BY support DESC, part_a, part_b LIMIT 15
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Association mining's pairwise core: top-15 part pairs co-occurring
+    in the same order with their support counts (the candidate-pair
+    stage of Apriori/FP-growth). Shape: distinct (order, part) items,
+    self-join on the ORDER key — fan-out is items-per-order choose 2,
+    bounded by basket size (~4 for this schema; a web-scale basket op
+    caps items per basket first, the same guard as the LSH hot-bucket
+    cap) — then a map-side-combined pair count and
+    TakeOrderedAndProject. The items table is persisted once for both
+    join sides."""
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    li = table(spark, sf, "lineitem")
+    items = persist_tracked(
+        li.select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(15)
+    )

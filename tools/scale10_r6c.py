@@ -25,6 +25,7 @@ QUERIES = (
     "q_join_size_estimate",
     "cdc_time_travel",
     "q_event_paths",
+    "q_copurchase_pairs",
 )
 
 
