@@ -1,7 +1,12 @@
 """Round-6 surface growth: variable-length repeated-span dedup via
 winnowing anchors, incremental IVF index maintenance (the batch twin of
 the streaming vector-index sink), kNN label propagation, per-document
-TF-IDF top terms, and character-entropy quality scoring.
+TF-IDF top terms, character-entropy quality scoring, two-stage
+int8-rerank ANN, per-group OLS regression, sorted-neighborhood dedup,
+TF-IDF cosine rerank of blocked candidates, BPE merge induction, the
+key-skew / join-size / snapshot-drift / referential-integrity
+planning-and-quality diagnostics, CDC time travel, session path
+mining, and market-basket co-occurrence.
 
 Every query pairs a Spark plan with a DuckDB oracle computing the SAME
 deterministic algorithm; all are registered inside the round-6 driver
