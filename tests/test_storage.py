@@ -249,3 +249,31 @@ def test_incremental_dedup_against_bucketed_index(spark, tmp_path, no_broadcast)
     finally:
         bucketing.drop_table(spark, "dedup_idx")
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+def test_schema_evolution_merge_and_pruned_read(spark, tmp_path):
+    """Schema evolution at the storage layer (a 100 TB table gains
+    columns over its lifetime): a v2 writer appends rows with an extra
+    column; mergeSchema reads see the union schema with NULLs
+    backfilled for v1 rows, while a projection that only touches v1
+    columns still prunes to exactly those columns (ReadSchema shows no
+    v2 column — evolution must not tax old readers)."""
+    from dns_log_transformer_spark.plans import physical_plan
+
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.mode("overwrite").parquet(p)
+    v2 = spark.createDataFrame(
+        [(3, "c", 30)], "id long, name string, score int"
+    )
+    v2.write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+
+    old_reader = merged.select("id", "name")
+    plan = physical_plan(old_reader, "formatted")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "score" not in read_schema[0]
