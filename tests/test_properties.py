@@ -98,3 +98,79 @@ def test_valid_iff_formats(spark, specs):
         assert all(
             r["reject_reason"] is not None for r in quarantine.collect()
         )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup vs a pure-Python reference (round 6)
+# ---------------------------------------------------------------------------
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+_doc_text = st.one_of(
+    st.none(),
+    st.lists(_word, min_size=0, max_size=6).map(" ".join),
+)
+
+
+def _ref_sorted_neighborhood(docs, key_len, prefix_len, window, max_dist):
+    """Dict/list reference: normalize, sort by (block key, id), pair
+    within the window, Levenshtein on prefixes."""
+    import re
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    rows = []
+    for i, t in docs:
+        norm = re.sub(r"\s+", " ", (t or "").strip().lower())
+        rows.append((norm[:key_len], i, norm[:prefix_len]))
+    rows.sort()
+    out = set()
+    for a in range(len(rows)):
+        for b in range(a + 1, min(a + 1 + window, len(rows))):
+            d = lev(rows[a][2], rows[b][2])
+            if d <= max_dist:
+                ia, ib = rows[a][1], rows[b][1]
+                out.add((min(ia, ib), max(ia, ib), d))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc_text, min_size=0, max_size=12),
+    window=st.integers(min_value=1, max_value=4),
+    max_dist=st.integers(min_value=0, max_value=8),
+)
+def test_sorted_neighborhood_matches_reference(spark, texts, window, max_dist):
+    """The distributed sorted-neighborhood (range-partitioned
+    global_rank + explode/equi-join candidates) must equal the
+    quadratic single-machine reference for any doc set, window, and
+    distance threshold — including NULL/empty texts and rank ties."""
+    from dns_log_transformer_spark.operators import dedup
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_distance"])
+        for r in dedup.sorted_neighborhood_pairs(
+            df, key_len=10, prefix_len=20, window=window, max_distance=max_dist
+        ).collect()
+    }
+    want = _ref_sorted_neighborhood(docs, 10, 20, window, max_dist)
+    assert got == want
