@@ -1071,3 +1071,49 @@ def q_copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed popularity (exponential kernel, integer-quantized)
+# ---------------------------------------------------------------------------
+@register(
+    "q_decayed_popularity",
+    oracle="""
+    WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS ref_d FROM events),
+    w AS (
+      SELECT event_type,
+             CAST(ROUND(exp(-date_diff('day', CAST(ts AS DATE), mx.ref_d)
+                            / 30.0) * 1000000) AS BIGINT) AS wgt
+      FROM events, mx)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(wgt) AS BIGINT) AS decayed_score
+    FROM w GROUP BY event_type
+    """,
+)
+def q_decayed_popularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Recency-weighted popularity per event type: each event carries
+    exp(-age_days / 30) — 30-day e-folding — quantized to an integer
+    micro-weight BEFORE summing, so the aggregate is an exact
+    order-independent integer sum (the repo's standard defense against
+    fp fold-order divergence; the one per-row double, exp of an exact
+    integer-day age, evaluates identically in both engines' libm). The
+    reference date is the corpus max timestamp (1-row scalar broadcast,
+    the documented BNLJ category). The trending-score shape every
+    event-log product computes."""
+    ev = table(spark, sf, "events")
+    mx = ev.agg(F.max("ts").cast("date").alias("ref_d"))
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.round(
+            F.exp(-F.datediff(F.col("ref_d"), F.col("ts").cast("date")) / 30.0)
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("wgt"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("wgt").cast("bigint").alias("decayed_score"),
+    )

@@ -26,6 +26,7 @@ QUERIES = (
     "cdc_time_travel",
     "q_event_paths",
     "q_copurchase_pairs",
+    "q_decayed_popularity",
 )
 
 
