@@ -1117,3 +1117,80 @@ def q_decayed_popularity(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("wgt").cast("bigint").alias("decayed_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (first-activity-week cohorts x weekly activity offsets)
+# ---------------------------------------------------------------------------
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM firsts GROUP BY cohort_week),
+    cells AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+               AS week_offset,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+      FROM events e JOIN firsts f USING (user_id)
+      GROUP BY 1, 2)
+    SELECT c.cohort_week, c.week_offset, c.active_users, s.cohort_size,
+           ROUND(c.active_users * 100.0 / s.cohort_size, 4)
+             AS retention_pct
+    FROM cells c JOIN sizes s USING (cohort_week)
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix (the product-analytics classic): users
+    cohorted by first-activity ISO week, each cohort's distinct active
+    users counted at every subsequent week offset, as a share of cohort
+    size. Shape: one min-agg per user (map-side combined), the firsts
+    table persisted for its two consumers (cohort sizes + the activity
+    join), a user-keyed equi-join back onto events, one distinct-count
+    agg per (cohort, offset) cell, and a cohort-keyed dim join for the
+    ratio. Week truncation is ISO-Monday in both engines."""
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    ev = table(spark, sf, "events")
+    firsts = persist_tracked(
+        ev.groupBy("user_id").agg(
+            F.min(F.date_trunc("week", F.col("ts")))
+            .cast("date")
+            .alias("cohort_week")
+        )
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        F.round(
+            F.col("active_users") * 100.0 / F.col("cohort_size"), 4
+        ).alias("retention_pct"),
+    )

@@ -27,6 +27,7 @@ QUERIES = (
     "q_event_paths",
     "q_copurchase_pairs",
     "q_decayed_popularity",
+    "q_cohort_retention",
 )
 
 
