@@ -67,19 +67,17 @@ _WINDOW = [
     "q_pagerank_trade",
     "q_argmax_orders",
     "q2_min_cost_supplier",
-    # (c) stalest attestations (latest green: round 3). Thirteen of the 21
+    # (c) stalest attestations (latest green: round 3). Fifteen of the 21
     # r3-greens (q_scalar_functions, q_date_functions, q_ship_within_week,
     # q_customer_order_counts, q_event_time_buckets,
     # q_customers_without_orders, q_above_customer_avg, q_grouping_sets,
     # q_cube_returnflag, q12_priority_lines, q14_promo_revenue,
-    # q13_order_distribution, q10_returned_items — the lowest-risk
-    # single-join/single-table queries) yielded their slots to the later
-    # round-6 additions below and to q2's (b) slot: never-attested and
-    # code-changed beat stale-green; the displaced thirteen keep their
-    # r3 rows and rotate into the r7 window when the floor moves past
-    # them.
-    "q15_top_supplier",
-    "q17_small_quantity",
+    # q13_order_distribution, q10_returned_items, q15_top_supplier,
+    # q17_small_quantity — the lowest-risk single-join/single-table
+    # queries) yielded their slots to the later round-6 additions below
+    # and to q2's (b) slot: never-attested and code-changed beat
+    # stale-green; the displaced fifteen keep their r3 rows and rotate
+    # into the r7 window when the floor moves past them.
     "q19_disjunctive",
     "q4_order_priority",
     "q8_market_share",
@@ -108,6 +106,8 @@ _WINDOW = [
     "q_copurchase_pairs",
     "q_decayed_popularity",
     "q_cohort_retention",
+    "q_target_encode_lofo",
+    "q_ntile_buckets",
 ]
 
 

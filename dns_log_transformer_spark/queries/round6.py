@@ -1194,3 +1194,116 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
             F.col("active_users") * 100.0 / F.col("cohort_size"), 4
         ).alias("retention_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-fold-out target encoding (leakage-safe categorical features)
+# ---------------------------------------------------------------------------
+@register(
+    "q_target_encode_lofo",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority AS cat,
+             CAST(o_orderkey % 5 AS INT) AS fold,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    per AS (
+      SELECT cat, fold,
+             CAST(COUNT(*) AS BIGINT) AS n_fold,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS s_fold
+      FROM pts GROUP BY 1, 2),
+    tot AS (
+      SELECT cat, CAST(SUM(n_fold) AS BIGINT) AS n_tot,
+             SUM(s_fold) AS s_tot
+      FROM per GROUP BY cat)
+    SELECT p.cat, p.fold, p.n_fold,
+           ROUND(CAST(t.s_tot - p.s_fold AS DOUBLE)
+                 / (t.n_tot - p.n_fold) / 100.0, 4) AS target_enc
+    FROM per p JOIN tot t USING (cat)
+    """,
+)
+def q_target_encode_lofo(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe target encoding (the feature-engineering staple): a
+    category's encoded value for fold k is the target mean over every
+    OTHER fold — (total sum - fold sum) / (total n - fold n) — so a
+    row never sees its own fold's targets. Folds are deterministic
+    (key % 5). Exact integer-cent DECIMAL sums; one double division at
+    the end, ROUND 4. Shape: one (cat, fold) map-side-combined agg, a
+    category-keyed rollup of those tiny partials, and a category-keyed
+    join — everything after the first agg is bounded by |cats| x
+    folds."""
+    o = table(spark, sf, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % 5).cast("int").alias("fold"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    per = pts.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fold"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_fold"),
+    )
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    per = persist_tracked(per)  # feeds the rollup and the final join
+    tot = per.groupBy("cat").agg(
+        F.sum("n_fold").cast("bigint").alias("n_tot"),
+        F.sum("s_fold").alias("s_tot"),
+    )
+    return per.join(tot, "cat").select(
+        "cat",
+        "fold",
+        "n_fold",
+        F.round(
+            (F.col("s_tot") - F.col("s_fold")).cast("double")
+            / (F.col("n_tot") - F.col("n_fold"))
+            / 100.0,
+            4,
+        ).alias("target_enc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-frequency bucketing (NTILE — the rank-family completion)
+# ---------------------------------------------------------------------------
+@register(
+    "q_ntile_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             NTILE(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT),
+                                      c_custkey) AS bucket
+      FROM customer)
+    SELECT segment, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(bal_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(bal_cents) AS BIGINT) AS max_cents
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_ntile_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-frequency decile bucketing via NTILE (completing the window
+    rank family: rank/dense_rank/percent_rank/cume_dist landed in
+    round 5, ntile here): per-segment balance deciles with bucket
+    occupancy and integer-cent bounds. The window partitions by segment
+    (cardinality scales) over a total (cents, custkey) order — NTILE's
+    bucket boundaries depend on the full order, so the tie-break makes
+    both engines agree exactly."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        cents.asc(), F.col("c_custkey").asc()
+    )
+    t = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("bal_cents"),
+        F.ntile(10).over(w).cast("int").alias("bucket"),
+    )
+    return t.groupBy("segment", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min("bal_cents").cast("bigint").alias("min_cents"),
+        F.max("bal_cents").cast("bigint").alias("max_cents"),
+    )

@@ -28,6 +28,8 @@ QUERIES = (
     "q_copurchase_pairs",
     "q_decayed_popularity",
     "q_cohort_retention",
+    "q_target_encode_lofo",
+    "q_ntile_buckets",
 )
 
 
