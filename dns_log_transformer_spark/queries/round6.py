@@ -1307,3 +1307,177 @@ def q_ntile_buckets(spark: SparkSession, sf: str) -> DataFrame:
         F.min("bal_cents").cast("bigint").alias("min_cents"),
         F.max("bal_cents").cast("bigint").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (two-proportion z-test from exact counts)
+# ---------------------------------------------------------------------------
+@register(
+    "q_ab_test_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                            1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) >= 6
+                       THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM assign GROUP BY arm),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n_users END) AS n_a,
+             MAX(CASE WHEN arm = 'A' THEN n_conv END) AS c_a,
+             MAX(CASE WHEN arm = 'B' THEN n_users END) AS n_b,
+             MAX(CASE WHEN arm = 'B' THEN n_conv END) AS c_b
+      FROM arms)
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(c_a * 100.0 / n_a, 4) AS rate_a_pct,
+           ROUND(c_b * 100.0 / n_b, 4) AS rate_b_pct,
+           ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+    FROM wide
+    """,
+)
+def q_ab_test_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Experimentation analytics: users hash-split into arms A/B
+    (md5-based — the deterministic assignment both engines reproduce
+    bit-for-bit), per-user conversion = at least 6 purchase events (the
+    synthetic feed gives ~4 purchases/user, so any-purchase would
+    convert everyone and zero the pooled variance), pooled
+    two-proportion z-statistic from the EXACT counts (the one
+    double-precision step is the closed-form z evaluation, ROUND 4).
+    Shape: one per-user max agg, one per-arm count agg, a 2-row pivot
+    into a single report row — nothing after the first agg scales with
+    the corpus."""
+    ev = table(spark, sf, "events")
+    # arm derives from user_id AFTER the per-user agg (one md5 per
+    # distinct user, not per event)
+    arm = (
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm")
+    )
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 6
+            )
+            .cast("bigint")
+            .alias("converted"),
+        )
+        .select(arm, "converted")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("c_b"),
+    )
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("c_a").cast("double") / F.col("n_a")
+        - F.col("c_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(F.col("c_a") * 100.0 / F.col("n_a"), 4).alias("rate_a_pct"),
+        F.round(F.col("c_b") * 100.0 / F.col("n_b"), 4).alias("rate_b_pct"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the order-part bipartite graph
+# ---------------------------------------------------------------------------
+@register(
+    "q_link_prediction_aa",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sizes AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS basket
+      FROM items GROUP BY 1),
+    scored AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(ROUND(1000000.0 / ln(s.basket)) AS BIGINT) AS w
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      JOIN sizes s ON s.l_orderkey = a.l_orderkey
+      WHERE s.basket >= 2)
+    SELECT part_a, part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(w) AS BIGINT) AS aa_score
+    FROM scored GROUP BY 1, 2
+    ORDER BY aa_score DESC, part_a, part_b LIMIT 15
+    """,
+)
+def q_link_prediction_aa(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction beyond raw co-occurrence: Adamic-Adar scoring
+    over the order-part bipartite graph — a shared SMALL basket is
+    stronger evidence than a shared big one, so each common order
+    contributes 1/ln(basket_size), quantized to an integer micro-weight
+    pre-sum (exact order-independent aggregation; ln of an exact
+    integer evaluates identically in both engines' libm). Same
+    basket-bounded self-join shape as q_copurchase_pairs with the
+    per-order size joined on the already-shuffled order key."""
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    li = table(spark, sf, "lineitem")
+    items = persist_tracked(li.select("l_orderkey", "l_partkey").distinct())
+    sizes = items.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("basket")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    scored = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(sizes.filter(F.col("basket") >= 2), "l_orderkey")
+        .select(
+            "part_a",
+            "part_b",
+            F.round(1_000_000.0 / F.log(F.col("basket")), 0)
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    return (
+        scored.groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w").cast("bigint").alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "part_a", "part_b")
+        .limit(15)
+    )

@@ -30,6 +30,8 @@ QUERIES = (
     "q_cohort_retention",
     "q_target_encode_lofo",
     "q_ntile_buckets",
+    "q_ab_test_ztest",
+    "q_link_prediction_aa",
 )
 
 
