@@ -277,3 +277,41 @@ def test_schema_evolution_merge_and_pruned_read(spark, tmp_path):
     plan = physical_plan(old_reader, "formatted")
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "score" not in read_schema[0]
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path):
+    """Dynamic partition pruning — the mechanism that makes
+    fact-vs-filtered-dim joins skip fact partitions at RUNTIME (at
+    100 TB, the difference between scanning one year and scanning the
+    decade): a fact table partitioned on the join key, joined to a dim
+    whose selective filter is only known after planning, must compile a
+    dynamicpruning expression INTO the fact scan's partition filters
+    (fed by the reused broadcast), and the result must equal the
+    statically-filtered scan."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "fact_by_year")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    (
+        li.withColumn("ship_year", F.year("l_shipdate"))
+        .write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(p)
+    )
+    fact = spark.read.parquet(p)
+    years = [r["ship_year"] for r in fact.select("ship_year").distinct().collect()]
+    target = sorted(years)[0]
+    dim = spark.createDataFrame(
+        [(y, "target" if y == target else "other") for y in years],
+        "ship_year int, tag string",
+    )
+    joined = fact.join(dim, "ship_year").filter(F.col("tag") == "target")
+
+    from dns_log_transformer_spark.plans import physical_plan
+
+    plan = physical_plan(joined, "formatted")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    got = joined.count()
+    want = fact.filter(F.col("ship_year") == target).count()
+    assert got == want > 0
