@@ -315,3 +315,39 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path):
     got = joined.count()
     want = fact.filter(F.col("ship_year") == target).count()
     assert got == want > 0
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """Parquet aggregate pushdown (DSv2): COUNT/MIN/MAX over a bare
+    scan are answered from file-footer statistics — at 100 TB the
+    difference between a metadata read and a full-column scan. Pinned:
+    the BatchScan carries the pushed aggregate, and the values equal
+    the conventional aggregation's."""
+    from pyspark.sql import functions as F
+
+    saved_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan
+        got = agg.collect()[0]
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", saved_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    want = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert (got["n"], got["lo"], got["hi"]) == (want["n"], want["lo"], want["hi"])

@@ -1304,3 +1304,45 @@ def test_mv_sink_exactly_once_under_replay_and_compaction(spark, tmp_path):
     merge_epoch(extra, 7, table, "user_id", "cents")
     want[999_999] = (1, 100)
     assert got() == want
+
+
+def test_trigger_available_now_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow — the batch-backfill mode of a streaming
+    pipeline (drain everything currently available in rate-limited
+    micro-batches, then STOP) — must terminate on its own and produce
+    exactly the batch-equivalent result; a file landing after
+    termination stays unread until the next run (which picks it up from
+    the checkpoint)."""
+    import json as _json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    for i in range(3):
+        with open(src / f"b{i}.json", "w") as f:
+            for j in range(10):
+                f.write(_json.dumps({"k": i * 10 + j}) + "\n")
+
+    def run():
+        q = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "AvailableNow did not self-stop"
+
+    run()
+    assert spark.read.parquet(out).count() == 30
+
+    # late file: invisible until the NEXT AvailableNow run drains it
+    with open(src / "late.json", "w") as f:
+        f.write(_json.dumps({"k": 999}) + "\n")
+    run()
+    got = {r["k"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == 31 and 999 in got
