@@ -1481,3 +1481,113 @@ def q_link_prediction_aa(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), "part_a", "part_b")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (rank-based quartiles, scale-safe)
+# ---------------------------------------------------------------------------
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    ref AS (SELECT MAX(last_d) AS ref_d, CAST(COUNT(*) AS BIGINT) AS n
+            FROM per),
+    ranked AS (
+      SELECT p.custkey, p.cents, r.n,
+             date_diff('day', p.last_d, r.ref_d) AS rec_days,
+             ROW_NUMBER() OVER (ORDER BY date_diff('day', p.last_d, r.ref_d),
+                                p.custkey) AS r_rank,
+             ROW_NUMBER() OVER (ORDER BY p.n_orders DESC, p.custkey)
+               AS f_rank,
+             ROW_NUMBER() OVER (ORDER BY p.cents DESC, p.custkey) AS m_rank
+      FROM per p, ref r),
+    seg AS (
+      SELECT CAST((r_rank - 1) * 4 // n + 1 AS INT) AS r_q,
+             CAST((f_rank - 1) * 4 // n + 1 AS INT) AS f_q,
+             CAST((m_rank - 1) * 4 // n + 1 AS INT) AS m_q,
+             cents
+      FROM ranked)
+    SELECT r_q, f_q, m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*) / 100.0, 4) AS avg_monetary
+    FROM seg GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation (the customer-analytics staple): per customer,
+    Recency (days since last order vs the corpus max date), Frequency
+    (order count), Monetary (exact cent sum), each binned into rank
+    quartiles — computed with corpus.global_rank (range-partitioned
+    parallel sort), NOT a global-order NTILE window, which would
+    serialize the corpus through one task (the scale lint's
+    SinglePartition rule). The bin is the rank-arithmetic quantile
+    (rank-1)*k/n + 1 — deterministic and identical in both engines,
+    sidestepping NTILE's remainder-placement convention. Output: one
+    row per (R,F,M) cell with occupancy and mean spend.
+
+    Driver state: the customer count (one int) plus global_rank's
+    per-partition offsets, three times."""
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+    from dns_log_transformer_spark.operators.corpus import global_rank
+
+    o = table(spark, sf, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per = persist_tracked(per)  # scalar agg + three rank sorts read it
+    ref = per.agg(F.max("last_d").alias("ref_d"))
+    n = per.count()
+    base = per.crossJoin(F.broadcast(ref)).select(
+        "custkey",
+        "n_orders",
+        "cents",
+        F.datediff(F.col("ref_d"), F.col("last_d")).alias("rec_days"),
+    )
+    base = persist_tracked(base)  # three global_rank passes read it
+    r = global_rank(base, ["rec_days", "custkey"], rank_col="r_rank").select(
+        "custkey", "r_rank"
+    )
+    fr = global_rank(
+        base, [F.col("n_orders").desc(), F.col("custkey")], rank_col="f_rank"
+    ).select("custkey", "f_rank")
+    m = global_rank(
+        base, [F.col("cents").desc(), F.col("custkey")], rank_col="m_rank"
+    ).select("custkey", "m_rank")
+    seg = (
+        base.select("custkey", "cents")
+        .join(r, "custkey")
+        .join(fr, "custkey")
+        .join(m, "custkey")
+        .select(
+            (F.floor((F.col("r_rank") - 1) * 4 / n) + 1)
+            .cast("int")
+            .alias("r_q"),
+            (F.floor((F.col("f_rank") - 1) * 4 / n) + 1)
+            .cast("int")
+            .alias("f_q"),
+            (F.floor((F.col("m_rank") - 1) * 4 / n) + 1)
+            .cast("int")
+            .alias("m_q"),
+            "cents",
+        )
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            4,
+        ).alias("avg_monetary"),
+    )

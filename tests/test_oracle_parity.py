@@ -33,6 +33,7 @@ BNLJ_DOCUMENTED = {
     "q_snapshot_drift",  # 1-row snapshot-totals scalar broadcast
     "q_join_size_estimate",  # 1-row est_total scalar broadcast
     "q_decayed_popularity",  # 1-row max-timestamp scalar broadcast
+    "q_rfm_segments",  # 1-row reference-date scalar broadcast
     "q_triangle_suppliers",  # 1-row count scalars for the ratio report
     "sim_int8_topk",  # broadcast query workload scan, by contract
     "sim_int8_rerank",  # stage 1 is the same broadcast-queries scan

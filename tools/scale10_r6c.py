@@ -32,6 +32,7 @@ QUERIES = (
     "q_ntile_buckets",
     "q_ab_test_ztest",
     "q_link_prediction_aa",
+    "q_rfm_segments",
 )
 
 
