@@ -826,8 +826,13 @@ def tfidf_cosine_rerank(
     candidate list itself (already capped by the blocking stage's
     occupancy guards). ``n_docs`` is passed in, as in tfidf_topterms.
 
-    Output: (doc_a, doc_b, cosine) for every candidate pair whose two
-    sides both have tokens; pairs with no common term score 0.0.
+    Output: (doc_a, doc_b, cosine) for every DISTINCT candidate pair
+    whose two sides both have tokens; pairs with no common term score
+    0.0, as does a pair where either side's weights all quantized to
+    zero (every term at df == N: zero norm — the 0/0 guard; NULL in
+    Spark vs NaN in DuckDB would otherwise diverge). Duplicate
+    candidate rows are deduped here — a repeated (doc_a, doc_b) would
+    double its dot product through the aggregation below.
     """
     tf = (
         rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col)))
@@ -846,6 +851,7 @@ def tfidf_cosine_rerank(
         .alias("w"),
     )
     w = persist_tracked(w)  # read by norms + both pair-join sides
+    pairs = pairs.select("doc_a", "doc_b").dropDuplicates()
     norms = w.groupBy(id_col).agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("nsq")
     )
@@ -856,8 +862,7 @@ def tfidf_cosine_rerank(
         F.col(id_col).alias("doc_b"), "term", F.col("w").alias("w_b")
     )
     dots = (
-        pairs.select("doc_a", "doc_b")
-        .join(wa, "doc_a")
+        pairs.join(wa, "doc_a")
         .join(wb, ["doc_b", "term"])
         .groupBy("doc_a", "doc_b")
         .agg(
@@ -869,21 +874,25 @@ def tfidf_cosine_rerank(
     na = norms.select(F.col(id_col).alias("doc_a"), F.col("nsq").alias("nsq_a"))
     nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nsq").alias("nsq_b"))
     return (
-        pairs.select("doc_a", "doc_b")
-        .join(na, "doc_a")
+        pairs.join(na, "doc_a")
         .join(nb, "doc_b")
         .join(dots, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.coalesce(F.col("dot"), F.lit(0)).cast("double")
-                / (
-                    F.sqrt(F.col("nsq_a").cast("double"))
-                    * F.sqrt(F.col("nsq_b").cast("double"))
+            F.when(
+                (F.col("nsq_a") > 0) & (F.col("nsq_b") > 0),
+                F.round(
+                    F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                    / (
+                        F.sqrt(F.col("nsq_a").cast("double"))
+                        * F.sqrt(F.col("nsq_b").cast("double"))
+                    ),
+                    4,
                 ),
-                4,
-            ).alias("cosine"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
         )
     )
 

@@ -833,12 +833,28 @@ def mm_phash64(spark: SparkSession, sf: str) -> DataFrame:
     WITH {_PHASH_PLANT},
     {_PHASH_PX.format(src="blobs")},
     {_PHASH_BANDS},
+    bands AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+               unnest([b0, b1, b2, b3]) AS key
+        FROM ph)),
+    eligible AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key,
+               COUNT(*) OVER (PARTITION BY band, key) AS _c
+        FROM bands)
+      WHERE _c <= 100),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM eligible x JOIN eligible y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT c.doc_a, c.doc_b,
              CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
                 + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
                AS INT) AS hamming
-      FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+      FROM cand c JOIN ph a ON a.doc_id = c.doc_a
+                  JOIN ph b ON b.doc_id = c.doc_b)
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
     """,
 )
@@ -847,10 +863,13 @@ def mm_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     multimodal dedup step (pHash/PDQ-style) at the banded-join scale
     shape: <= 3 bit flips leave at least one of the 4 16-bit bands
     intact (pigeonhole), so candidates come from an equi-join on
-    (band, value) and the oracle's all-pairs enumeration is matched
-    EXACTLY, never approximated. The corpus is augmented with planted
-    same-length one-character edits (the re-encode scenario; see
-    _PHASH_PLANT) because the raw fixture has no byte-near payloads."""
+    (band, value). The oracle computes the SAME algorithm including the
+    hot-bucket occupancy cap (buckets over 100 members excluded from
+    candidate generation — the skew guard), so engine and oracle agree
+    at ANY scale, not just while the fixture stays under the cap. The
+    corpus is augmented with planted same-length one-character edits
+    (the re-encode scenario; see _PHASH_PLANT) because the raw fixture
+    has no byte-near payloads."""
     from dns_log_transformer_spark.operators import multimodal
 
     docs = table(spark, sf, "documents").select("doc_id", "text")

@@ -550,9 +550,11 @@ def _tfidf_rerank_oracle() -> str:
                                   AND wb.term = wa.term
              GROUP BY 1, 2)
     SELECT c.doc_a, c.doc_b,
-           ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
-                 / (sqrt(CAST(na.nsq AS DOUBLE))
-                    * sqrt(CAST(nb.nsq AS DOUBLE))), 4) AS cosine
+           CASE WHEN na.nsq > 0 AND nb.nsq > 0
+                THEN ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                           / (sqrt(CAST(na.nsq AS DOUBLE))
+                              * sqrt(CAST(nb.nsq AS DOUBLE))), 4)
+                ELSE 0.0 END AS cosine
     FROM cand c JOIN nrm na ON na.doc_id = c.doc_a
                 JOIN nrm nb ON nb.doc_id = c.doc_b
                 LEFT JOIN dots d ON d.doc_a = c.doc_a AND d.doc_b = c.doc_b

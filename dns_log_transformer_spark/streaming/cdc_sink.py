@@ -54,14 +54,27 @@ def _require_local_path(table_path: str) -> None:
     look like "no table yet" and the first batch would OVERWRITE
     instead of merging. Enforce the documented local-path contract
     (a production deployment swaps this module for a transactional
-    table format anyway — see the module docstring)."""
-    scheme = table_path.split("://", 1)[0] if "://" in table_path else ""
-    if scheme and scheme != "file":
+    table format anyway — see the module docstring). A 'file://' URI
+    is rejected too: Spark would accept it but every os.path discovery
+    check on the URI STRING returns False — the exact silent-overwrite
+    failure this guard exists to prevent. Pass the bare path instead."""
+    if "://" in table_path:
+        scheme = table_path.split("://", 1)[0]
         raise ValueError(
-            "cdc_sink tables are driver-local-filesystem only "
-            f"(got scheme {scheme!r}); use Delta/Iceberg/Hudi for "
-            "remote object-store tables"
+            "sink tables are driver-local-filesystem only and must be "
+            f"passed as bare paths (got scheme {scheme!r}; even "
+            "'file://' breaks the os.path-based table discovery); use "
+            "Delta/Iceberg/Hudi for remote object-store tables"
         )
+
+
+def _has_partitions(path: str, prefix: str) -> bool:
+    """Does this local parquet table directory have <prefix>= partition
+    subdirectories? The shared discovery probe for every sink that
+    maintains a partitioned table (cdc/vector/near-dup/mv)."""
+    return os.path.isdir(path) and any(
+        e.startswith(prefix) for e in os.listdir(path)
+    )
 
 
 def _with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
@@ -79,9 +92,7 @@ def read_latest(
     """The live view: stored rows minus tombstones (and the internal
     bucket column). None if nothing has been written yet."""
     _require_local_path(table_path)
-    if not os.path.isdir(table_path) or not any(
-        e.startswith("_kb=") for e in os.listdir(table_path)
-    ):
+    if not _has_partitions(table_path, "_kb="):
         return None
     return (
         spark.read.parquet(table_path)
@@ -112,9 +123,7 @@ def upsert_sink(
         batch = _with_bucket(batch_df, key_col, n_buckets)
         touched = [r["_kb"] for r in batch.select("_kb").distinct().collect()]
         base = None
-        if os.path.isdir(table_path) and any(
-            e.startswith("_kb=") for e in os.listdir(table_path)
-        ):
+        if _has_partitions(table_path, "_kb="):
             # partition pruning: only the touched buckets are read back
             base = spark.read.parquet(table_path).filter(
                 F.col("_kb").isin(touched)

@@ -48,7 +48,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from dns_log_transformer_spark.streaming.cdc_sink import _require_local_path
+from dns_log_transformer_spark.streaming.cdc_sink import (
+    _has_partitions,
+    _require_local_path,
+)
 
 
 def _fence_path(table_path: str) -> str:
@@ -107,9 +110,7 @@ def read_mv(spark: SparkSession, table_path: str) -> DataFrame | None:
     partials (SUM of SUMs — the storage-layer map-side combine). None
     before any epoch has committed."""
     _require_local_path(table_path)
-    if not os.path.isdir(table_path) or not any(
-        e.startswith("_epoch=") for e in os.listdir(table_path)
-    ):
+    if not _has_partitions(table_path, "_epoch="):
         return None
     return (
         spark.read.parquet(table_path)

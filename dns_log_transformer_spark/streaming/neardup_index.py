@@ -50,15 +50,10 @@ from pyspark.sql.streaming import StreamingQuery
 from dns_log_transformer_spark.operators import dedup
 from dns_log_transformer_spark.operators.corpus import hash_bucket
 from dns_log_transformer_spark.streaming.cdc_sink import (
+    _has_partitions,
     N_BUCKETS_DEFAULT,
     _require_local_path,
 )
-
-
-def _has_partitions(path: str, prefix: str) -> bool:
-    return os.path.isdir(path) and any(
-        e.startswith(prefix) for e in os.listdir(path)
-    )
 
 
 def read_pairs(spark: SparkSession, table_path: str) -> DataFrame | None:

@@ -45,15 +45,10 @@ from pyspark.sql.streaming import StreamingQuery
 from dns_log_transformer_spark.operators import cdc, similarity
 from dns_log_transformer_spark.streaming.cdc_sink import (
     N_BUCKETS_DEFAULT,
+    _has_partitions,
     _require_local_path,
     _with_bucket,
 )
-
-
-def _has_partitions(path: str, prefix: str) -> bool:
-    return os.path.isdir(path) and any(
-        e.startswith(prefix) for e in os.listdir(path)
-    )
 
 
 def read_index(
@@ -95,12 +90,16 @@ def ivf_index_sink(
         spark = batch_df.sparkSession
         # 1. assign cells: upserts from their (new) embedding via the
         #    broadcast codebook; deletes carry no placement (cell null)
-        assigned = similarity.ivf_assign(
-            batch_df, codebook, id_col=id_col, vec_col=vec_col
-        ).withColumn(
-            "cell",
-            F.when(F.col(op_col) != delete_op, F.col("cell")).cast("int"),
+        #    and MUST NOT reach the assignment UDF — a delete row is not
+        #    required to carry an embedding, and a null vector inside
+        #    the Arrow batch would crash the assigner
+        ups = batch_df.filter(F.col(op_col) != delete_op)
+        dels = batch_df.filter(F.col(op_col) == delete_op).withColumn(
+            "cell", F.lit(None).cast("int")
         )
+        assigned = similarity.ivf_assign(
+            ups, codebook, id_col=id_col, vec_col=vec_col
+        ).withColumn("cell", F.col("cell").cast("int")).unionByName(dels)
         batch = _with_bucket(assigned, id_col, n_buckets).localCheckpoint()
         keys = batch.select(id_col).distinct()
         touched_kb = [r["_kb"] for r in batch.select("_kb").distinct().collect()]
@@ -155,6 +154,23 @@ def ivf_index_sink(
         live.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("cell").parquet(cells_path)
+        # 5. a touched cell that ended EMPTY never appears in `live`,
+        #    and dynamic overwrite only replaces partitions present in
+        #    the written data — the old files would survive and deleted
+        #    or moved vectors would stay visible. Remove those partition
+        #    directories explicitly (local-path contract; bounded by the
+        #    batch's touched-cell count).
+        import shutil
+
+        still_live = {
+            r["cell"] for r in live.select("cell").distinct().collect()
+        }
+        for cell in touched_cells:
+            if cell not in still_live:
+                shutil.rmtree(
+                    os.path.join(cells_path, f"cell={cell}"),
+                    ignore_errors=True,
+                )
 
     return (
         changes.writeStream.foreachBatch(merge_batch)

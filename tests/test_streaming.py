@@ -970,7 +970,9 @@ def test_ivf_index_sink_matches_batch_build(spark, tmp_path):
         assert not any(k % 13 == 0 for k, _, _ in got)
         for k, c, ver in got:
             if k % 7 == 0:
-                assert ver == 1 and c != idx1[k] or ver == 1
+                # re-embedded as the negation: argmax(dot) becomes
+                # argmin of the original scores, so the cell must move
+                assert ver == 1 and c != idx1[k]
     finally:
         q.stop()
 
@@ -1346,3 +1348,72 @@ def test_trigger_available_now_drains_and_stops(spark, tmp_path):
     run()
     got = {r["k"] for r in spark.read.parquet(out).collect()}
     assert len(got) == 31 and 999 in got
+
+
+def test_ivf_index_sink_clears_emptied_cell_and_survives_null_delete(
+    spark, tmp_path
+):
+    """Two regressions pinned: (a) a delete row carrying a NULL
+    embedding must not reach the assignment UDF (a delete is not
+    required to carry a vector); (b) a cell whose LAST resident is
+    deleted must disappear from the cells table — dynamic partition
+    overwrite alone cannot clear a partition that no written row
+    belongs to, so the sink must remove the emptied directory."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    from dns_log_transformer_spark.streaming import ivf_index_sink, read_index
+
+    codebook = (
+        np.array([0, 1]),
+        np.array([[1.0, 0.0], [-1.0, 0.0]]),
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    table = str(tmp_path / "ivf")
+    stream = spark.readStream.schema(
+        "vec_id long, version int, op string, embedding array<double>"
+    ).json(str(src))
+    q = ivf_index_sink(stream, codebook, table, str(tmp_path / "ck"))
+    try:
+        with open(src / "b0.json", "w") as f:
+            f.write(
+                _json.dumps(
+                    {"vec_id": 1, "version": 0, "op": "U",
+                     "embedding": [1.0, 0.1]}
+                )
+                + "\n"
+            )
+            f.write(
+                _json.dumps(
+                    {"vec_id": 2, "version": 0, "op": "U",
+                     "embedding": [-0.9, 0.0]}
+                )
+                + "\n"
+            )
+        q.processAllAvailable()
+        assert {
+            (r["vec_id"], r["cell"])
+            for r in read_index(spark, table).collect()
+        } == {(1, 0), (2, 1)}
+
+        # delete vec 2 (cell 1's only resident) with a NULL embedding
+        with open(src / "b1.json", "w") as f:
+            f.write(
+                _json.dumps(
+                    {"vec_id": 2, "version": 1, "op": "D",
+                     "embedding": None}
+                )
+                + "\n"
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["vec_id"], r["cell"]) for r in read_index(spark, table).collect()}
+    assert got == {(1, 0)}, got
+    assert not _os.path.isdir(
+        _os.path.join(table, "cells", "cell=1")
+    ), "emptied cell partition left on disk"
