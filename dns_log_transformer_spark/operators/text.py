@@ -935,6 +935,18 @@ def bpe_merge_steps(
         .filter(F.col("t") != "")
     )
     base = persist_tracked(base)  # scanned once per merge step
+    merges = _bpe_learn(base, k)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_learn(
+    base: DataFrame, k: int
+) -> list[tuple[int, str, str, int]]:
+    """The greedy merge loop over a (persisted) ``t`` token-string
+    column — shared by ``bpe_merge_steps`` (the merge-table query) and
+    ``bpe_apply_stats`` (train-then-apply)."""
     cur = base
     merges: list[tuple[int, str, str, int]] = []
     for i in range(k):
@@ -958,14 +970,76 @@ def bpe_merge_steps(
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         merges.append((i + 1, lhs, rhs, cnt))
         cur = cur.select(
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("t"), F.lit(" ")),
-                    F.lit(f" {lhs} {rhs} "),
-                    F.lit(f" {lhs}_{rhs} "),
-                )
-            ).alias("t")
+            _apply_merge(F.col("t"), lhs, rhs).alias("t")
         )
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    return merges
+
+
+def _apply_merge(t: Column, lhs: str, rhs: str) -> Column:
+    """One literal greedy merge pass (non-overlapping left-to-right —
+    identical in Spark's replace and DuckDB's)."""
+    return F.trim(
+        F.replace(
+            F.concat(F.lit(" "), t, F.lit(" ")),
+            F.lit(f" {lhs} {rhs} "),
+            F.lit(f" {lhs}_{rhs} "),
+        )
+    )
+
+
+def bpe_apply_stats(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Train-then-apply: learn ``k`` BPE merges on the corpus
+    (``_bpe_learn``), apply them IN ORDER to every document, and report
+    per-source sequence-length compression — the number a tokenizer
+    change is actually judged by (shorter sequences = cheaper
+    training). The k applied replaces stack as codegen projections over
+    one scan; counts are exact ints, the averages one double division,
+    ROUND 4.
+
+    Output: (source, n_docs, avg_tokens_before, avg_tokens_after,
+    compression_pct)."""
+    base = (
+        rebalance_for_fanout(df.select(F.col(source_col), F.col(text_col)))
+        .select(
+            F.col(source_col).alias("source"),
+            F.array_join(tokens(F.col(text_col)), " ").alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    base = persist_tracked(base)  # k learn scans + the apply scan
+    merges = _bpe_learn(base.select("t"), k)
+    applied = base.withColumn(
+        "n_before", F.size(F.split(F.col("t"), " ")).cast("long")
+    )
+    for _, lhs, rhs, _cnt in merges:
+        applied = applied.withColumn("t", _apply_merge(F.col("t"), lhs, rhs))
+    applied = applied.withColumn(
+        "n_after", F.size(F.split(F.col("t"), " ")).cast("long")
+    )
+    return applied.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("n_before").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_tokens_before"),
+        F.round(
+            F.sum(F.col("n_after").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_tokens_after"),
+        F.round(
+            (
+                1
+                - F.sum(F.col("n_after").cast("decimal(38,0)")).cast("double")
+                / F.sum(F.col("n_before").cast("decimal(38,0)")).cast("double")
+            )
+            * 100,
+            4,
+        ).alias("compression_pct"),
     )

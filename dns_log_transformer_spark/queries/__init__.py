@@ -67,21 +67,20 @@ _WINDOW = [
     "q_pagerank_trade",
     "q_argmax_orders",
     "q2_min_cost_supplier",
-    # (c) stalest attestations (latest green: round 3). Eighteen of
+    # (c) stalest attestations (latest green: round 3). Nineteen of
     # the 21 r3-greens (q_scalar_functions, q_date_functions,
     # q_ship_within_week, q_customer_order_counts, q_event_time_buckets,
     # q_customers_without_orders, q_above_customer_avg, q_grouping_sets,
     # q_cube_returnflag, q12_priority_lines, q14_promo_revenue,
     # q13_order_distribution, q10_returned_items, q15_top_supplier,
     # q17_small_quantity, q19_disjunctive, q4_order_priority,
-    # q8_market_share — the
+    # q8_market_share, q_customer_running_totals — the
     # lowest-risk single-join/single-table queries) yielded their slots
     # to the later round-6 additions below and to q2's (b) slot:
     # never-attested and code-changed beat stale-green; the displaced
-    # eighteen keep their r3 rows and rotate into the r7 window when
+    # nineteen keep their r3 rows and rotate into the r7 window when
     # the floor moves past them.
     "q9_product_profit",
-    "q_customer_running_totals",
     "q_sessionize_events",
     # (d) new round-6 queries fill the rest (never-attested beats the
     # stale-r4-green fillers that briefly held the last two slots —
@@ -110,6 +109,7 @@ _WINDOW = [
     "q_ab_test_ztest",
     "q_link_prediction_aa",
     "q_rfm_segments",
+    "text_bpe_apply",
 ]
 
 

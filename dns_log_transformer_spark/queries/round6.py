@@ -1593,3 +1593,60 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("avg_monetary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE train-then-apply (per-source sequence-length compression)
+# ---------------------------------------------------------------------------
+def _bpe_apply_oracle(k: int = 5) -> str:
+    """Same k greedy merges as _bpe_oracle, with source and the
+    pre-merge token count carried through the rewrite chain so the
+    final layer reports per-source compression."""
+    parts = [
+        r"""r0 AS (
+      SELECT source,
+             array_to_string(string_split_regex(trim(text), '\s+'), ' ') AS t,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nb
+      FROM documents WHERE trim(text) IS NOT NULL AND trim(text) <> '')"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+    p{i} AS (SELECT pr[1] AS lhs, pr[2] AS rhs FROM (
+        SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS pr
+        FROM (SELECT string_split(t, ' ') AS tk FROM r{i - 1}))),
+    c{i} AS (SELECT lhs, rhs, COUNT(*) AS cnt FROM p{i} GROUP BY 1, 2
+             ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+    r{i} AS (SELECT r.source, trim(replace(' ' || r.t || ' ',
+                   ' ' || c.lhs || ' ' || c.rhs || ' ',
+                   ' ' || c.lhs || '_' || c.rhs || ' ')) AS t, r.nb
+             FROM r{i - 1} r, c{i} c)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(nb AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_tokens_before,
+           ROUND(CAST(SUM(CAST(len(string_split(t, ' ')) AS DECIMAL(38,0)))
+                      AS DOUBLE) / COUNT(*), 4) AS avg_tokens_after,
+           ROUND((1 - CAST(SUM(CAST(len(string_split(t, ' '))
+                                    AS DECIMAL(38,0))) AS DOUBLE)
+                      / CAST(SUM(CAST(nb AS DECIMAL(38,0))) AS DOUBLE))
+                 * 100, 4) AS compression_pct
+    FROM r{k} GROUP BY source"""
+    )
+
+
+@register("text_bpe_apply", oracle=_bpe_apply_oracle(5))
+def text_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """The tokenizer loop closed: learn 5 BPE merges on the corpus
+    (text_bpe_merges' trainer), apply them in order to every document,
+    and report per-source sequence-length compression — the metric a
+    tokenizer change is judged by. See operators/text.py
+    bpe_apply_stats."""
+    from dns_log_transformer_spark.operators import text
+
+    docs = table(spark, sf, "documents")
+    return text.bpe_apply_stats(docs, k=5)

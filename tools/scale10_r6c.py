@@ -33,6 +33,7 @@ QUERIES = (
     "q_ab_test_ztest",
     "q_link_prediction_aa",
     "q_rfm_segments",
+    "text_bpe_apply",
 )
 
 
