@@ -174,3 +174,134 @@ def test_sorted_neighborhood_matches_reference(spark, texts, window, max_dist):
     }
     want = _ref_sorted_neighborhood(docs, 10, 20, window, max_dist)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine rerank vs a pure-Python reference (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _ref_tfidf_cosine(docs, pairs, scale=10_000):
+    import math
+    from collections import Counter
+
+    tf = {}
+    for i, t in docs:
+        toks = (t or "").strip().split()
+        if toks:
+            tf[i] = Counter(toks)
+    dfreq = Counter()
+    for c in tf.values():
+        for term in c:
+            dfreq[term] += 1
+    n = len(docs)
+    w = {
+        i: {
+            term: round(cnt * math.log(n / dfreq[term]) * scale)
+            for term, cnt in c.items()
+        }
+        for i, c in tf.items()
+    }
+    out = {}
+    for a, b in set(pairs):
+        if a not in w or b not in w:
+            continue  # a side with no tokens has no weight rows
+        nsq_a = sum(v * v for v in w[a].values())
+        nsq_b = sum(v * v for v in w[b].values())
+        if nsq_a == 0 or nsq_b == 0:
+            out[(a, b)] = 0.0
+            continue
+        dot = sum(w[a][t] * w[b].get(t, 0) for t in w[a])
+        out[(a, b)] = round(dot / (nsq_a**0.5 * nsq_b**0.5), 4)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc_text, min_size=2, max_size=10),
+    pair_idx=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=8
+    ),
+)
+def test_tfidf_cosine_rerank_matches_reference(spark, texts, pair_idx):
+    """The distributed candidate-restricted TF-IDF cosine (integer
+    quantization, DECIMAL dots, zero-norm guard, duplicate-pair dedup)
+    must equal a dict-based reference for any corpus and candidate
+    list — including duplicate and self-referential candidate rows."""
+    from dns_log_transformer_spark.operators import text as text_ops
+
+    docs = list(enumerate(texts))
+    n = len(docs)
+    pairs = [
+        (min(a % n, b % n), max(a % n, b % n))
+        for a, b in pair_idx
+        if a % n != b % n
+    ]
+    if not pairs:
+        return
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in text_ops.tfidf_cosine_rerank(df, pdf, n_docs=n).collect()
+    }
+    want = _ref_tfidf_cosine(docs, pairs)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy trainer vs a pure-Python reference (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, k):
+    from collections import Counter
+
+    cur = [" ".join((t or "").split()) for t in texts]
+    cur = [t for t in cur if t]
+    merges = []
+    for rank in range(1, k + 1):
+        counts = Counter()
+        for t in cur:
+            toks = t.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (lhs, rhs), cnt = best
+        merges.append((rank, lhs, rhs, cnt))
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}_{rhs} "
+        cur = [f" {t} ".replace(pat, rep).strip() for t in cur]
+    return merges
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc_text, min_size=0, max_size=10),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_merge_steps_matches_reference(spark, texts, k):
+    """The distributed greedy BPE trainer must equal the single-machine
+    reference for any corpus and step count — the non-overlapping
+    left-to-right replace semantics (Python str.replace scans the
+    input the same way) and the (count DESC, lhs, rhs) tie-break are
+    the load-bearing details."""
+    from dns_log_transformer_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in text_ops.bpe_merge_steps(df, k=k).collect()
+    ]
+    assert got == _ref_bpe(texts, k)
