@@ -42,3 +42,18 @@ def test_ledger_reads_history():
     # spot-pin: queries green in r5's window per CORRECTNESS_r05.json
     assert latest.get("q_full_outer_yearly", 0) >= 5
     assert latest.get("emb_pq_codes", 0) >= 5
+
+
+def test_attest_report_builds():
+    """The judge-facing rollup (tools/attest_report.py) must build from
+    the same inputs the ledger enforces: every row carries window
+    membership + oracle flag, and the summary's invariants hold."""
+    from tools.attest_report import build_report
+
+    rows, summary = build_report()
+    assert summary["registered"] == len(rows)
+    assert summary["oracle_backed"] == summary["registered"]
+    assert summary["in_window"] == 50
+    # never-attested queries must all sit inside the window (the other
+    # ledger test's rule, restated through the report)
+    assert all(r["window"] for r in rows if not r["latest_green"])
