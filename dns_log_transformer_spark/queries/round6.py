@@ -3,10 +3,13 @@ winnowing anchors, incremental IVF index maintenance (the batch twin of
 the streaming vector-index sink), kNN label propagation, per-document
 TF-IDF top terms, character-entropy quality scoring, two-stage
 int8-rerank ANN, per-group OLS regression, sorted-neighborhood dedup,
-TF-IDF cosine rerank of blocked candidates, BPE merge induction, the
-key-skew / join-size / snapshot-drift / referential-integrity
-planning-and-quality diagnostics, CDC time travel, session path
-mining, and market-basket co-occurrence.
+TF-IDF cosine rerank of blocked candidates, BPE merge induction AND
+train-then-apply compression stats, the key-skew / join-size /
+snapshot-drift / referential-integrity planning-and-quality
+diagnostics, CDC time travel, session path mining, market-basket
+co-occurrence, recency-decayed popularity, cohort retention,
+leakage-safe target encoding, NTILE bucketing, A/B z-test analysis,
+Adamic-Adar link prediction, and RFM segmentation.
 
 Every query pairs a Spark plan with a DuckDB oracle computing the SAME
 deterministic algorithm; all are registered inside the round-6 driver
