@@ -1912,13 +1912,26 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     derivation). Per-row profit is cast to DECIMAL before summing (the
     raw doubles are bit-identical in both engines: same multiply/
     subtract on the same inputs), so the aggregate is exact and
-    order-independent (PLANS.md rule 5)."""
+    order-independent (PLANS.md rule 5).
+
+    Round-6 plan rewrite (oracle-hash-preserving, the q2 recipe): the
+    selective p_name filter is pushed BELOW the supplycost aggregate as
+    a broadcast semi-join on the lineitem scan — the per-(part,
+    supplier) min is computed within each part, so pruning parts first
+    cannot change it, and both the aggregate and the fact side now see
+    only matching parts' rows. 1.20s -> 0.57s warm at sf0.1."""
     li = table(spark, sf, "lineitem")
     part = table(spark, sf, "part")
     orders = table(spark, sf, "orders")
     supp = table(spark, sf, "supplier")
     nation = table(spark, sf, "nation")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+    gizmo = part.filter(F.col("p_name").like("%gizmo%"))
+    li_g = li.join(
+        F.broadcast(gizmo.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = li_g.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
     )
     profit = (
@@ -1926,9 +1939,9 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         - F.col("ps_supplycost") * F.col("l_quantity")
     ).cast("decimal(18,6)")
     return (
-        li.join(ps, ["l_partkey", "l_suppkey"])
+        li_g.join(ps, ["l_partkey", "l_suppkey"])
         .join(
-            F.broadcast(part.filter(F.col("p_name").like("%gizmo%"))),
+            F.broadcast(gizmo),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
