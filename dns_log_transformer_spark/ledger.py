@@ -1,0 +1,156 @@
+"""Attestation-freshness ledger + mechanical window packer.
+
+The external driver attests only the first ``WINDOW_SIZE`` registered
+queries per round (CORRECTNESS_r0N.json). This module derives, from
+those checked-in files alone, (a) which round last attested each query
+green, and (b) the exact window the UPCOMING round should check:
+never-attested queries first (a new operator must be attested in its
+birth round), then stalest-green first.
+
+Round-6 VERDICT task 2 made this mechanical for a reason: the previous
+hand-curated window went red at every round boundary — the moment the
+driver committed CORRECTNESS_r0N.json the freshness floor moved, the
+displaced cohort became stale, and the repo was not pytest-green at
+judgment time (round 6's single red test). ``queries/__init__.py`` now
+calls :func:`pack_window` at import time, so the window re-derives
+itself the instant a new correctness file lands and the audit is green
+by construction whenever the registry fits the capacity bound below.
+
+Capacity: with a 50-slot window and a 3-round freshness floor, at most
+``FRESHNESS_ROUNDS * WINDOW_SIZE`` queries can be fresh and another
+``WINDOW_SIZE`` can ride in the "scheduled" bucket — 200 registered
+queries is a hard ceiling, enforced here (warn at 185).
+
+Run ``python tools/ledger.py`` for a human-readable report.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import warnings
+
+WINDOW_SIZE = 50  # the driver checks the first 50 registered queries
+FRESHNESS_ROUNDS = 3  # a green row older than this is stale
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def is_green(row: dict) -> bool:
+    """A driver correctness row counts as green iff rows+schema match,
+    the value hash matches (or was not computed — rows-only checks), and
+    no error was recorded."""
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match") in (True, None)
+        and not row.get("err")
+    )
+
+
+def load_ledger(repo_root: str = REPO_ROOT) -> tuple[dict[str, int], int]:
+    """Return ``(latest_green, current_round)``: per query, the highest
+    driver round with a green row (queries with no green row ever are
+    absent), and the highest round number any CORRECTNESS file records."""
+    latest: dict[str, int] = {}
+    current = 0
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        stem = os.path.basename(path).split("_r")[1].split(".")[0]
+        try:
+            rnd = int(stem)
+        except ValueError:
+            continue
+        current = max(current, rnd)
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if isinstance(row, dict) and is_green(row):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest, current
+
+
+def pack_window(
+    registered: list[str],
+    repo_root: str = REPO_ROOT,
+    window_size: int = WINDOW_SIZE,
+) -> list[str]:
+    """Derive the upcoming round's attestation window mechanically.
+
+    Priority order (stable within each tier by the caller's registration
+    order, so the packing is deterministic):
+
+    1. never-attested — implemented code without driver evidence is the
+       one debt class the bar calls out; a new query MUST be attested in
+       its birth round, so growth beyond ``window_size`` new queries per
+       round is structurally impossible and asserted here;
+    2. stalest green first — the queries closest to falling past the
+       freshness floor claim the remaining slots.
+    """
+    capacity = (FRESHNESS_ROUNDS + 1) * window_size
+    assert len(registered) <= capacity, (
+        f"{len(registered)} registered queries exceed the rotation "
+        f"capacity ceiling {capacity} (= ({FRESHNESS_ROUNDS}+1) windows); "
+        "retire/merge queries before registering more"
+    )
+    if len(registered) > capacity - 15:
+        warnings.warn(
+            f"{len(registered)} registered queries approaching the "
+            f"rotation capacity ceiling {capacity}",
+            stacklevel=2,
+        )
+    latest, _current = load_ledger(repo_root)
+    order = {n: i for i, n in enumerate(registered)}
+    never = [n for n in registered if n not in latest]
+    assert len(never) <= window_size, (
+        f"{len(never)} never-attested queries cannot all fit the "
+        f"{window_size}-slot window; registry grew too fast this round"
+    )
+    attested = sorted(
+        (n for n in registered if n in latest),
+        key=lambda n: (latest[n], order[n]),
+    )
+    return (never + attested)[:window_size]
+
+
+def audit(registered: list[str], repo_root: str = REPO_ROOT) -> dict[str, list[str]]:
+    """Classify every registered query for the UPCOMING driver round.
+
+    - ``fresh``: latest green row within the trailing FRESHNESS_ROUNDS
+      driver rounds (current-2 .. current) — nothing to do.
+    - ``scheduled``: stale or never-green, but inside the first
+      WINDOW_SIZE registry slots, so the upcoming round attests it.
+    - ``violations``: stale or never-green AND outside the window —
+      the rotation policy missed it; the test fails on these.
+    """
+    latest, current = load_ledger(repo_root)
+    window = set(registered[:WINDOW_SIZE])
+    out: dict[str, list[str]] = {"fresh": [], "scheduled": [], "violations": []}
+    floor = current - FRESHNESS_ROUNDS + 1
+    for name in registered:
+        if latest.get(name, 0) >= floor:
+            out["fresh"].append(name)
+        elif name in window:
+            out["scheduled"].append(name)
+        else:
+            out["violations"].append(name)
+    return out
+
+
+def main() -> None:
+    from dns_log_transformer_spark.queries import ALL_QUERIES
+
+    registered = list(ALL_QUERIES)
+    latest, current = load_ledger()
+    report = audit(registered)
+    print(f"current driver round: r{current:02d}; registered: {len(registered)}")
+    for bucket, names in report.items():
+        print(f"{bucket}: {len(names)}")
+        for n in names:
+            tag = f"r{latest[n]:02d}" if n in latest else "never"
+            if bucket != "fresh":
+                print(f"  {n:40s} latest green: {tag}")
+    print(f"\npacked window for r{current + 1:02d} (= registry order [:{WINDOW_SIZE}]):")
+    for n in registered[:WINDOW_SIZE]:
+        tag = f"r{latest[n]:02d}" if n in latest else "never"
+        print(f"  {n:40s} latest green: {tag}")

@@ -12,8 +12,10 @@ CORRECTNESS_r*.json files and the registry's iteration order.
 
 from __future__ import annotations
 
+import pytest
+
 from dns_log_transformer_spark.queries import ALL_QUERIES
-from tools.ledger import WINDOW_SIZE, audit, load_ledger
+from tools.ledger import FRESHNESS_ROUNDS, WINDOW_SIZE, audit, load_ledger, pack_window
 
 
 def test_every_query_fresh_or_scheduled():
@@ -34,6 +36,36 @@ def test_window_prioritizes_unattested_queries():
     never = [n for n in registered if n not in latest]
     out = [n for n in never if n not in window]
     assert not out, f"never-attested queries left outside the window: {out}"
+
+
+def test_registry_order_is_packer_output():
+    """Since round 7 the driver window is derived, not hand-curated:
+    the registry's first-WINDOW_SIZE iteration order must be exactly
+    what the packer computes from the checked-in CORRECTNESS files
+    (round-6 VERDICT task 2)."""
+    registered = list(ALL_QUERIES)
+    packed = pack_window(registered)
+    # pack_window is order-stable, so re-packing the already-packed
+    # registry must return its own prefix
+    assert registered[:WINDOW_SIZE] == packed
+
+
+def test_packer_priority_and_capacity():
+    """never-attested first, then stalest-first; capacity asserted."""
+    latest, _current = load_ledger()
+    registered = list(ALL_QUERIES)
+    packed = pack_window(registered)
+    rounds = [latest.get(n, 0) for n in packed]  # 0 = never attested
+    assert rounds == sorted(rounds), "window not stalest-first"
+    # everything left outside must be at least as fresh as the least
+    # fresh windowed query
+    outside_min = min(latest.get(n, 0) for n in registered[WINDOW_SIZE:])
+    assert outside_min >= rounds[-1]
+    # the capacity ceiling trips loudly instead of silently dropping
+    # stale queries past the freshness floor
+    too_many = [f"q_cap_{i}" for i in range((FRESHNESS_ROUNDS + 1) * WINDOW_SIZE + 1)]
+    with pytest.raises(AssertionError, match="capacity"):
+        pack_window(too_many)
 
 
 def test_ledger_reads_history():
