@@ -1033,11 +1033,53 @@ def q_event_paths(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Market-basket co-occurrence (top-k co-purchased part pairs)
 # ---------------------------------------------------------------------------
+
+# The order-key self-join's fan-out is basket-size squared: one
+# pathological mega-basket (a wholesale order with 10^5 items) goes
+# quadratic while every normal basket stays tiny. Guard: keep only the
+# ``BASKET_CAP`` smallest distinct partkeys per order ahead of the
+# self-join — deterministic, mirrored in the DuckDB oracles below, and
+# far above fixture occupancy (TPC-H baskets are <= 7 items) so the
+# attested hashes are unchanged. Same guard class as the LSH/pHash
+# hot-bucket caps (multimodal.py phash_pairs), except truncation (not
+# exclusion) is right here: a capped basket still contributes its
+# strongest pairs, while an excluded one would vanish from support
+# counts entirely.
+BASKET_CAP = 32
+
+_CAPPED_ITEMS_CTE = f"""
+    items0 AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_partkey) AS rn
+        FROM items0)
+      WHERE rn <= {BASKET_CAP})"""
+
+
+def _capped_items(li: DataFrame) -> DataFrame:
+    """Distinct (order, part) items, truncated to the BASKET_CAP
+    smallest partkeys per order. The row_number window shuffles on
+    l_orderkey — the same partitioning the downstream self-join needs,
+    so the cap rides the shuffle the join pays anyway."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    return (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BASKET_CAP)
+        .drop("rn")
+    )
+
+
 @register(
     "q_copurchase_pairs",
-    oracle="""
-    WITH items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+    WITH {_CAPPED_ITEMS_CTE},
     pairs AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
       FROM items a JOIN items b
@@ -1050,19 +1092,16 @@ def q_event_paths(spark: SparkSession, sf: str) -> DataFrame:
 def q_copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Association mining's pairwise core: top-15 part pairs co-occurring
     in the same order with their support counts (the candidate-pair
-    stage of Apriori/FP-growth). Shape: distinct (order, part) items,
-    self-join on the ORDER key — fan-out is items-per-order choose 2,
-    bounded by basket size (~4 for this schema; a web-scale basket op
-    caps items per basket first, the same guard as the LSH hot-bucket
-    cap) — then a map-side-combined pair count and
-    TakeOrderedAndProject. The items table is persisted once for both
-    join sides."""
+    stage of Apriori/FP-growth). Shape: distinct (order, part) items
+    truncated to BASKET_CAP per order (see _capped_items — the
+    mega-basket quadratic guard), self-join on the ORDER key — fan-out
+    is now bounded by cap choose 2 per order — then a
+    map-side-combined pair count and TakeOrderedAndProject. The items
+    table is persisted once for both join sides."""
     from dns_log_transformer_spark.operators.caching import persist_tracked
 
     li = table(spark, sf, "lineitem")
-    items = persist_tracked(
-        li.select("l_orderkey", "l_partkey").distinct()
-    )
+    items = persist_tracked(_capped_items(li))
     a = items.select(
         "l_orderkey", F.col("l_partkey").alias("part_a")
     )
@@ -1426,9 +1465,8 @@ def q_ab_test_ztest(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q_link_prediction_aa",
-    oracle="""
-    WITH items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+    WITH {_CAPPED_ITEMS_CTE},
     sizes AS (
       SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS basket
       FROM items GROUP BY 1),
@@ -1454,12 +1492,14 @@ def q_link_prediction_aa(spark: SparkSession, sf: str) -> DataFrame:
     contributes 1/ln(basket_size), quantized to an integer micro-weight
     pre-sum (exact order-independent aggregation; ln of an exact
     integer evaluates identically in both engines' libm). Same
-    basket-bounded self-join shape as q_copurchase_pairs with the
-    per-order size joined on the already-shuffled order key."""
+    BASKET_CAP-bounded self-join shape as q_copurchase_pairs (see
+    _capped_items) with the per-order size — computed over the CAPPED
+    basket, so weight and pair set describe the same graph — joined on
+    the already-shuffled order key."""
     from dns_log_transformer_spark.operators.caching import persist_tracked
 
     li = table(spark, sf, "lineitem")
-    items = persist_tracked(li.select("l_orderkey", "l_partkey").distinct())
+    items = persist_tracked(_capped_items(li))
     sizes = items.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("basket")
     )
