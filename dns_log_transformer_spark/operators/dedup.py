@@ -13,7 +13,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dns_log_transformer_spark.operators.caching import persist_tracked
@@ -220,17 +220,35 @@ def minhash_signatures(
     )
 
 
+#: Hot-bucket occupancy cap for the MinHash band-candidate join (same
+#: guard class as phash_pairs' bucket_cap): a degenerate band bucket —
+#: web-scale boilerplate where thousands of docs share a signature band
+#: — would otherwise fan out O(bucket^2) candidate pairs. Buckets over
+#: the cap are EXCLUDED from the join; a pair is still found if ANY of
+#: its shared bands stays under the cap, and pairs whose every shared
+#: band is oversized are exact/near-exact-dup territory for
+#: content-hash dedup instead. Far above fixture occupancy (max 18 at
+#: sf0.1, 38 in the x10 replicas), so attested oracle hashes are
+#: unchanged; the DuckDB oracles mirror the cap (queries/llm_ops.py).
+LSH_BUCKET_CAP = 100
+
+
 def _lsh_band_candidates(
     sh: DataFrame,
     id_col: str,
     num_hashes: int,
     num_bands: int,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """(doc_a, doc_b) distinct candidate pairs from MinHash band buckets
     of an already-shingled (id_col, shingles) DataFrame — the blocking
     stage shared by ``minhash_lsh_pairs`` (Jaccard verify) and
     ``minhash_lsh_candidates`` (external rerankers, e.g. the TF-IDF
-    cosine verify in operators/text.py)."""
+    cosine verify in operators/text.py). Buckets holding more than
+    ``bucket_cap`` docs are excluded ahead of the self-join (see
+    LSH_BUCKET_CAP); the occupancy window partitions on the same
+    (band, key) the join shuffles on — no extra join, no driver-side
+    key list."""
     rows = num_hashes // num_bands
     sig = minhash_signatures(sh, id_col, num_hashes)
     bands = F.array(
@@ -250,8 +268,16 @@ def _lsh_band_candidates(
     # WITH both full shingle arrays in tow — the corpus's heaviest
     # columns on the heaviest shuffle. Dedup the bare (doc_a, doc_b) key
     # first; shingles re-join only for the surviving candidates.
-    bucketed = sig.select(id_col, F.explode(bands).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    bucketed = (
+        sig.select(id_col, F.explode(bands).alias("b"))
+        .select(
+            id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+        )
+        .withColumn(
+            "_c", F.count("*").over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_c") <= bucket_cap)
+        .drop("_c")
     )
     bucketed = persist_tracked(bucketed)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))

@@ -347,9 +347,15 @@ _MH_SIGS, _MH_BANDS = _minhash_sig_sql()
       FROM hashed GROUP BY doc_id),
     bands AS (
       {_MH_BANDS}),
+    bandsc AS (
+      SELECT band, key, doc_id FROM (
+        SELECT band, key, doc_id,
+               COUNT(*) OVER (PARTITION BY band, key) AS _c
+        FROM bands)
+      WHERE _c <= {dedup.LSH_BUCKET_CAP}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b USING (band, key)
+      FROM bandsc a JOIN bandsc b USING (band, key)
       WHERE a.doc_id < b.doc_id),
     v AS (
       SELECT doc_a, doc_b,
@@ -361,8 +367,10 @@ _MH_SIGS, _MH_BANDS = _minhash_sig_sql()
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash(12)-LSH(4 bands) candidates, verified at Jaccard >= 0.5.
-    The oracle rebuilds the identical hash arithmetic in SQL."""
+    """MinHash(12)-LSH(4 bands) candidates — hot band buckets excluded
+    at LSH_BUCKET_CAP, mirrored in the oracle — verified at
+    Jaccard >= 0.5. The oracle rebuilds the identical hash arithmetic
+    in SQL."""
     docs = table(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
@@ -382,9 +390,15 @@ _MH_PAIRS_CTES = rf"""{_SQL_SHINGLES},
       FROM hashed GROUP BY doc_id),
     bands AS (
       {_MH_BANDS}),
+    bandsc AS (
+      SELECT band, key, doc_id FROM (
+        SELECT band, key, doc_id,
+               COUNT(*) OVER (PARTITION BY band, key) AS _c
+        FROM bands)
+      WHERE _c <= {dedup.LSH_BUCKET_CAP}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b USING (band, key)
+      FROM bandsc a JOIN bandsc b USING (band, key)
       WHERE a.doc_id < b.doc_id),
     v AS (
       SELECT doc_a, doc_b,

@@ -31,6 +31,13 @@ Correctness contract (pinned in test_streaming): streaming the corpus
 in any batch split yields pairs/ EXACTLY equal to the one-shot batch
 ``dedup.minhash_lsh_pairs`` of the full corpus at the same parameters
 — same bucketing, same exact-Jaccard verification, same rounding.
+Known divergence window: the batch path excludes band buckets over
+``dedup.LSH_BUCKET_CAP`` (final occupancy), while this incremental
+sink sees occupancy only as it accumulates — a bucket that crosses the
+cap mid-stream keeps its early pairs here but contributes none in the
+one-shot. The pin holds for any corpus whose buckets stay under the
+cap (the fixture's max is 18 vs cap 100); a capped streaming variant
+would need retraction, which append-only pairs/ cannot express.
 
 Same honesty caveat as cdc_sink: parquet appends are not transactional
 across the three tables; a transactional format is the production

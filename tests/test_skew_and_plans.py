@@ -267,6 +267,29 @@ def test_phash_pairs_plan_has_hot_bucket_cap(spark):
     )
 
 
+def test_minhash_lsh_plan_has_hot_bucket_cap(spark):
+    """Round-7 guard (ADVICE r6 finding 2): the MinHash band-candidate
+    self-join must sit behind the per-(band, key) occupancy cap —
+    tfidf_cosine_rerank's scale claim depends on the blocking stage
+    being capped. Cap (100) is far above fixture occupancy (18 at
+    sf0.1), so attested oracle hashes are unchanged."""
+    import re as _re
+
+    from dns_log_transformer_spark.operators.dedup import LSH_BUCKET_CAP
+    from dns_log_transformer_spark.plans import physical_plan
+    from dns_log_transformer_spark.queries import ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = ALL_QUERIES["dedup_minhash_lsh"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df, "simple")
+    assert "windowspecdefinition(band" in plan, (
+        "per-(band, key) occupancy window missing ahead of the candidate join"
+    )
+    assert _re.search(rf"\(_c#\d+L? <= {LSH_BUCKET_CAP}\)", plan), (
+        f"cap filter (_c <= {LSH_BUCKET_CAP}) missing from plan"
+    )
+
+
 def test_basket_queries_plan_has_cap(spark):
     """Round-7 guard (VERDICT r6 'what's wrong' #1): the order-key
     self-joins in q_copurchase_pairs / q_link_prediction_aa must sit
