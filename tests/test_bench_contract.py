@@ -32,9 +32,11 @@ def test_bench_last_line_is_compact_parseable_json():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
     last = json.loads(lines[-1])
-    assert set(last) == {"metric", "value", "unit", "sf", "n_queries"}
+    assert set(last) == {"metric", "value", "unit", "pass1_total", "sf", "n_queries"}
     assert last["unit"] == "sec" and last["n_queries"] == 1
-    assert len(lines[-1]) < 200  # must survive a bounded tail capture
+    # headline is the min-of-passes sum; with PASSES=1 they coincide
+    assert last["value"] == last["pass1_total"]
+    assert len(lines[-1]) < 230  # must survive a bounded tail capture
     # the detail line (first JSON line) carries the per-query maps
     detail = json.loads(lines[-2])
     assert "queries" in detail and "rows" in detail
