@@ -1577,8 +1577,18 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     sidestepping NTILE's remainder-placement convention. Output: one
     row per (R,F,M) cell with occupancy and mean spend.
 
+    ONE rank pass, not three (round-7 rewrite, VERDICT r6 task 6): the
+    three sort problems union into a 3n-row (dim, val, custkey) frame —
+    dim 0: rec_days asc, dim 1: -n_orders, dim 2: -cents, each a total
+    order via the custkey tiebreak — ranked once; dim blocks are
+    contiguous so the in-dim rank is grk - dim*n, and one custkey
+    groupBy pivots the three ranks back WITHOUT any join (cents is
+    recovered from dim 2's own sort value). Replaces three
+    repartitionByRange+checkpoint+count passes and three join-backs
+    with one of each.
+
     Driver state: the customer count (one int) plus global_rank's
-    per-partition offsets, three times."""
+    per-partition offsets, once."""
     from dns_log_transformer_spark.operators.caching import persist_tracked
     from dns_log_transformer_spark.operators.corpus import global_rank
 
@@ -1590,42 +1600,55 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    per = persist_tracked(per)  # scalar agg + three rank sorts read it
+    per = persist_tracked(per)  # scalar agg + count + the union read it
     ref = per.agg(F.max("last_d").alias("ref_d"))
     n = per.count()
-    base = per.crossJoin(F.broadcast(ref)).select(
-        "custkey",
-        "n_orders",
-        "cents",
-        F.datediff(F.col("ref_d"), F.col("last_d")).alias("rec_days"),
-    )
-    base = persist_tracked(base)  # three global_rank passes read it
-    r = global_rank(base, ["rec_days", "custkey"], rank_col="r_rank").select(
-        "custkey", "r_rank"
-    )
-    fr = global_rank(
-        base, [F.col("n_orders").desc(), F.col("custkey")], rank_col="f_rank"
-    ).select("custkey", "f_rank")
-    m = global_rank(
-        base, [F.col("cents").desc(), F.col("custkey")], rank_col="m_rank"
-    ).select("custkey", "m_rank")
-    seg = (
-        base.select("custkey", "cents")
-        .join(r, "custkey")
-        .join(fr, "custkey")
-        .join(m, "custkey")
+    tri = (
+        per.crossJoin(F.broadcast(ref))
         .select(
-            (F.floor((F.col("r_rank") - 1) * 4 / n) + 1)
+            "custkey",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("dim"),
+                        F.datediff(F.col("ref_d"), F.col("last_d"))
+                        .cast("long")
+                        .alias("val"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("dim"),
+                        (-F.col("n_orders")).cast("long").alias("val"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("dim"),
+                        (-F.col("cents")).cast("long").alias("val"),
+                    ),
+                )
+            ).alias("d"),
+        )
+        .select("custkey", F.col("d.dim").alias("dim"), F.col("d.val").alias("val"))
+    )
+    ranked = global_rank(tri, ["dim", "val", "custkey"], rank_col="grk")
+    quart = (
+        (F.col("grk") - F.col("dim") * F.lit(n) - 1) * 4 / F.lit(n)
+    )
+    seg = (
+        ranked.groupBy("custkey")
+        .agg(
+            F.max(F.when(F.col("dim") == 0, F.floor(quart) + 1))
             .cast("int")
             .alias("r_q"),
-            (F.floor((F.col("f_rank") - 1) * 4 / n) + 1)
+            F.max(F.when(F.col("dim") == 1, F.floor(quart) + 1))
             .cast("int")
             .alias("f_q"),
-            (F.floor((F.col("m_rank") - 1) * 4 / n) + 1)
+            F.max(F.when(F.col("dim") == 2, F.floor(quart) + 1))
             .cast("int")
             .alias("m_q"),
-            "cents",
+            F.max(F.when(F.col("dim") == 2, -F.col("val")))
+            .cast("bigint")
+            .alias("cents"),
         )
+        .select("r_q", "f_q", "m_q", "cents")
     )
     return seg.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
