@@ -21,19 +21,28 @@ Scale design:
   epoch partition is written; the table is never read back during
   maintenance (contrast cdc_sink, which must read touched buckets);
 - the read-side merge grows with the number of epochs, so
-  ``compact_mv`` periodically folds all epoch partials into a single
-  base partition (``_epoch=-1``) — after which reads cost O(keys).
-  Compaction is the same read -> aggregate -> localCheckpoint ->
-  overwrite cycle the sketch sinks use, plus a FENCE: it records the
-  highest epoch it folded (``_FENCE`` json beside the partitions), and
+  ``compact_mv`` periodically folds the epoch partials into a base —
+  after which reads cost O(keys). Compaction commits ATOMICALLY via
+  the ``_FENCE`` json (written with an ``os.replace`` rename): the
+  fence names both the highest folded epoch and the base DIRECTORY
+  holding the fold (an underscore-prefixed dir Spark's parquet reader
+  ignores, so it is invisible until the fence points at it). The fold
+  sequence is: pin the exact epoch list to fold -> aggregate exactly
+  those partitions (+ the previous base) -> ``localCheckpoint`` ->
+  write the new base dir -> replace the fence -> best-effort GC of the
+  now-unreferenced partials and old base. ``read_mv`` reads the base
+  the fence names plus only partials ABOVE the fence, and
   ``merge_epoch`` drops any epoch at or below the fence as a no-op —
-  otherwise a replayed epoch whose partial was already folded into the
-  base would double-count (partition overwrite only protects replays
-  of epochs that still exist as partitions). The fence lands after
-  the fold; a crash between the two leaves folded-but-unfenced epochs
-  — the familiar parquet non-atomicity window, closed by the
-  transactional table format a production deployment wraps this in
-  (same caveat as cdc_sink).
+  so a crash at ANY point leaves a consistent view (before the fence
+  replace: the old view plus invisible garbage; after: the new view,
+  with leftover folded partials invisible until GC'd), and running
+  compaction WHILE the sink is live is safe: a new epoch landing
+  mid-compaction is above the pinned fence, is never folded, never
+  deleted, and stays visible as a partial. Residual caveat (the one a
+  transactional table format closes): a replay rewriting a partial's
+  files concurrently with a reader scanning that same partition can
+  tear, because parquet directory swaps are not atomic — same caveat
+  as cdc_sink.
 
 Aggregates kept: per-key row count and exact integer sum (cents
 discipline) — extend by adding more algebraic aggregates (min/max/
@@ -58,15 +67,24 @@ def _fence_path(table_path: str) -> str:
     return os.path.join(table_path, "_FENCE")
 
 
-def _read_fence(table_path: str) -> int:
-    """Highest epoch ever folded by compaction (-1 before any fold)."""
+def _read_fence_info(table_path: str) -> tuple[int, str | None]:
+    """(highest epoch ever folded, base dir name holding the fold).
+    (-1, None) before any fold. Older fences (pre the atomic-commit
+    rework) carried no base name — their fold lives in the
+    ``_epoch=-1`` partition, which read_mv still honors."""
     p = _fence_path(table_path)
     if not os.path.exists(p):
-        return -1
+        return -1, None
     import json
 
     with open(p) as f:
-        return int(json.load(f)["folded_thru"])
+        info = json.load(f)
+    return int(info["folded_thru"]), info.get("base")
+
+
+def _read_fence(table_path: str) -> int:
+    """Highest epoch ever folded by compaction (-1 before any fold)."""
+    return _read_fence_info(table_path)[0]
 
 
 def merge_epoch(
@@ -105,50 +123,114 @@ def merge_epoch(
     )
 
 
-def read_mv(spark: SparkSession, table_path: str) -> DataFrame | None:
-    """The merged view: (key, n_rows, sum_val) across all epoch
-    partials (SUM of SUMs — the storage-layer map-side combine). None
-    before any epoch has committed."""
-    _require_local_path(table_path)
-    if not _has_partitions(table_path, "_epoch="):
-        return None
-    return (
-        spark.read.parquet(table_path)
-        .groupBy("key")
-        .agg(
-            F.sum("n_rows").cast("long").alias("n_rows"),
-            F.sum("sum_val").cast("long").alias("sum_val"),
+def _view_parts(
+    spark: SparkSession, table_path: str, fence: int, base: str | None
+) -> list[DataFrame]:
+    """The frames that make up the committed view: the base dir the
+    fence names (if any) plus partials the fence has NOT folded — the
+    legacy ``_epoch=-1`` base partition and every epoch above the
+    fence. Partials at or below the fence are already represented in
+    the base; leaving them out is what makes crashed-compaction
+    leftovers harmless garbage instead of double counts."""
+    parts: list[DataFrame] = []
+    if base is not None and os.path.isdir(os.path.join(table_path, base)):
+        parts.append(spark.read.parquet(os.path.join(table_path, base)))
+    if _has_partitions(table_path, "_epoch="):
+        parts.append(
+            spark.read.parquet(table_path)
+            .filter((F.col("_epoch") == -1) | (F.col("_epoch") > fence))
+            .select("key", "n_rows", "sum_val")
         )
+    return parts
+
+
+def read_mv(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """The merged view: (key, n_rows, sum_val) across the fenced base
+    plus unfolded epoch partials (SUM of SUMs — the storage-layer
+    map-side combine). None before any epoch has committed."""
+    _require_local_path(table_path)
+    fence, base = _read_fence_info(table_path)
+    parts = _view_parts(spark, table_path, fence, base)
+    if not parts:
+        return None
+    df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return df.groupBy("key").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sum_val").cast("long").alias("sum_val"),
     )
 
 
 def compact_mv(spark: SparkSession, table_path: str) -> None:
-    """Fold every epoch partial into the single ``_epoch=-1`` base
-    partition so read cost stops growing with epoch count, then advance
-    the fence to the highest folded epoch. Whole-table overwrite
-    (folded epochs must disappear in the same write, else a re-merge
-    would double-count them); the fence file lands after the fold —
-    see the module docstring for the non-atomicity window. The
-    underscore-prefixed fence file is invisible to Spark's parquet
-    reader (metadata-file convention), so reads need no filter."""
+    """Fold the committed epoch partials into a single base so read
+    cost stops growing with epoch count. Safe to run while the sink is
+    live, and crash-consistent at every step (module docstring):
+
+    1. pin the EXACT epoch list to fold from one directory listing —
+       an epoch the sink lands after this point is above the new fence
+       and is neither folded nor touched;
+    2. aggregate exactly those partitions plus the previous base, and
+       materialize with ``localCheckpoint`` BEFORE anything is written
+       or deleted;
+    3. write the fold to a fresh underscore-prefixed base dir —
+       invisible to every reader until...
+    4. ...the fence json atomically ``os.replace``s to name the new
+       (folded_thru, base) pair: the single commit point;
+    5. best-effort GC of the now-unreferenced partials and old base
+       (read_mv never looks at them again, so a GC crash leaves only
+       dead bytes)."""
     import json
+    import shutil
 
     _require_local_path(table_path)
-    merged = read_mv(spark, table_path)
-    if merged is None:
-        return
+    fence, base = _read_fence_info(table_path)
     epochs = [
         int(e.split("=", 1)[1])
         for e in os.listdir(table_path)
         if e.startswith("_epoch=")
     ]
-    # never move the fence backwards (an earlier fold's fence survives
-    # a later compaction that found only the base partition)
-    folded_thru = max(max(epochs), _read_fence(table_path))
-    folded = merged.withColumn("_epoch", F.lit(-1)).localCheckpoint()
-    folded.write.mode("overwrite").partitionBy("_epoch").parquet(table_path)
-    with open(_fence_path(table_path), "w") as f:
-        json.dump({"folded_thru": folded_thru}, f)
+    to_fold = [e for e in epochs if e == -1 or e > fence]
+    if not to_fold:
+        return
+    new_thru = max([e for e in to_fold if e != -1], default=fence)
+    sources = _view_parts(spark, table_path, fence, base)
+    # restrict the partial side to the PINNED list: an epoch landing
+    # between the listing and this read must stay a live partial, not
+    # get folded under a fence that doesn't cover it
+    sources[-1] = (
+        spark.read.parquet(table_path)
+        .filter(F.col("_epoch").isin(to_fold))
+        .select("key", "n_rows", "sum_val")
+    )
+    df = sources[0] if len(sources) == 1 else sources[0].unionByName(sources[1])
+    folded = (
+        df.groupBy("key")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_val").cast("long").alias("sum_val"),
+        )
+        .localCheckpoint()
+    )
+    new_base = f"_base_e{new_thru}"
+    folded.write.mode("overwrite").parquet(os.path.join(table_path, new_base))
+    tmp = _fence_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"folded_thru": new_thru, "base": new_base}, f)
+    os.replace(tmp, _fence_path(table_path))  # the atomic commit point
+    for e in to_fold:
+        shutil.rmtree(os.path.join(table_path, f"_epoch={e}"), ignore_errors=True)
+    if base is not None and base != new_base:
+        shutil.rmtree(os.path.join(table_path, base), ignore_errors=True)
+    # sweep crash leftovers from EARLIER runs: partials at/below the
+    # old fence (already represented in the previous base) and base
+    # dirs no fence names — all invisible to read_mv, pure dead bytes
+    for entry in os.listdir(table_path):
+        full = os.path.join(table_path, entry)
+        if entry.startswith("_epoch="):
+            e = int(entry.split("=", 1)[1])
+            if e != -1 and e <= fence:
+                shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith("_base_") and entry != new_base:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def mv_sink(

@@ -1307,6 +1307,35 @@ def test_mv_sink_exactly_once_under_replay_and_compaction(spark, tmp_path):
     want[999_999] = (1, 100)
     assert got() == want
 
+    # (e) crash-window consistency (round-7 atomic-commit rework): a
+    # base dir the fence does NOT name — what a crash between the base
+    # write and the fence replace leaves behind — is invisible garbage
+    import os as _os
+
+    _os.makedirs(_os.path.join(table, "_base_e99"), exist_ok=True)
+    assert got() == want
+    # (f) a folded partial resurrected at/below the fence — what a
+    # crash between the fence replace and GC leaves behind — is
+    # ignored by the read side (its rows already live in the base)
+    ghost = (
+        spark.createDataFrame([(1, 1, 12345)], "key long, n_rows long, sum_val long")
+        .withColumn("_epoch", F.lit(0))
+    )
+    (
+        ghost.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(table)
+    )
+    assert got() == want
+    # (g) a second compaction folds the post-fence epoch into a new
+    # base, sweeps both ghosts, and the view is STILL exact
+    compact_mv(spark, table)
+    assert got() == want
+    assert not _os.path.isdir(_os.path.join(table, "_epoch=7"))
+    assert not _os.path.isdir(_os.path.join(table, "_epoch=0"))
+    assert not _os.path.isdir(_os.path.join(table, "_base_e99"))
+
 
 def test_trigger_available_now_drains_and_stops(spark, tmp_path):
     """Trigger.AvailableNow — the batch-backfill mode of a streaming
