@@ -853,6 +853,21 @@ def winnow_span_dedup(
         .select("fp")
     )
     sa = anchors.join(shared, "fp", "left_semi")
+    return merge_anchor_spans(sa, id_col=id_col, k=k, min_anchors=min_anchors)
+
+
+def merge_anchor_spans(
+    sa: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_anchors: int = 2,
+) -> DataFrame:
+    """Step 3 of :func:`winnow_span_dedup` as a reusable piece (the
+    streaming winnow index re-runs it per affected doc): merge a doc's
+    shared-anchor char intervals [pos, pos+k-1] into maximal spans with
+    the gaps-and-islands pattern — a new island starts where pos
+    exceeds the running max end + 1. Input: (id_col, pos, fp) rows of
+    SHARED anchors only; the window partitions by doc id."""
     ws = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         ws.rowsBetween(Window.unboundedPreceding, -1)

@@ -64,6 +64,10 @@ from dns_log_transformer_spark.streaming.mv_sink import (
     mv_sink,
     read_mv,
 )
+from dns_log_transformer_spark.streaming.winnow_index import (
+    read_spans,
+    winnow_index_sink,
+)
 
 __all__ = [
     "read_firehose_stream",
@@ -97,4 +101,6 @@ __all__ = [
     "merge_epoch",
     "read_mv",
     "compact_mv",
+    "winnow_index_sink",
+    "read_spans",
 ]

@@ -1337,6 +1337,66 @@ def test_mv_sink_exactly_once_under_replay_and_compaction(spark, tmp_path):
     assert not _os.path.isdir(_os.path.join(table, "_base_e99"))
 
 
+def test_winnow_index_sink_matches_batch_operator(spark, tmp_path):
+    """Streaming winnow-anchor span dedup (round-7, VERDICT r6 task 7):
+    documents stream in three micro-batches — including a cross-batch
+    replay — and after EVERY batch the accumulated spans/ table must
+    EXACTLY equal the one-shot corpus.winnow_span_dedup of all docs
+    ingested so far. The mid-stream check is the point: span output is
+    not monotone — an OLD doc's spans must grow in the same batch that
+    makes its anchors shared."""
+    import json as _json
+
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.streaming import (
+        read_spans,
+        winnow_index_sink,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        .select("doc_id", "text")
+        .collect()
+    ]
+    assert len(docs) >= 30
+    b1, b2, b3 = docs[0::3], docs[1::3], docs[2::3]
+    b3 = b3 + b1[:2]  # cross-batch replay must not perturb anything
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    table = str(tmp_path / "widx")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = winnow_index_sink(stream, table, str(tmp_path / "ck"))
+
+    def got():
+        df = read_spans(spark, table)
+        if df is None:
+            return set()
+        return {tuple(r) for r in df.collect()}
+
+    def want(rows):
+        full = spark.createDataFrame(rows, "doc_id long, text string")
+        return {tuple(r) for r in corpus.winnow_span_dedup(full).collect()}
+
+    try:
+        ingested: list = []
+        for name, chunk in [("b1", b1), ("b2", b2), ("b3", b3)]:
+            with open(src / f"{name}.json", "w") as f:
+                for did, text in chunk:
+                    f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+            q.processAllAvailable()
+            ingested = ingested + [
+                d for d in chunk if d[0] not in {i[0] for i in ingested}
+            ]
+            assert got() == want(ingested), f"diverged after {name}"
+    finally:
+        q.stop()
+    assert len(got()) > 0, "fixture produced no shared spans — vacuous test"
+
+
 def test_trigger_available_now_drains_and_stops(spark, tmp_path):
     """Trigger.AvailableNow — the batch-backfill mode of a streaming
     pipeline (drain everything currently available in rate-limited
