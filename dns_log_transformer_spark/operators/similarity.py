@@ -289,6 +289,19 @@ def _require_rows(rows: list, op: str) -> list:
     return rows
 
 
+def auto_n_cells(n_rows: int, floor: int = 10) -> int:
+    """The IVF sizing rule: ``n_cells ~ sqrt(n)`` (half-up rounded,
+    floored at ``floor``) keeps per-cell occupancy AND per-query probed
+    candidates both growing as sqrt(corpus) instead of one of them
+    linearly — the standard FAISS guidance. Deterministic and cheap to
+    mirror in SQL (``GREATEST(floor, CAST(FLOOR(SQRT(COUNT(*)) + 0.5)
+    AS INT))``): libm sqrt is correctly rounded, so both engines pick
+    the identical count. Callers pass ``n_cells=None`` to opt in."""
+    import math
+
+    return max(floor, int(math.floor(math.sqrt(n_rows) + 0.5)))
+
+
 def centroid_vectors(
     emb: DataFrame,
     n_cells: int = 10,
@@ -350,7 +363,7 @@ def ann_topk_ivf(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 10,
+    n_cells: int | None = 10,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -360,6 +373,10 @@ def ann_topk_ivf(
     cell; each query probes its n_probe nearest cells; exact cosine +
     window top-k run inside the probed cells only (an equi-join on cell —
     ~n_probe/n_cells of the corpus per query instead of all of it).
+
+    ``n_cells=None`` auto-scales to :func:`auto_n_cells` (~sqrt(n), one
+    cheap count job) so per-cell work stays flat as the corpus grows —
+    the documented fix for the fixed-cell 10x readings in PLANS.md.
 
     ``train_iters > 0`` refines the seed codebook with that many Lloyd
     rounds (:func:`kmeans_codebook`) before building the index — tighter
@@ -372,6 +389,8 @@ def ann_topk_ivf(
 
     Output: (query_id, vec_id, cos_sim, rnk).
     """
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count())
     if train_iters > 0:
         codebook = list(
             enumerate(kmeans_codebook(emb, n_cells, train_iters, id_col, vec_col))

@@ -550,12 +550,16 @@ _SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
 
 _SEMDEDUP_CELLS = 10
 
-# codebook CTE: per-cell per-dim rounded mean (same recipe emb_centroids
-# attests), re-assembled into an ordered array per cell
-_SEMDEDUP_CB = f"""
+
+def _ivf_cb_cte(cells_expr) -> str:
+    """Codebook CTE: per-cell per-dim rounded mean (same recipe
+    emb_centroids attests), re-assembled into an ordered array per
+    cell. ``cells_expr`` is the SQL cell count — a literal, or the
+    data-dependent ``auto_n_cells`` scalar subquery."""
+    return f"""
     cb AS (
       SELECT cell, list(c ORDER BY dim) AS cv FROM (
-        SELECT CAST(vec_id % {_SEMDEDUP_CELLS} AS INT) AS cell,
+        SELECT CAST(vec_id % {cells_expr} AS INT) AS cell,
                CAST(u.p[1] AS INT) AS dim,
                ROUND(AVG(u.p[2]), 4) AS c
         FROM (
@@ -567,6 +571,18 @@ _SEMDEDUP_CB = f"""
         GROUP BY 1, 2)
       GROUP BY cell)
 """
+
+
+_SEMDEDUP_CB = _ivf_cb_cte(_SEMDEDUP_CELLS)
+
+#: similarity.auto_n_cells(count, floor=10) as SQL — libm sqrt is
+#: correctly rounded, so both engines derive the identical cell count.
+_AUTO_CELLS_SQL = (
+    "(SELECT GREATEST(10, CAST(FLOOR(SQRT(COUNT(*)) + 0.5) AS INT))"
+    " FROM embeddings)"
+)
+
+_IVF_AUTO_CB = _ivf_cb_cte(_AUTO_CELLS_SQL)
 
 
 
@@ -720,16 +736,20 @@ def sim_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
                                 ORDER BY cos_sim DESC, vec_id) AS rnk
       FROM scored)
     WHERE rnk <= 5
-    """.replace("{_IVF_CB}", _SEMDEDUP_CB),
+    """.replace("{_IVF_CB}", _IVF_AUTO_CB),
 )
 def sim_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate top-5 (1 averaging step over deterministic seed
     cells, centroids rounded to 4 decimals; queries probe their 2
     nearest cells by the same dim-ordered dot fold the oracle uses;
-    exact cosine + top-k within the probed cells)."""
+    exact cosine + top-k within the probed cells). Cell count
+    auto-scales ~sqrt(corpus) — similarity.auto_n_cells, mirrored by
+    the oracle's scalar subquery — so per-query probed candidates grow
+    as sqrt(n), not linearly (the round-6 10x table's documented
+    knob, closed in round 7)."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
-    return similarity.ann_topk_ivf(emb, queries, k=5, n_cells=10, n_probe=2)
+    return similarity.ann_topk_ivf(emb, queries, k=5, n_cells=None, n_probe=2)
 
 
 @register(
