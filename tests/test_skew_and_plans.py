@@ -146,17 +146,24 @@ def test_bench_harness_smoke(spark):
             spark.conf.set(k, v)
     lines = buf.getvalue().strip().splitlines()
     summary = json.loads(lines[-1])
-    assert set(summary) == {"metric", "value", "unit", "sf", "n_queries"}
+    assert set(summary) == {
+        "metric", "value", "unit", "pass1_total", "sf", "n_queries",
+    }
     assert summary["unit"] == "sec" and summary["value"] >= 0
     assert summary["n_queries"] == 2
     # the tail-proof guarantee: the last line stays bounded no matter how
     # many queries are registered (it carries no per-query maps)
-    assert len(lines[-1]) < 200, lines[-1]
+    assert len(lines[-1]) < 230, lines[-1]
 
     detail = json.loads(lines[-2])
-    assert set(detail) == {"metric", "value", "unit", "queries", "rows", "sf"}
+    assert set(detail) == {
+        "metric", "value", "unit", "pass1_total", "queries", "rows", "sf",
+    }
     assert set(detail["queries"]) == {"q1_pricing_summary", "dedup_exact"}
     assert detail["value"] == summary["value"]
+    # headline = min-of-passes sum; pass-1 sum rides along for cold cost
+    assert round(sum(detail["queries"].values()), 3) == detail["value"]
+    assert detail["pass1_total"] >= detail["value"]
     # observe()-based cardinality: q1 is the 6-row pricing summary,
     # dedup_exact is one row per document
     assert detail["rows"]["q1_pricing_summary"] == 6
