@@ -311,3 +311,16 @@ def test_int8_rerank_recall_beats_plain_int8(spark):
     # int8 over random 64-dim vectors is already near-exact; the floor
     # pins that the composed two-stage pipeline stays there
     assert r_rerank >= 0.9, f"int8+rerank recall@5 = {r_rerank:.3f}"
+
+
+def test_auto_n_cells_rule():
+    """The sqrt sizing rule must match its SQL mirror exactly: half-up
+    rounding (FLOOR(sqrt+0.5)), floored at 10."""
+    from dns_log_transformer_spark.operators.similarity import auto_n_cells
+
+    assert auto_n_cells(0) == 10
+    assert auto_n_cells(100) == 10
+    assert auto_n_cells(5000) == 71   # sqrt = 70.71 -> 71
+    assert auto_n_cells(50000) == 224  # sqrt = 223.6 -> 224
+    assert auto_n_cells(110) == 10    # sqrt = 10.49 rounds DOWN
+    assert auto_n_cells(111) == 11    # sqrt = 10.54 rounds UP

@@ -66,6 +66,12 @@ def test_packer_priority_and_capacity():
     too_many = [f"q_cap_{i}" for i in range((FRESHNESS_ROUNDS + 1) * WINDOW_SIZE + 1)]
     with pytest.raises(AssertionError, match="capacity"):
         pack_window(too_many)
+    # more never-attested queries than window slots = a round that
+    # registered too much; the packer refuses rather than silently
+    # deferring a query's mandatory birth-round attestation
+    too_new = [f"q_new_{i}" for i in range(WINDOW_SIZE + 1)]
+    with pytest.raises(AssertionError, match="never-attested"):
+        pack_window(too_new)
 
 
 def test_ledger_reads_history():
