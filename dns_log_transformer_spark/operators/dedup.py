@@ -13,7 +13,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dns_log_transformer_spark.operators.caching import persist_tracked
@@ -246,9 +246,9 @@ def _lsh_band_candidates(
     ``minhash_lsh_candidates`` (external rerankers, e.g. the TF-IDF
     cosine verify in operators/text.py). Buckets holding more than
     ``bucket_cap`` docs are excluded ahead of the self-join (see
-    LSH_BUCKET_CAP); the occupancy window partitions on the same
-    (band, key) the join shuffles on — no extra join, no driver-side
-    key list."""
+    LSH_BUCKET_CAP) via a map-side-combined occupancy count and a
+    broadcast anti-join of the heavy keys — no full-row window sort,
+    no driver-side key list."""
     rows = num_hashes // num_bands
     sig = minhash_signatures(sh, id_col, num_hashes)
     bands = F.array(
@@ -268,17 +268,23 @@ def _lsh_band_candidates(
     # WITH both full shingle arrays in tow — the corpus's heaviest
     # columns on the heaviest shuffle. Dedup the bare (doc_a, doc_b) key
     # first; shingles re-join only for the surviving candidates.
-    bucketed = (
-        sig.select(id_col, F.explode(bands).alias("b"))
-        .select(
-            id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
-        )
-        .withColumn(
-            "_c", F.count("*").over(Window.partitionBy("band", "key"))
-        )
-        .filter(F.col("_c") <= bucket_cap)
-        .drop("_c")
+    bucketed = sig.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
+    # occupancy cap as a map-side-combined count + broadcast ANTI-join
+    # of the heavy keys, NOT a count window: the window shuffles+sorts
+    # every (doc, band) row, while the partial agg ships only
+    # (band, key, count) and heavy keys are rare by construction
+    # (each holds > cap docs, so there are at most n_docs*bands/cap —
+    # and a corpus where that broadcast is big is boilerplate-degenerate
+    # territory that belongs in exact dedup anyway, per LSH_BUCKET_CAP)
+    heavy = (
+        bucketed.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > bucket_cap)
+        .select("band", "key")
+    )
+    bucketed = bucketed.join(F.broadcast(heavy), ["band", "key"], "left_anti")
     bucketed = persist_tracked(bucketed)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"))

@@ -289,11 +289,13 @@ def test_minhash_lsh_plan_has_hot_bucket_cap(spark):
 
     df = ALL_QUERIES["dedup_minhash_lsh"].fn(spark, SF_SMOKE)
     plan = physical_plan(df, "simple")
-    assert "windowspecdefinition(band" in plan, (
-        "per-(band, key) occupancy window missing ahead of the candidate join"
+    # heavy keys are found with a map-side-combined count and removed
+    # with a broadcast ANTI-join (cheaper than a full-row count window)
+    assert _re.search(rf"\(_c#\d+L? > {LSH_BUCKET_CAP}\)", plan), (
+        f"heavy-key filter (_c > {LSH_BUCKET_CAP}) missing from plan"
     )
-    assert _re.search(rf"\(_c#\d+L? <= {LSH_BUCKET_CAP}\)", plan), (
-        f"cap filter (_c <= {LSH_BUCKET_CAP}) missing from plan"
+    assert _re.search(r"BroadcastHashJoin \[band#\d+, key#\d+\].*LeftAnti", plan), (
+        "broadcast anti-join on (band, key) missing ahead of the candidate join"
     )
 
 
