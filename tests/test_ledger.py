@@ -74,6 +74,40 @@ def test_packer_priority_and_capacity():
         pack_window(too_new)
 
 
+def test_window_self_rotates_at_round_boundary(tmp_path):
+    """The structural fix for round 6's red test: simulate the NEXT
+    round's CORRECTNESS file landing (every current window slot goes
+    green) and assert the derived window immediately re-rotates with
+    ZERO violations — the hand-curation failure mode (a new correctness
+    file stales the displaced cohort outside a frozen window) cannot
+    recur."""
+    import json
+    import shutil
+
+    from tools.ledger import REPO_ROOT
+
+    for p in sorted(__import__("glob").glob(f"{REPO_ROOT}/CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path)
+    registered = list(ALL_QUERIES)
+    latest, current = load_ledger(str(tmp_path))
+    # the upcoming round attests the current derived window
+    green = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+        for n in registered[:WINDOW_SIZE]
+    }
+    with open(tmp_path / f"CORRECTNESS_r{current + 1:02d}.json", "w") as f:
+        json.dump(green, f)
+    repacked = pack_window(registered, repo_root=str(tmp_path))
+    reordered = repacked + [n for n in registered if n not in set(repacked)]
+    report = audit(reordered, repo_root=str(tmp_path))
+    assert not report["violations"], report["violations"]
+    # and the just-attested queries must have LEFT the window entirely —
+    # with > WINDOW_SIZE staler queries registered, every slot goes to
+    # the next-stalest cohort
+    assert len(registered) >= 2 * WINDOW_SIZE
+    assert not set(repacked) & set(registered[:WINDOW_SIZE])
+
+
 def test_ledger_reads_history():
     latest, current = load_ledger()
     assert current >= 5
