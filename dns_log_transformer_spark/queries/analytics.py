@@ -2548,11 +2548,15 @@ def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
     # e0 twice, and pagerank scans the edge list iters+2 more times —
     # without the cache the expensive half of the lineage re-runs each
     # time (caller-owns-edge-caching, per the operator's contract)
+    # nodes ride the 3 iterations as LONGS (customer 2k, supplier 2k+1
+    # — disjoint by parity), decoded to the oracle's "c{k}"/"s{k}"
+    # labels only in the final projection: every shuffle and join in
+    # the iteration loop keys on an int64 instead of a string
     e0 = persist_tracked(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -2572,7 +2576,18 @@ def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("_e")
     ).select("_e.src", "_e.dst")
-    return pagerank_int(edges, iters=_PR_ITERS)
+    pr = pagerank_int(edges, iters=_PR_ITERS)
+    return pr.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("CAST(node div 2 AS LONG)").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.expr("CAST(node div 2 AS LONG)").cast("string"))
+        )
+        .alias("node"),
+        "pr_rank",
+    )
 
 
 # ---------------------------------------------------------------------------
