@@ -1383,7 +1383,38 @@ def test_winnow_index_sink_matches_batch_operator(spark, tmp_path):
 
     try:
         ingested: list = []
+        before = None
+        untouched: list = []
         for name, chunk in [("b1", b1), ("b2", b2), ("b3", b3)]:
+            if name == "b3":
+                # append-only pruning pin (the neardup-test discipline):
+                # an anchor bucket none of b3's NEW ids hash into must
+                # not be rewritten by b3
+                import os as _os
+
+                from dns_log_transformer_spark.operators.corpus import (
+                    hash_bucket,
+                )
+
+                a_dir = _os.path.join(table, "anchors")
+                new_ids = spark.createDataFrame(
+                    [(d,) for d, _ in docs[2::3]], "doc_id long"
+                )
+                new_kb = {
+                    r["_kb"]
+                    for r in new_ids.select(
+                        (hash_bucket(F.col("doc_id"), seed=0) % 16).alias("_kb")
+                    ).collect()
+                }
+                untouched = [
+                    e
+                    for e in _os.listdir(a_dir)
+                    if e.startswith("_kb=") and int(e.split("=")[1]) not in new_kb
+                ]
+                if untouched:
+                    before = sorted(
+                        _os.listdir(_os.path.join(a_dir, untouched[0]))
+                    )
             with open(src / f"{name}.json", "w") as f:
                 for did, text in chunk:
                     f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
@@ -1392,6 +1423,16 @@ def test_winnow_index_sink_matches_batch_operator(spark, tmp_path):
                 d for d in chunk if d[0] not in {i[0] for i in ingested}
             ]
             assert got() == want(ingested), f"diverged after {name}"
+        if untouched:
+            import os as _os
+
+            after = sorted(
+                _os.listdir(_os.path.join(table, "anchors", untouched[0]))
+            )
+            assert after == before, (
+                f"anchor bucket {untouched[0]} rewritten by a batch with "
+                "no new id in it"
+            )
     finally:
         q.stop()
     assert len(got()) > 0, "fixture produced no shared spans — vacuous test"
