@@ -43,7 +43,8 @@ def _scorecard_oracle() -> str:
     contam AS (
       SELECT doc_id, len(list_intersect(s, b.bl)) > 0 AS is_cont
       FROM dsh, bench b),
-    fp AS (SELECT doc_id, md5({_SQL_NORM}) AS f FROM documents),
+    fp AS (SELECT doc_id, COALESCE(md5({_SQL_NORM}), '') AS f
+           FROM documents),
     fcnt AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY 1),
     exd AS (SELECT fp.doc_id, fcnt.c >= 2 AS is_exdup
             FROM fp JOIN fcnt USING (f))
@@ -97,10 +98,14 @@ def corpus_source_scorecard(spark: SparkSession, sf: str) -> DataFrame:
     decon = corpus.bloom_verified_decontaminate(
         docs, bench, n=_DECON_N, k=_BLOOM_K, m_bits=_BLOOM_M
     ).select("doc_id", "is_contaminated")
-    wfp = Window.partitionBy("fingerprint")
+    # NULL-text fingerprints coalesce to '' on BOTH sides: Spark's
+    # window would group NULLs together while DuckDB's USING(f) join
+    # drops them (NULL != NULL) — the standard engine-agreement guard
+    # (same as dedup_sorted_neighborhood's key coalesce)
+    wfp = Window.partitionBy("_f")
     exdup = (
         text.with_fingerprint(docs)
-        .select("doc_id", "fingerprint")
+        .select("doc_id", F.coalesce("fingerprint", F.lit("")).alias("_f"))
         .withColumn("is_exdup", F.count("*").over(wfp) >= 2)
         .select("doc_id", "is_exdup")
     )

@@ -65,6 +65,7 @@ from dns_log_transformer_spark.streaming.mv_sink import (
     read_mv,
 )
 from dns_log_transformer_spark.streaming.winnow_index import (
+    merge_docs_batch,
     read_spans,
     winnow_index_sink,
 )
@@ -103,4 +104,5 @@ __all__ = [
     "compact_mv",
     "winnow_index_sink",
     "read_spans",
+    "merge_docs_batch",
 ]

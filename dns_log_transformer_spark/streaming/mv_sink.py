@@ -127,18 +127,25 @@ def _view_parts(
     spark: SparkSession, table_path: str, fence: int, base: str | None
 ) -> list[DataFrame]:
     """The frames that make up the committed view: the base dir the
-    fence names (if any) plus partials the fence has NOT folded — the
-    legacy ``_epoch=-1`` base partition and every epoch above the
-    fence. Partials at or below the fence are already represented in
-    the base; leaving them out is what makes crashed-compaction
-    leftovers harmless garbage instead of double counts."""
+    fence names (if any) plus partials the fence has NOT folded — every
+    epoch above the fence, plus the legacy ``_epoch=-1`` base partition
+    ONLY while no fence-named base exists (the pre-rework format; once
+    a base dir is committed, any surviving ``_epoch=-1`` is a
+    crashed-compaction leftover already folded into it). Partials at or
+    below the fence are already represented in the base; leaving them
+    out is what makes crashed-compaction leftovers harmless garbage
+    instead of double counts."""
     parts: list[DataFrame] = []
-    if base is not None and os.path.isdir(os.path.join(table_path, base)):
+    has_base = base is not None and os.path.isdir(os.path.join(table_path, base))
+    if has_base:
         parts.append(spark.read.parquet(os.path.join(table_path, base)))
     if _has_partitions(table_path, "_epoch="):
+        keep = F.col("_epoch") > fence
+        if not has_base:
+            keep = keep | (F.col("_epoch") == -1)
         parts.append(
             spark.read.parquet(table_path)
-            .filter((F.col("_epoch") == -1) | (F.col("_epoch") > fence))
+            .filter(keep)
             .select("key", "n_rows", "sum_val")
         )
     return parts
@@ -183,13 +190,20 @@ def compact_mv(spark: SparkSession, table_path: str) -> None:
 
     _require_local_path(table_path)
     fence, base = _read_fence_info(table_path)
+    has_base = base is not None and os.path.isdir(os.path.join(table_path, base))
     epochs = [
         int(e.split("=", 1)[1])
         for e in os.listdir(table_path)
         if e.startswith("_epoch=")
     ]
-    to_fold = [e for e in epochs if e == -1 or e > fence]
+    # the legacy _epoch=-1 base partition is foldable input only while
+    # no fence-named base exists; afterwards a surviving -1 is a
+    # crashed-GC leftover whose rows already live in the base (folding
+    # it again would double-count — _view_parts ignores it, the sweep
+    # below removes it)
+    to_fold = [e for e in epochs if (e == -1 and not has_base) or e > fence]
     if not to_fold:
+        _sweep_dead_entries(table_path, fence, base)
         return
     new_thru = max([e for e in to_fold if e != -1], default=fence)
     sources = _view_parts(spark, table_path, fence, base)
@@ -220,16 +234,24 @@ def compact_mv(spark: SparkSession, table_path: str) -> None:
         shutil.rmtree(os.path.join(table_path, f"_epoch={e}"), ignore_errors=True)
     if base is not None and base != new_base:
         shutil.rmtree(os.path.join(table_path, base), ignore_errors=True)
-    # sweep crash leftovers from EARLIER runs: partials at/below the
-    # old fence (already represented in the previous base) and base
-    # dirs no fence names — all invisible to read_mv, pure dead bytes
+    _sweep_dead_entries(table_path, new_thru, new_base)
+
+
+def _sweep_dead_entries(table_path: str, fence: int, base: str | None) -> None:
+    """Best-effort GC of crash leftovers invisible to read_mv: partials
+    at/below the fence (already represented in the base), the legacy
+    ``_epoch=-1`` partition once a fence-named base exists, and base
+    dirs no fence names — all pure dead bytes."""
+    import shutil
+
+    has_base = base is not None and os.path.isdir(os.path.join(table_path, base))
     for entry in os.listdir(table_path):
         full = os.path.join(table_path, entry)
         if entry.startswith("_epoch="):
             e = int(entry.split("=", 1)[1])
-            if e != -1 and e <= fence:
+            if (e != -1 and e <= fence) or (e == -1 and has_base):
                 shutil.rmtree(full, ignore_errors=True)
-        elif entry.startswith("_base_") and entry != new_base:
+        elif entry.startswith("_base_") and entry != base:
             shutil.rmtree(full, ignore_errors=True)
 
 

@@ -14,9 +14,13 @@ Three materializations under ``table_path``:
   partitioned on ``_kb`` (hash bucket of doc id). Append-only;
   replayed doc ids are dropped against the touched ``_kb`` buckets.
   Appended LAST in the batch sequence — it doubles as the replay
-  guard, so a crash anywhere earlier makes the whole batch re-run
-  (every earlier step is idempotent: min/max merges and
-  deterministic recomputes).
+  guard, so a crash anywhere earlier makes the whole batch re-run.
+  The full write order is load-bearing: spans -> fpagg -> anchors.
+  A replay after a crash between spans and fpagg still sees the
+  pre-merge aggregate and re-derives the same prior-sole holders; a
+  replay after fpagg can no longer identify them, but their spans
+  already landed in the crashed run and the keep-side anti-join
+  preserves them (crash-window pins in test_streaming).
 - ``fpagg/`` — one row per distinct anchor fp with the (min, max) doc
   id ever seen holding it, partitioned on ``_fb`` (hash bucket of
   fp). ``mn != mx`` IS the shared-anchor predicate — exactly the
@@ -96,6 +100,43 @@ def winnow_index_sink(
     are folded into the index and every doc whose shared-anchor set
     changed has its spans recomputed. Returns the StreamingQuery."""
     _require_local_path(table_path)
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+        merge_docs_batch(
+            batch_df,
+            table_path,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            w=w,
+            min_anchors=min_anchors,
+            n_buckets=n_buckets,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def merge_docs_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_anchors: int = 2,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    _fail_after: str | None = None,
+) -> None:
+    """One micro-batch of the winnow index, public so tests and
+    backfills can drive batches directly (the mv_sink.merge_epoch
+    convention). ``_fail_after`` ('spans' | 'fpagg') injects a crash
+    immediately after that write for the crash-window pins in
+    test_streaming — the write order it probes is load-bearing."""
+    _require_local_path(table_path)
     anchors_path = os.path.join(table_path, "anchors")
     fpagg_path = os.path.join(table_path, "fpagg")
     spans_path = os.path.join(table_path, "spans")
@@ -106,142 +147,163 @@ def winnow_index_sink(
     def fb(col: Column) -> Column:
         return (hash_bucket(col, seed=2) % n_buckets).cast("int")
 
-    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        from dns_log_transformer_spark.operators.text import (
-            winnow_anchors_arrow,
-        )
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    from dns_log_transformer_spark.operators.text import (
+        winnow_anchors_arrow,
+    )
 
-        # 1. anchors for the batch (within-batch id replays collapse),
-        #    then drop ids already indexed (cross-batch replay) against
-        #    ONLY the anchor-store buckets the batch ids hash to
-        batch_docs = batch_df.dropDuplicates([id_col])
-        anch_b = (
-            winnow_anchors_arrow(
-                batch_docs, id_col=id_col, text_col=text_col, k=k, w=w
-            )
-            .withColumn("_kb", kb(F.col(id_col)))
-            .localCheckpoint()
+    # 1. anchors for the batch (within-batch id replays collapse),
+    #    then drop ids already indexed (cross-batch replay) against
+    #    ONLY the anchor-store buckets the batch ids hash to
+    batch_docs = batch_df.dropDuplicates([id_col])
+    anch_b = (
+        winnow_anchors_arrow(
+            batch_docs, id_col=id_col, text_col=text_col, k=k, w=w
         )
-        if _has_partitions(anchors_path, "_kb="):
-            seen_kb = [r["_kb"] for r in anch_b.select("_kb").distinct().collect()]
-            seen = (
-                spark.read.parquet(anchors_path)
-                .filter(F.col("_kb").isin(seen_kb))
-                .select(id_col)
-                .distinct()
-            )
-            anch_b = anch_b.join(
-                F.broadcast(seen), id_col, "left_anti"
-            ).localCheckpoint()
-        if anch_b.isEmpty():
-            return
-
-        # 2. merge the per-fp (min, max) doc aggregate — idempotent, so
-        #    a replayed batch re-merges to the same values. Touched _fb
-        #    partitions are read fully (their non-batch rows must
-        #    survive the overwrite) and rewritten keep+merged.
-        bfp = (
-            anch_b.groupBy("fp")
-            .agg(F.min(id_col).alias("mn"), F.max(id_col).alias("mx"))
-            .withColumn("_fb", fb(F.col("fp")))
-        )
-        touched_fb = [r["_fb"] for r in bfp.select("_fb").distinct().collect()]
-        old_t = None
-        if _has_partitions(fpagg_path, "_fb="):
-            old_t = (
-                spark.read.parquet(fpagg_path)
-                .filter(F.col("_fb").isin(touched_fb))
-                .localCheckpoint()  # pinned BEFORE its files are overwritten
-            )
-        all_fp = bfp if old_t is None else old_t.unionByName(bfp)
-        merged_part = (
-            all_fp.groupBy("_fb", "fp")
-            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
-            .localCheckpoint()
-        )
-
-        # 3. affected docs: batch docs holding a NOW-shared fp, plus
-        #    the prior sole holder (old mn == mx) of each fp the batch
-        #    just made shared
-        shared_now = merged_part.filter(F.col("mn") != F.col("mx")).select("fp")
-        aff = (
-            anch_b.join(shared_now, "fp", "left_semi")
+        .withColumn("_kb", kb(F.col(id_col)))
+        .localCheckpoint()
+    )
+    if _has_partitions(anchors_path, "_kb="):
+        seen_kb = [r["_kb"] for r in anch_b.select("_kb").distinct().collect()]
+        seen = (
+            spark.read.parquet(anchors_path)
+            .filter(F.col("_kb").isin(seen_kb))
             .select(id_col)
             .distinct()
         )
-        if old_t is not None:
-            prior_sole = (
-                old_t.filter(F.col("mn") == F.col("mx"))
-                .join(shared_now, "fp", "left_semi")
-                .select(F.col("mn").alias(id_col))
-                .distinct()
-            )
-            aff = aff.unionByName(prior_sole).distinct()
-        aff = aff.localCheckpoint()
+        anch_b = anch_b.join(
+            F.broadcast(seen), id_col, "left_anti"
+        ).localCheckpoint()
+    if anch_b.isEmpty():
+        return
 
-        merged_part.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_fb").parquet(fpagg_path)
+    # 2. merge the per-fp (min, max) doc aggregate — idempotent, so
+    #    a replayed batch re-merges to the same values. Touched _fb
+    #    partitions are read fully (their non-batch rows must
+    #    survive the overwrite) and rewritten keep+merged.
+    bfp = (
+        anch_b.groupBy("fp")
+        .agg(F.min(id_col).alias("mn"), F.max(id_col).alias("mx"))
+        .withColumn("_fb", fb(F.col("fp")))
+    )
+    touched_fb = [r["_fb"] for r in bfp.select("_fb").distinct().collect()]
+    old_t = None
+    if _has_partitions(fpagg_path, "_fb="):
+        old_t = (
+            spark.read.parquet(fpagg_path)
+            .filter(F.col("_fb").isin(touched_fb))
+            .localCheckpoint()  # pinned BEFORE its files are overwritten
+        )
+    all_fp = bfp if old_t is None else old_t.unionByName(bfp)
+    merged_part = (
+        all_fp.groupBy("_fb", "fp")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .localCheckpoint()
+    )
 
-        if not aff.isEmpty():
-            # 4. recompute spans for the affected docs only: their full
-            #    anchor sets (batch + their _kb store buckets) filtered
-            #    to fps the UPDATED fpagg marks shared, re-derived with
-            #    the exact batch-operator islands code
-            aff_kb = [
-                r["_kb"]
-                for r in aff.select(kb(F.col(id_col)).alias("_kb"))
-                .distinct()
-                .collect()
-            ]
-            aff_anch = anch_b.join(F.broadcast(aff), id_col, "left_semi").select(
-                id_col, "pos", "fp"
+    # 3. affected docs: batch docs holding a NOW-shared fp, plus
+    #    the prior sole holder (old mn == mx) of each fp the batch
+    #    just made shared
+    shared_now = merged_part.filter(F.col("mn") != F.col("mx")).select("fp")
+    aff = (
+        anch_b.join(shared_now, "fp", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if old_t is not None:
+        prior_sole = (
+            old_t.filter(F.col("mn") == F.col("mx"))
+            .join(shared_now, "fp", "left_semi")
+            .select(F.col("mn").alias(id_col))
+            .distinct()
+        )
+        aff = aff.unionByName(prior_sole).distinct()
+    aff = aff.localCheckpoint()
+
+    if not aff.isEmpty():
+        # 4. recompute spans for the affected docs only: their full
+        #    anchor sets (batch + their _kb store buckets) filtered
+        #    to fps shared under the MERGED aggregate — derived from
+        #    merged_part overlaid on the PRE-overwrite store (for
+        #    fps in untouched partitions), never the updated store:
+        #    the spans rewrite must land BEFORE the fpagg overwrite
+        #    so a crash between them replays cleanly (see the write
+        #    ordering note below); re-derived with the exact
+        #    batch-operator islands code
+        aff_kb = [
+            r["_kb"]
+            for r in aff.select(kb(F.col(id_col)).alias("_kb"))
+            .distinct()
+            .collect()
+        ]
+        aff_anch = anch_b.join(F.broadcast(aff), id_col, "left_semi").select(
+            id_col, "pos", "fp"
+        )
+        if _has_partitions(anchors_path, "_kb="):
+            old_anch = (
+                spark.read.parquet(anchors_path)
+                .filter(F.col("_kb").isin(aff_kb))
+                .join(F.broadcast(aff), id_col, "left_semi")
+                .select(id_col, "pos", "fp")
             )
-            if _has_partitions(anchors_path, "_kb="):
-                old_anch = (
-                    spark.read.parquet(anchors_path)
-                    .filter(F.col("_kb").isin(aff_kb))
-                    .join(F.broadcast(aff), id_col, "left_semi")
-                    .select(id_col, "pos", "fp")
-                )
-                aff_anch = aff_anch.unionByName(old_anch)
-            need_fb = [
-                r["_fb"]
-                for r in aff_anch.select(fb(F.col("fp")).alias("_fb"))
-                .distinct()
-                .collect()
-            ]
-            shared_fps = (
+            aff_anch = aff_anch.unionByName(old_anch)
+        need_fb = [
+            r["_fb"]
+            for r in aff_anch.select(fb(F.col("fp")).alias("_fb"))
+            .distinct()
+            .collect()
+        ]
+        shared_fps = merged_part.filter(
+            F.col("mn") != F.col("mx")
+        ).select("fp")
+        if _has_partitions(fpagg_path, "_fb="):
+            # fps of affected docs living in partitions this batch
+            # did NOT touch are unchanged — their status comes from
+            # the store as it stands (still pre-overwrite)
+            untouched_shared = (
                 spark.read.parquet(fpagg_path)
-                .filter(F.col("_fb").isin(need_fb))
+                .filter(
+                    F.col("_fb").isin(need_fb)
+                    & ~F.col("_fb").isin(touched_fb)
+                )
                 .filter(F.col("mn") != F.col("mx"))
                 .select("fp")
             )
-            sa = aff_anch.join(shared_fps, "fp", "left_semi")
-            new_spans = merge_anchor_spans(
-                sa, id_col=id_col, k=k, min_anchors=min_anchors
-            ).withColumn("_kb", kb(F.col(id_col)))
-            if _has_partitions(spans_path, "_kb="):
-                keep = (
-                    spark.read.parquet(spans_path)
-                    .filter(F.col("_kb").isin(aff_kb))
-                    .join(F.broadcast(aff), id_col, "left_anti")
-                )
-                new_spans = keep.unionByName(new_spans)
-            new_spans = new_spans.localCheckpoint()
-            new_spans.write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("_kb").parquet(spans_path)
+            shared_fps = shared_fps.unionByName(untouched_shared)
+        sa = aff_anch.join(shared_fps, "fp", "left_semi")
+        new_spans = merge_anchor_spans(
+            sa, id_col=id_col, k=k, min_anchors=min_anchors
+        ).withColumn("_kb", kb(F.col(id_col)))
+        if _has_partitions(spans_path, "_kb="):
+            keep = (
+                spark.read.parquet(spans_path)
+                .filter(F.col("_kb").isin(aff_kb))
+                .join(F.broadcast(aff), id_col, "left_anti")
+            )
+            new_spans = keep.unionByName(new_spans)
+        new_spans = new_spans.localCheckpoint()
+        new_spans.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_kb").parquet(spans_path)
+    if _fail_after == "spans":
+        raise RuntimeError("injected crash after the spans write")
 
-        # 5. fold the batch anchors in LAST — this append is the replay
-        #    guard for steps 2-4
-        anch_b.write.mode("append").partitionBy("_kb").parquet(anchors_path)
+    # 5. WRITE ORDER IS LOAD-BEARING: spans (above) -> fpagg ->
+    #    anchors. The anchors append is the replay guard, so a
+    #    crash anywhere earlier re-runs the whole batch; the replay
+    #    is only correct because (a) spans landed before fpagg —
+    #    if it crashed in between, the replay still sees the
+    #    PRE-merge fpagg and recomputes the same prior-sole
+    #    holders; and (b) if it crashed after fpagg, the replay's
+    #    prior-sole set is empty but those docs' spans were already
+    #    written by the crashed run (and the keep-side anti-join
+    #    preserves them).
+    merged_part.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_fb").parquet(fpagg_path)
+    if _fail_after == "fpagg":
+        raise RuntimeError("injected crash after the fpagg write")
+    anch_b.write.mode("append").partitionBy("_kb").parquet(anchors_path)
 
-    return (
-        docs.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )

@@ -1335,6 +1335,97 @@ def test_mv_sink_exactly_once_under_replay_and_compaction(spark, tmp_path):
     assert not _os.path.isdir(_os.path.join(table, "_epoch=7"))
     assert not _os.path.isdir(_os.path.join(table, "_epoch=0"))
     assert not _os.path.isdir(_os.path.join(table, "_base_e99"))
+    # (h) a resurrected legacy _epoch=-1 partition — a crashed GC of
+    # the pre-rework base — must be invisible while a fence-named base
+    # exists (NOT re-folded: its rows already live in the base) and
+    # swept by the next compaction
+    legacy = (
+        spark.createDataFrame([(2, 3, 999)], "key long, n_rows long, sum_val long")
+        .withColumn("_epoch", F.lit(-1))
+    )
+    (
+        legacy.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(table)
+    )
+    assert got() == want
+    merge_epoch(
+        spark.createDataFrame([(999_998, 50)], "user_id long, cents long"),
+        9,
+        table,
+        "user_id",
+        "cents",
+    )
+    want[999_998] = (1, 50)
+    compact_mv(spark, table)
+    assert got() == want
+    assert not _os.path.isdir(_os.path.join(table, "_epoch=-1"))
+
+
+def test_mv_compaction_migrates_legacy_format(spark, tmp_path):
+    """A table written by the pre-rework compactor — base in the
+    ``_epoch=-1`` partition, fence json carrying only folded_thru —
+    must read correctly, fold into a fence-named base dir on the next
+    compaction, and never count the legacy partition twice."""
+    import json as _json
+    import os as _os
+
+    from dns_log_transformer_spark.streaming import (
+        compact_mv,
+        merge_epoch,
+        read_mv,
+    )
+
+    table = str(tmp_path / "mv_legacy")
+    # legacy state: folded base for epochs 0-1 at _epoch=-1, fence
+    # {folded_thru: 1} with no base name, plus a live epoch-2 partial
+    base = (
+        spark.createDataFrame(
+            [(1, 2, 300), (2, 1, 50)], "key long, n_rows long, sum_val long"
+        )
+        .withColumn("_epoch", F.lit(-1))
+    )
+    base.write.mode("overwrite").partitionBy("_epoch").parquet(table)
+    with open(_os.path.join(table, "_FENCE"), "w") as f:
+        _json.dump({"folded_thru": 1}, f)
+    merge_epoch(
+        spark.createDataFrame([(1, 7), (3, 9)], "key long, cents long"),
+        2,
+        table,
+        "key",
+        "cents",
+    )
+    want = {1: (3, 307), 2: (1, 50), 3: (1, 9)}
+
+    def got():
+        return {
+            r["key"]: (r["n_rows"], r["sum_val"])
+            for r in read_mv(spark, table).collect()
+        }
+
+    assert got() == want
+    # a replay of a folded epoch still no-ops under the legacy fence
+    merge_epoch(
+        spark.createDataFrame([(1, 999)], "key long, cents long"),
+        1,
+        table,
+        "key",
+        "cents",
+    )
+    assert got() == want
+    compact_mv(spark, table)
+    assert got() == want
+    assert not _os.path.isdir(_os.path.join(table, "_epoch=-1"))
+    assert not _os.path.isdir(_os.path.join(table, "_epoch=2"))
+    # the fence now names a base dir; re-resurrecting the legacy
+    # partition (crashed-GC shape) must not double-count
+    base.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_epoch").parquet(table)
+    assert got() == want
+    compact_mv(spark, table)  # nothing to fold, but sweeps the ghost
+    assert got() == want
 
 
 def test_winnow_index_sink_matches_batch_operator(spark, tmp_path):
@@ -1436,6 +1527,55 @@ def test_winnow_index_sink_matches_batch_operator(spark, tmp_path):
     finally:
         q.stop()
     assert len(got()) > 0, "fixture produced no shared spans — vacuous test"
+
+
+def test_winnow_index_crash_windows_replay_clean(spark, tmp_path):
+    """The winnow sink's write order (spans -> fpagg -> anchors) is
+    load-bearing: a crash after EITHER intermediate write followed by
+    the foreachBatch replay must converge to the one-shot operator —
+    in particular the retroactive span growth of a PRIOR doc whose
+    anchor a crashed batch made shared must survive the fpagg-first
+    replay (the round-7 review finding)."""
+    import pytest as _pytest
+
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.streaming import (
+        merge_docs_batch,
+        read_spans,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        .select("doc_id", "text")
+        .collect()
+    ]
+    b1, b2 = docs[0::2], docs[1::2]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def check(table, rows, ctx):
+        df = read_spans(spark, table)
+        got = set() if df is None else {tuple(r) for r in df.collect()}
+        want = {tuple(r) for r in corpus.winnow_span_dedup(frame(rows)).collect()}
+        assert got == want, f"diverged after {ctx}"
+        assert want, "fixture produced no shared spans — vacuous test"
+
+    for fail_point in ("spans", "fpagg"):
+        table = str(tmp_path / f"widx_{fail_point}")
+        merge_docs_batch(frame(b1), table)
+        # batch 2 crashes right after the injected write...
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            merge_docs_batch(frame(b2), table, _fail_after=fail_point)
+        # ...and foreachBatch replays it (at-least-once)
+        merge_docs_batch(frame(b2), table)
+        check(table, b1 + b2, f"crash after {fail_point} + replay")
+        # a further replay of the fully-committed batch is a no-op
+        merge_docs_batch(frame(b2), table)
+        check(table, b1 + b2, f"post-commit replay ({fail_point})")
 
 
 def test_trigger_available_now_drains_and_stops(spark, tmp_path):
