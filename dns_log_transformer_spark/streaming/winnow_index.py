@@ -52,6 +52,10 @@ must land in the same batch that made their anchors shared.
 
 Same honesty caveat as cdc_sink: parquet partition overwrites are not
 transactional; a transactional table format is the production wrapper.
+Sizing: ``n_buckets`` bounds the partition fan-out of all three tables
+— size it so a typical batch touches a small fraction (thousands at
+100 TB; the default 16 is fixture-scaled, same note as the near-dup
+sink).
 """
 
 from __future__ import annotations
