@@ -305,3 +305,61 @@ def test_bpe_merge_steps_matches_reference(spark, texts, k):
         for r in text_ops.bpe_merge_steps(df, k=k).collect()
     ]
     assert got == _ref_bpe(texts, k)
+
+
+# ---------------------------------------------------------------------------
+# merge_anchor_spans (the gaps-and-islands core shared by the batch
+# winnow operator and the round-7 streaming winnow index)
+# ---------------------------------------------------------------------------
+
+
+def _spans_reference(doc_positions, k, min_anchors):
+    """Obviously-correct per-doc interval merge: anchors cover
+    [pos, pos+k-1]; sorted positions chain into one island while each
+    next pos starts at or before the running max end + 1."""
+    out = set()
+    for doc, positions in doc_positions.items():
+        runs: list[list[int]] = []
+        for pos in sorted(set(positions)):
+            if runs and pos <= runs[-1][-1] + k - 1 + 1:
+                runs[-1].append(pos)
+            else:
+                runs.append([pos])
+        for run in runs:
+            if len(run) >= min_anchors:
+                out.add((doc, run[0], run[-1] + k - 1 - run[0] + 1, len(run)))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    docs=st.dictionaries(
+        st.integers(min_value=1, max_value=6),
+        st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=25),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=9),
+    min_anchors=st.integers(min_value=1, max_value=3),
+)
+def test_merge_anchor_spans_matches_reference(spark, docs, k, min_anchors):
+    from dns_log_transformer_spark.operators.corpus import merge_anchor_spans
+
+    rows = [
+        (doc, pos, f"fp{doc}_{pos}")
+        for doc, positions in docs.items()
+        for pos in sorted(set(positions))
+    ]
+    sa = spark.createDataFrame(rows, "doc_id long, pos int, fp string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["n_anchors"])
+        for r in merge_anchor_spans(
+            sa, id_col="doc_id", k=k, min_anchors=min_anchors
+        ).collect()
+    }
+    want = _spans_reference(docs, k, min_anchors)
+    assert got == want
