@@ -482,17 +482,37 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return agg.select(F.col(id_col), packed.alias("simhash"))
 
 
+#: Hot-bucket occupancy cap for the SimHash byte-band join. Byte bands
+#: are the SKEWED banding scheme of this family: similar corpora
+#: concentrate on a few byte values (fixture occupancy: 301 at sf0.01,
+#: 3058 at sf0.1, 10586 at x10 — far above anything MinHash bands
+#: show), so an uncapped band join goes quadratic on exactly the
+#: buckets where a web corpus is densest. The default binds NONE of
+#: the attested fixtures (> 3058), preserving the pigeonhole-exact
+#: results there, while bounding per-bucket fan-out at real scale.
+#: Recall note above the cap: a <= 3-flip pair is still found if ANY
+#: of its agreeing bytes sits in an under-cap bucket; pairs whose
+#: every agreeing byte is oversized live in near-exact-dup clusters —
+#: route those through content-hash dedup, as with LSH_BUCKET_CAP.
+SIMHASH_BUCKET_CAP = 4096
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming (< 4).
 
     Scalable shape: split the 32-bit hash into 4 bytes; any pair within
     Hamming 3 must agree on >= 1 whole byte (pigeonhole), so an equi-join
-    per byte-band finds all such pairs without a cross join.
+    per byte-band finds all such pairs without a cross join. Byte
+    buckets holding more than ``bucket_cap`` docs are excluded ahead of
+    the self-join (map-side-combined count + broadcast anti-join, the
+    LSH_BUCKET_CAP pattern — see SIMHASH_BUCKET_CAP for the skew data
+    and the recall note); the DuckDB oracle mirrors the cap.
     """
     sh = simhash(df, id_col, text_col)
     # tiny (one row per doc) and read by both self-join sides: persist so
@@ -510,6 +530,13 @@ def simhash_pairs(
     bucketed = sh.select(id_col, "simhash", F.explode(bands).alias("b")).select(
         id_col, "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
+    heavy = (
+        bucketed.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > bucket_cap)
+        .select("band", "key")
+    )
+    bucketed = bucketed.join(F.broadcast(heavy), ["band", "key"], "left_anti")
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

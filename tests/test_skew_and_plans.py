@@ -287,16 +287,22 @@ def test_minhash_lsh_plan_has_hot_bucket_cap(spark):
     from dns_log_transformer_spark.queries import ALL_QUERIES
     from tests.conftest import SF_SMOKE
 
-    df = ALL_QUERIES["dedup_minhash_lsh"].fn(spark, SF_SMOKE)
-    plan = physical_plan(df, "simple")
-    # heavy keys are found with a map-side-combined count and removed
-    # with a broadcast ANTI-join (cheaper than a full-row count window)
-    assert _re.search(rf"\(_c#\d+L? > {LSH_BUCKET_CAP}\)", plan), (
-        f"heavy-key filter (_c > {LSH_BUCKET_CAP}) missing from plan"
-    )
-    assert _re.search(r"BroadcastHashJoin \[band#\d+, key#\d+\].*LeftAnti", plan), (
-        "broadcast anti-join on (band, key) missing ahead of the candidate join"
-    )
+    from dns_log_transformer_spark.operators.dedup import SIMHASH_BUCKET_CAP
+
+    for name, cap in (
+        ("dedup_minhash_lsh", LSH_BUCKET_CAP),
+        ("dedup_simhash_pairs", SIMHASH_BUCKET_CAP),
+    ):
+        df = ALL_QUERIES[name].fn(spark, SF_SMOKE)
+        plan = physical_plan(df, "simple")
+        # heavy keys are found with a map-side-combined count and removed
+        # with a broadcast ANTI-join (cheaper than a full-row count window)
+        assert _re.search(rf"\(_c#\d+L? > {cap}\)", plan), (
+            f"{name}: heavy-key filter (_c > {cap}) missing from plan"
+        )
+        assert _re.search(
+            r"BroadcastHashJoin \[band#\d+, key#\d+L?\].*LeftAnti", plan
+        ), f"{name}: broadcast anti-join on (band, key) missing"
 
 
 def test_basket_queries_plan_has_cap(spark):
