@@ -89,3 +89,37 @@ def test_temperature_sample_single_source_and_tiny_total(spark):
     assert 1 <= len(out) <= 5
     again = corpus.temperature_sample(df, total=5, source_col="source").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_simhash_bucket_cap_excludes_mega_cluster(spark):
+    """SIMHASH_BUCKET_CAP semantics (round-7 guard): an exact-dup
+    mega-cluster occupies every one of its 4 byte bands past the cap,
+    so its pairs drop out of the banded join (near-exact-dup territory
+    routed to content-hash dedup per the docstring) — while a distinct
+    pair living in under-cap buckets is still found."""
+    from dns_log_transformer_spark.operators import dedup
+
+    boiler = [(i, "the same boilerplate text repeated everywhere") for i in range(12)]
+    # distinct near-dup pair, different token set from the cluster
+    other = [
+        (100, "zebra quagga okapi gnu impala oryx"),
+        (101, "zebra quagga okapi gnu impala oryx!"),
+    ]
+    docs = spark.createDataFrame(boiler + other, "doc_id long, text string")
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(docs, bucket_cap=5).collect()
+    }
+    # the 12-doc cluster exceeds cap=5 in all its bands -> none of its
+    # 66 pairs survive; the under-cap pair must
+    assert (100, 101) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # with the cap above occupancy the exact pigeonhole set returns
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(docs, bucket_cap=100).collect()
+    }
+    assert {(a, b) for a, b in uncapped if a < 100 and b < 100} == {
+        (a, b) for a in range(12) for b in range(12) if a < b
+    }
+    assert (100, 101) in uncapped
