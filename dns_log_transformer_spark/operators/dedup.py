@@ -268,8 +268,14 @@ def _lsh_band_candidates(
     # WITH both full shingle arrays in tow — the corpus's heaviest
     # columns on the heaviest shuffle. Dedup the bare (doc_a, doc_b) key
     # first; shingles re-join only for the surviving candidates.
-    bucketed = sig.select(id_col, F.explode(bands).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    # persisted BEFORE the occupancy count: the signature aggregation
+    # upstream is the expensive half of this lineage, and the heavy-key
+    # agg plus both anti-joined join sides all read this frame — without
+    # the cache each consumer would recompute the signatures
+    bucketed = persist_tracked(
+        sig.select(id_col, F.explode(bands).alias("b")).select(
+            id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+        )
     )
     # occupancy cap as a map-side-combined count + broadcast ANTI-join
     # of the heavy keys, NOT a count window: the window shuffles+sorts
@@ -285,7 +291,6 @@ def _lsh_band_candidates(
         .select("band", "key")
     )
     bucketed = bucketed.join(F.broadcast(heavy), ["band", "key"], "left_anti")
-    bucketed = persist_tracked(bucketed)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"))
     return (
