@@ -233,6 +233,25 @@ def minhash_signatures(
 LSH_BUCKET_CAP = 100
 
 
+def _drop_heavy_buckets(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
+    """The shared hot-bucket exclusion: a map-side-combined
+    per-(band, key) count plus a broadcast ANTI-join of the heavy keys
+    — NOT a count window, which would shuffle and sort every row while
+    the partial agg ships only (band, key, count). Heavy keys are rare
+    by construction (each holds > cap members, so there are at most
+    rows/cap of them — a corpus where that broadcast is big is
+    boilerplate-degenerate territory that belongs in exact dedup, per
+    LSH_BUCKET_CAP / SIMHASH_BUCKET_CAP). The plan shape is asserted
+    for both consumers in test_skew_and_plans."""
+    heavy = (
+        bucketed.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > bucket_cap)
+        .select("band", "key")
+    )
+    return bucketed.join(F.broadcast(heavy), ["band", "key"], "left_anti")
+
+
 def _lsh_band_candidates(
     sh: DataFrame,
     id_col: str,
@@ -277,20 +296,7 @@ def _lsh_band_candidates(
             id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
         )
     )
-    # occupancy cap as a map-side-combined count + broadcast ANTI-join
-    # of the heavy keys, NOT a count window: the window shuffles+sorts
-    # every (doc, band) row, while the partial agg ships only
-    # (band, key, count) and heavy keys are rare by construction
-    # (each holds > cap docs, so there are at most n_docs*bands/cap —
-    # and a corpus where that broadcast is big is boilerplate-degenerate
-    # territory that belongs in exact dedup anyway, per LSH_BUCKET_CAP)
-    heavy = (
-        bucketed.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > bucket_cap)
-        .select("band", "key")
-    )
-    bucketed = bucketed.join(F.broadcast(heavy), ["band", "key"], "left_anti")
+    bucketed = _drop_heavy_buckets(bucketed, bucket_cap)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"))
     return (
@@ -535,13 +541,7 @@ def simhash_pairs(
     bucketed = sh.select(id_col, "simhash", F.explode(bands).alias("b")).select(
         id_col, "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    heavy = (
-        bucketed.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > bucket_cap)
-        .select("band", "key")
-    )
-    bucketed = bucketed.join(F.broadcast(heavy), ["band", "key"], "left_anti")
+    bucketed = _drop_heavy_buckets(bucketed, bucket_cap)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

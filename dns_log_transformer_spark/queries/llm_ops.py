@@ -516,9 +516,12 @@ def text_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(docs)
 
 
-@register(
-    "dedup_simhash_pairs",
-    oracle=rf"""
+def _simhash_pairs_oracle(bucket_cap: int = None) -> str:
+    """The banded + occupancy-capped pair derivation, parametrized so
+    tests can run a BINDING cap (the attested default never binds at
+    parity scale) against dedup.simhash_pairs on the same data."""
+    cap = dedup.SIMHASH_BUCKET_CAP if bucket_cap is None else bucket_cap
+    return rf"""
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
       FROM documents),
@@ -536,14 +539,16 @@ def text_simhash(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id, simhash, band, key,
                COUNT(*) OVER (PARTITION BY band, key) AS _c
         FROM bands)
-      WHERE _c <= {dedup.SIMHASH_BUCKET_CAP})
+      WHERE _c <= {cap})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM bandsc a JOIN bandsc b USING (band, key)
     WHERE a.doc_id < b.doc_id
       AND bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
+    """
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3) via byte-band join —
     pigeonhole-exact for <= 3 bit flips wherever the per-(band, key)

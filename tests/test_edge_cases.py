@@ -97,13 +97,14 @@ def test_simhash_bucket_cap_excludes_mega_cluster(spark):
     so its pairs drop out of the banded join (near-exact-dup territory
     routed to content-hash dedup per the docstring) — while a distinct
     pair living in under-cap buckets is still found."""
-    from dns_log_transformer_spark.operators import dedup
-
     boiler = [(i, "the same boilerplate text repeated everywhere") for i in range(12)]
-    # distinct near-dup pair, different token set from the cluster
+    # byte-identical under-cap pair (hamming 0 BY CONSTRUCTION — a
+    # near-dup pair sitting exactly at the <=3 boundary would make this
+    # test fail misleadingly on any tokenizer/hash tweak), with a token
+    # set disjoint from the cluster so its band keys differ
     other = [
         (100, "zebra quagga okapi gnu impala oryx"),
-        (101, "zebra quagga okapi gnu impala oryx!"),
+        (101, "zebra quagga okapi gnu impala oryx"),
     ]
     docs = spark.createDataFrame(boiler + other, "doc_id long, text string")
     capped = {
@@ -123,3 +124,40 @@ def test_simhash_bucket_cap_excludes_mega_cluster(spark):
         (a, b) for a in range(12) for b in range(12) if a < b
     }
     assert (100, 101) in uncapped
+
+
+def test_simhash_cap_binding_matches_oracle(spark):
+    """Spark-vs-DuckDB agreement UNDER A BINDING CAP: the attested
+    default never binds at parity scale, so an off-by-one or
+    partitioning mistake in either side's cap semantics would otherwise
+    surface only as a future attestation break. Same synthetic corpus,
+    cap=5 on both engines, exact pair-set equality."""
+    import duckdb
+    import pandas as pd
+
+    from dns_log_transformer_spark.queries.llm_ops import (
+        _simhash_pairs_oracle,
+    )
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(12)]
+    rows += [
+        (100, "zebra quagga okapi gnu impala oryx"),
+        (101, "zebra quagga okapi gnu impala oryx"),
+        (200, "completely different singleton content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, bucket_cap=5).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    want = {
+        (int(a), int(b), int(h))
+        for a, b, h in con.execute(_simhash_pairs_oracle(5)).fetchall()
+    }
+    assert got == want
+    assert (100, 101, 0) in got  # the under-cap pair survives both sides
+    assert not any(a < 100 for a, _b, _h in got)  # the cluster is excluded

@@ -1544,14 +1544,16 @@ def test_winnow_index_crash_windows_replay_clean(spark, tmp_path):
         read_spans,
     )
 
-    # a 40-doc slice keeps the cross-batch shared anchors (the heavily
-    # near-duplicated fixture head) while halving this test's runtime
+    # a 40-doc slice keeps cross-batch shared anchors (the fixture is
+    # heavily near-duplicated) while halving this test's runtime; the
+    # orderBy pins WHICH 40 — limit on an unsorted scan does not
     docs = [
         (r["doc_id"], r["text"])
         for r in spark.read.parquet(
             "/root/testdata/sf0.001/documents.parquet"
         )
         .select("doc_id", "text")
+        .orderBy("doc_id")
         .limit(40)
         .collect()
     ]
