@@ -1133,3 +1133,80 @@ def negative_pairs(
         probes.join(b, "_prk")
         .select(id_col, F.col("_j").cast("int").alias("j"), "neg_id")
     )
+
+
+def source_scorecard(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    k: int | None = None,
+    m_bits: int | None = None,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus triage scorecard — the keep/re-crawl/drop view:
+    doc count, EXACT benchmark-contamination count (through the Bloom
+    pre-filter), exact-dup docs (normalized-md5 fingerprint held by
+    >= 2 docs), near-dup docs (member of any capped MinHash-LSH pair),
+    contamination pct. Composition of three individually-attested
+    pipelines assembled with per-doc flags and ONE conditional-agg
+    groupBy(source); shared by the registered batch query
+    (queries/round7.py, DuckDB-oracle-attested) and the streaming
+    corpus monitor's pin test (streaming/corpus_monitor.py)."""
+    from dns_log_transformer_spark.operators import dedup, text
+
+    docs = persist_tracked(docs)
+    decon = bloom_verified_decontaminate(
+        docs, bench, n=n, id_col=id_col, text_col=text_col, k=k, m_bits=m_bits
+    ).select(id_col, "is_contaminated")
+    # NULL-text fingerprints coalesce to '' on BOTH engines: Spark's
+    # window groups NULLs together while DuckDB's USING(f) join drops
+    # them (queries/round7.py mirrors this coalesce)
+    wfp = Window.partitionBy("_f")
+    exdup = (
+        text.with_fingerprint(docs, text_col=text_col)
+        .select(id_col, F.coalesce("fingerprint", F.lit("")).alias("_f"))
+        .withColumn("is_exdup", F.count("*").over(wfp) >= 2)
+        .select(id_col, "is_exdup")
+    )
+    pairs = persist_tracked(
+        dedup.minhash_lsh_pairs(
+            docs, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+    )
+    near = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return scorecard_from_flags(
+        docs.select(id_col, F.col(source_col).alias("source"))
+        .join(decon, id_col)
+        .join(exdup, id_col)
+        .join(near, id_col, "left")
+    )
+
+
+def scorecard_from_flags(flagged: DataFrame) -> DataFrame:
+    """The final conditional-agg layer over per-doc flag rows
+    (source, is_contaminated, is_exdup, is_near-nullable) — split out
+    so the streaming monitor's read-side report aggregates its stores
+    through the IDENTICAL expressions."""
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("is_contaminated").cast("long"))
+        .cast("bigint")
+        .alias("n_contaminated"),
+        F.sum(F.col("is_exdup").cast("long")).cast("bigint").alias("n_exact_dup"),
+        F.sum(F.coalesce(F.col("is_near"), F.lit(False)).cast("long"))
+        .cast("bigint")
+        .alias("n_near_dup"),
+        F.round(
+            F.sum(F.col("is_contaminated").cast("long")) * 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("contam_pct"),
+    )

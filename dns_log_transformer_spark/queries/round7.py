@@ -10,7 +10,7 @@ which source to keep, re-crawl, or drop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dns_log_transformer_spark.queries.registry import register, table
@@ -79,64 +79,22 @@ def corpus_source_scorecard(spark: SparkSession, sf: str) -> DataFrame:
     Composition of three individually-attested pipelines
     (corpus_bloom_verified_decon, text_fingerprint,
     dedup_minhash_lsh), assembled with per-doc flags and ONE
-    conditional-agg groupBy(source) — the q_snapshot_drift shape.
-    Scale: every stage is the attested operator's own bounded plan
-    (join-free bitset probe + suspect-only verify; fingerprint window
-    partitions on the high-cardinality hash; LSH is banded AND
-    occupancy-capped); the assembly adds three doc-keyed equi-joins
-    and a source-cardinality aggregate."""
-    from dns_log_transformer_spark.operators import corpus, dedup, text
-    from dns_log_transformer_spark.operators.caching import persist_tracked
+    conditional-agg groupBy(source) — the q_snapshot_drift shape,
+    implemented by corpus.source_scorecard (shared with the streaming
+    monitor's pin test). Scale: every stage is the attested operator's
+    own bounded plan (join-free bitset probe + suspect-only verify;
+    fingerprint window partitions on the high-cardinality hash; LSH is
+    banded AND occupancy-capped); the assembly adds three doc-keyed
+    equi-joins and a source-cardinality aggregate."""
+    from dns_log_transformer_spark.operators import corpus
     from dns_log_transformer_spark.queries.llm_ops import (
         _BLOOM_K,
         _BLOOM_M,
         _DECON_N,
     )
 
-    docs = persist_tracked(table(spark, sf, "documents"))
+    docs = table(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    decon = corpus.bloom_verified_decontaminate(
+    return corpus.source_scorecard(
         docs, bench, n=_DECON_N, k=_BLOOM_K, m_bits=_BLOOM_M
-    ).select("doc_id", "is_contaminated")
-    # NULL-text fingerprints coalesce to '' on BOTH sides: Spark's
-    # window would group NULLs together while DuckDB's USING(f) join
-    # drops them (NULL != NULL) — the standard engine-agreement guard
-    # (same as dedup_sorted_neighborhood's key coalesce)
-    wfp = Window.partitionBy("_f")
-    exdup = (
-        text.with_fingerprint(docs)
-        .select("doc_id", F.coalesce("fingerprint", F.lit("")).alias("_f"))
-        .withColumn("is_exdup", F.count("*").over(wfp) >= 2)
-        .select("doc_id", "is_exdup")
-    )
-    pairs = persist_tracked(dedup.minhash_lsh_pairs(docs, threshold=0.5))
-    near = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-        .withColumn("is_near", F.lit(True))
-    )
-    return (
-        docs.select("doc_id", "source")
-        .join(decon, "doc_id")
-        .join(exdup, "doc_id")
-        .join(near, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.col("is_contaminated").cast("long"))
-            .cast("bigint")
-            .alias("n_contaminated"),
-            F.sum(F.col("is_exdup").cast("long"))
-            .cast("bigint")
-            .alias("n_exact_dup"),
-            F.sum(F.coalesce(F.col("is_near"), F.lit(False)).cast("long"))
-            .cast("bigint")
-            .alias("n_near_dup"),
-            F.round(
-                F.sum(F.col("is_contaminated").cast("long")) * 100.0
-                / F.count(F.lit(1)),
-                4,
-            ).alias("contam_pct"),
-        )
     )

@@ -64,6 +64,10 @@ from dns_log_transformer_spark.streaming.mv_sink import (
     mv_sink,
     read_mv,
 )
+from dns_log_transformer_spark.streaming.corpus_monitor import (
+    corpus_monitor_sink,
+    read_scorecard,
+)
 from dns_log_transformer_spark.streaming.winnow_index import (
     merge_docs_batch,
     read_spans,
@@ -105,4 +109,6 @@ __all__ = [
     "winnow_index_sink",
     "read_spans",
     "merge_docs_batch",
+    "corpus_monitor_sink",
+    "read_scorecard",
 ]

@@ -90,153 +90,183 @@ def neardup_index_sink(
     against the accumulated index and folded into it. Returns the
     StreamingQuery."""
     _require_local_path(table_path)
-    buckets_path = os.path.join(table_path, "buckets")
-    shingles_path = os.path.join(table_path, "shingles")
-    pairs_path = os.path.join(table_path, "pairs")
-    rows = num_hashes // num_bands
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-
-        # 1. shingle the batch (docs with no shingles can never pair);
-        #    within-batch id replays collapse to one row
-        sh_b = (
-            dedup.with_shingles(batch_df, id_col, text_col, n)
-            .filter(F.col("n_shingles") > 0)
-            .dropDuplicates([id_col])
-            .withColumn(
-                "_kb", (hash_bucket(F.col(id_col), seed=0) % n_buckets).cast("int")
-            )
-            .localCheckpoint()
+        neardup_merge_batch(
+            batch_df,
+            table_path,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            n_buckets=n_buckets,
         )
-
-        # 2. drop ids already indexed (cross-batch replay): anti-join
-        #    against ONLY the shingle-store buckets the batch ids hash to
-        if _has_partitions(shingles_path, "_kb="):
-            seen_kb = [r["_kb"] for r in sh_b.select("_kb").distinct().collect()]
-            seen = (
-                spark.read.parquet(shingles_path)
-                .filter(F.col("_kb").isin(seen_kb))
-                .select(id_col)
-            )
-            sh_b = sh_b.join(F.broadcast(seen), id_col, "left_anti").localCheckpoint()
-        if sh_b.isEmpty():
-            return
-
-        # 3. band buckets for the batch (the attested signature recipe)
-        sig = dedup.minhash_signatures(sh_b, id_col, num_hashes)
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(k).alias("band"),
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col(f"m{k * rows + r}").cast("string")
-                            for r in range(rows)
-                        ],
-                    ).alias("key"),
-                )
-                for k in range(num_bands)
-            ]
-        )
-        bk_b = (
-            sig.select(F.col(id_col), F.explode(bands).alias("b"))
-            .select(
-                id_col,
-                F.col("b.band").alias("band"),
-                F.col("b.key").alias("key"),
-            )
-            .withColumn(
-                "_bb",
-                (
-                    hash_bucket(F.concat_ws(":", "band", "key"), seed=1)
-                    % n_buckets
-                ).cast("int"),
-            )
-            .localCheckpoint()
-        )
-
-        # 4. candidates: batch band keys vs (touched index partitions +
-        #    the batch itself); each unordered pair once, batch-side driven
-        all_bk = bk_b
-        if _has_partitions(buckets_path, "_bb="):
-            touched_bb = [
-                r["_bb"] for r in bk_b.select("_bb").distinct().collect()
-            ]
-            old_bk = spark.read.parquet(buckets_path).filter(
-                F.col("_bb").isin(touched_bb)
-            )
-            all_bk = bk_b.unionByName(old_bk)
-        cand = (
-            bk_b.select("band", "key", F.col(id_col).alias("_n"))
-            .join(
-                all_bk.select("band", "key", F.col(id_col).alias("_o")),
-                ["band", "key"],
-            )
-            .filter(F.col("_n") != F.col("_o"))
-            .select(
-                F.least("_n", "_o").alias("doc_a"),
-                F.greatest("_n", "_o").alias("doc_b"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-            .localCheckpoint()
-        )
-
-        # 5. verify exact Jaccard on candidates only; partner shingles
-        #    come from the batch plus ONLY the partners' _kb buckets
-        partners = (
-            cand.select(F.col("doc_a").alias(id_col))
-            .unionByName(cand.select(F.col("doc_b").alias(id_col)))
-            .distinct()
-            .withColumn(
-                "_kb", (hash_bucket(F.col(id_col), seed=0) % n_buckets).cast("int")
-            )
-        )
-        all_sh = sh_b.select(id_col, "shingles")
-        if _has_partitions(shingles_path, "_kb="):
-            partner_kb = [
-                r["_kb"] for r in partners.select("_kb").distinct().collect()
-            ]
-            old_sh = (
-                spark.read.parquet(shingles_path)
-                .filter(F.col("_kb").isin(partner_kb))
-                .join(F.broadcast(partners.select(id_col)), id_col, "left_semi")
-                .select(id_col, "shingles")
-            )
-            all_sh = all_sh.unionByName(old_sh)
-        verify = cand.join(
-            all_sh.select(
-                F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
-            ),
-            "doc_a",
-        ).join(
-            all_sh.select(
-                F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
-            ),
-            "doc_b",
-        )
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        jac = inter.cast("double") / union.cast("double")
-        out = (
-            verify.withColumn("jaccard", F.round(jac, 4))
-            .filter(jac >= threshold)
-            .select("doc_a", "doc_b", "jaccard")
-        )
-
-        # 6. emit + fold the batch into the index (append-only: docs are
-        #    immutable and replays were dropped in step 2)
-        out.write.mode("append").parquet(pairs_path)
-        bk_b.write.mode("append").partitionBy("_bb").parquet(buckets_path)
-        sh_b.select(id_col, "shingles", "_kb").write.mode("append").partitionBy(
-            "_kb"
-        ).parquet(shingles_path)
 
     return (
         docs.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def neardup_merge_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = dedup.NUM_HASHES,
+    num_bands: int = dedup.NUM_BANDS,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> None:
+    """One micro-batch of the near-dup index, public so the streaming
+    corpus monitor (streaming/corpus_monitor.py) and backfills can
+    drive batches directly — the mv_sink.merge_epoch convention."""
+    _require_local_path(table_path)
+    buckets_path = os.path.join(table_path, "buckets")
+    shingles_path = os.path.join(table_path, "shingles")
+    pairs_path = os.path.join(table_path, "pairs")
+    rows = num_hashes // num_bands
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+
+    # 1. shingle the batch (docs with no shingles can never pair);
+    #    within-batch id replays collapse to one row
+    sh_b = (
+        dedup.with_shingles(batch_df, id_col, text_col, n)
+        .filter(F.col("n_shingles") > 0)
+        .dropDuplicates([id_col])
+        .withColumn(
+            "_kb", (hash_bucket(F.col(id_col), seed=0) % n_buckets).cast("int")
+        )
+        .localCheckpoint()
+    )
+
+    # 2. drop ids already indexed (cross-batch replay): anti-join
+    #    against ONLY the shingle-store buckets the batch ids hash to
+    if _has_partitions(shingles_path, "_kb="):
+        seen_kb = [r["_kb"] for r in sh_b.select("_kb").distinct().collect()]
+        seen = (
+            spark.read.parquet(shingles_path)
+            .filter(F.col("_kb").isin(seen_kb))
+            .select(id_col)
+        )
+        sh_b = sh_b.join(F.broadcast(seen), id_col, "left_anti").localCheckpoint()
+    if sh_b.isEmpty():
+        return
+
+    # 3. band buckets for the batch (the attested signature recipe)
+    sig = dedup.minhash_signatures(sh_b, id_col, num_hashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{k * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                ).alias("key"),
+            )
+            for k in range(num_bands)
+        ]
+    )
+    bk_b = (
+        sig.select(F.col(id_col), F.explode(bands).alias("b"))
+        .select(
+            id_col,
+            F.col("b.band").alias("band"),
+            F.col("b.key").alias("key"),
+        )
+        .withColumn(
+            "_bb",
+            (
+                hash_bucket(F.concat_ws(":", "band", "key"), seed=1)
+                % n_buckets
+            ).cast("int"),
+        )
+        .localCheckpoint()
+    )
+
+    # 4. candidates: batch band keys vs (touched index partitions +
+    #    the batch itself); each unordered pair once, batch-side driven
+    all_bk = bk_b
+    if _has_partitions(buckets_path, "_bb="):
+        touched_bb = [
+            r["_bb"] for r in bk_b.select("_bb").distinct().collect()
+        ]
+        old_bk = spark.read.parquet(buckets_path).filter(
+            F.col("_bb").isin(touched_bb)
+        )
+        all_bk = bk_b.unionByName(old_bk)
+    cand = (
+        bk_b.select("band", "key", F.col(id_col).alias("_n"))
+        .join(
+            all_bk.select("band", "key", F.col(id_col).alias("_o")),
+            ["band", "key"],
+        )
+        .filter(F.col("_n") != F.col("_o"))
+        .select(
+            F.least("_n", "_o").alias("doc_a"),
+            F.greatest("_n", "_o").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint()
+    )
+
+    # 5. verify exact Jaccard on candidates only; partner shingles
+    #    come from the batch plus ONLY the partners' _kb buckets
+    partners = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+        .withColumn(
+            "_kb", (hash_bucket(F.col(id_col), seed=0) % n_buckets).cast("int")
+        )
+    )
+    all_sh = sh_b.select(id_col, "shingles")
+    if _has_partitions(shingles_path, "_kb="):
+        partner_kb = [
+            r["_kb"] for r in partners.select("_kb").distinct().collect()
+        ]
+        old_sh = (
+            spark.read.parquet(shingles_path)
+            .filter(F.col("_kb").isin(partner_kb))
+            .join(F.broadcast(partners.select(id_col)), id_col, "left_semi")
+            .select(id_col, "shingles")
+        )
+        all_sh = all_sh.unionByName(old_sh)
+    verify = cand.join(
+        all_sh.select(
+            F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        all_sh.select(
+            F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    out = (
+        verify.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+    # 6. emit + fold the batch into the index (append-only: docs are
+    #    immutable and replays were dropped in step 2)
+    out.write.mode("append").parquet(pairs_path)
+    bk_b.write.mode("append").partitionBy("_bb").parquet(buckets_path)
+    sh_b.select(id_col, "shingles", "_kb").write.mode("append").partitionBy(
+        "_kb"
+    ).parquet(shingles_path)
+

@@ -1529,6 +1529,76 @@ def test_winnow_index_sink_matches_batch_operator(spark, tmp_path):
     assert len(got()) > 0, "fixture produced no shared spans — vacuous test"
 
 
+def test_corpus_monitor_sink_matches_batch_scorecard(spark, tmp_path):
+    """Streaming corpus triage monitor: documents stream in three
+    micro-batches — including a cross-batch replay — and after EVERY
+    batch read_scorecard must EXACTLY equal the batch
+    corpus.source_scorecard of all docs ingested so far against the
+    same fixed benchmark. The mid-stream check matters: exact-dup and
+    near-dup flags grow retroactively, which the monitor resolves on
+    the read side instead of maintaining counters."""
+    import json as _json
+
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.streaming import (
+        corpus_monitor_sink,
+        read_scorecard,
+    )
+
+    full = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+        .orderBy("doc_id")
+    )
+    docs = [(r["doc_id"], r["text"], r["source"]) for r in full.collect()]
+    bench = full.filter(F.col("doc_id") % 97 == 0)
+
+    b1, b2, b3 = docs[0::3], docs[1::3], docs[2::3]
+    b3 = b3 + b1[:2]  # cross-batch replay
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    table = str(tmp_path / "monitor")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).json(str(src))
+    q = corpus_monitor_sink(stream, bench, table, str(tmp_path / "ck"))
+
+    def got():
+        df = read_scorecard(spark, table)
+        return set() if df is None else {tuple(r) for r in df.collect()}
+
+    def want(rows):
+        so_far = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        return {
+            tuple(r) for r in corpus.source_scorecard(so_far, bench).collect()
+        }
+
+    try:
+        ingested: list = []
+        for name, chunk in [("b1", b1), ("b2", b2), ("b3", b3)]:
+            with open(src / f"{name}.json", "w") as f:
+                for did, text, source in chunk:
+                    f.write(
+                        _json.dumps(
+                            {"doc_id": did, "text": text, "source": source}
+                        )
+                        + "\n"
+                    )
+            q.processAllAvailable()
+            seen_ids = {i[0] for i in ingested}
+            ingested = ingested + [d for d in chunk if d[0] not in seen_ids]
+            assert got() == want(ingested), f"diverged after {name}"
+    finally:
+        q.stop()
+    final = got()
+    assert final and any(r[2] > 0 or r[3] > 0 or r[4] > 0 for r in final), (
+        "no contamination/dup signal in the fixture — vacuous test"
+    )
+
+
 def test_winnow_index_crash_windows_replay_clean(spark, tmp_path):
     """The winnow sink's write order (spans -> fpagg -> anchors) is
     load-bearing: a crash after EITHER intermediate write followed by
