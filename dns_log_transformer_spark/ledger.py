@@ -99,7 +99,20 @@ def pack_window(
             f"rotation capacity ceiling {capacity}",
             stacklevel=2,
         )
-    latest, _current = load_ledger(repo_root)
+    latest, current = load_ledger(repo_root)
+    if current == 0:
+        # No CORRECTNESS_r*.json on disk at all (packaged install, partial
+        # checkout): every query would count as never-attested and the
+        # assertion below would make the whole package unimportable. Degrade
+        # to the static registration-order window with a warning; the hard
+        # audit lives in tests/test_ledger.py where a broken window SHOULD
+        # fail (ADVICE r7).
+        warnings.warn(
+            "no CORRECTNESS_r*.json files found under "
+            f"{repo_root}; falling back to registration-order window",
+            stacklevel=2,
+        )
+        return registered[:window_size]
     order = {n: i for i, n in enumerate(registered)}
     never = [n for n in registered if n not in latest]
     assert len(never) <= window_size, (

@@ -233,22 +233,31 @@ def minhash_signatures(
 LSH_BUCKET_CAP = 100
 
 
-def _drop_heavy_buckets(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
-    """The shared hot-bucket exclusion: a map-side-combined
-    per-(band, key) count plus a broadcast ANTI-join of the heavy keys
-    — NOT a count window, which would shuffle and sort every row while
-    the partial agg ships only (band, key, count). Heavy keys are rare
-    by construction (each holds > cap members, so there are at most
-    rows/cap of them — a corpus where that broadcast is big is
-    boilerplate-degenerate territory that belongs in exact dedup, per
-    LSH_BUCKET_CAP / SIMHASH_BUCKET_CAP). The plan shape is asserted
-    for both consumers in test_skew_and_plans."""
-    heavy = (
+def _heavy_bucket_keys(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
+    """The (band, key) pairs holding more than ``bucket_cap`` member
+    rows — a map-side-combined count, shipped as a tiny frame for a
+    broadcast anti-join. Heavy keys are rare by construction (each
+    holds > cap members, so there are at most rows/cap of them — a
+    corpus where this broadcast is big is boilerplate-degenerate
+    territory that belongs in exact dedup, per LSH_BUCKET_CAP /
+    SIMHASH_BUCKET_CAP). Shared by the batch cap below and the
+    streaming near-dup index (streaming/neardup_index.py), which
+    counts occupancy over index + batch."""
+    return (
         bucketed.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") > bucket_cap)
         .select("band", "key")
     )
+
+
+def _drop_heavy_buckets(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
+    """The shared hot-bucket exclusion: a map-side-combined
+    per-(band, key) count plus a broadcast ANTI-join of the heavy keys
+    — NOT a count window, which would shuffle and sort every row while
+    the partial agg ships only (band, key, count). The plan shape is
+    asserted for both consumers in test_skew_and_plans."""
+    heavy = _heavy_bucket_keys(bucketed, bucket_cap)
     return bucketed.join(F.broadcast(heavy), ["band", "key"], "left_anti")
 
 
@@ -332,6 +341,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle -> signature -> band buckets ->
     candidate pairs (equi-join on band key — the LSH trick that replaces
@@ -346,7 +356,7 @@ def minhash_lsh_pairs(
             with_shingles(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
         )
     )
-    cand = _lsh_band_candidates(sh, id_col, num_hashes, num_bands)
+    cand = _lsh_band_candidates(sh, id_col, num_hashes, num_bands, bucket_cap)
     verify = (
         cand.join(
             sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")),

@@ -29,7 +29,14 @@ the triage report, not a per-batch path.
 Correctness contract (pinned in test_streaming): after EVERY batch,
 ``read_scorecard`` equals ``corpus.source_scorecard`` of all docs
 ingested so far against the same fixed benchmark — splits and replays
-included.
+included. Near-dup caveat inherited from neardup_index (ADVICE r7):
+the streaming candidate join is bounded by the same per-batch
+accumulated-occupancy cap as the batch path's ``dedup.
+LSH_BUCKET_CAP``, but a bucket that CROSSES the cap mid-stream keeps
+the pairs it emitted while under it (append-only, no retraction)
+while the batch scorecard drops that bucket retroactively — so
+``n_near_dup`` can exceed the batch figure on cap-crossing corpora.
+The equality pin is exact whenever no bucket ever crosses the cap.
 
 Same honesty caveat as the sibling sinks: parquet appends are not
 transactional across the two stores; a transactional table format is

@@ -31,13 +31,17 @@ Correctness contract (pinned in test_streaming): streaming the corpus
 in any batch split yields pairs/ EXACTLY equal to the one-shot batch
 ``dedup.minhash_lsh_pairs`` of the full corpus at the same parameters
 — same bucketing, same exact-Jaccard verification, same rounding.
-Known divergence window: the batch path excludes band buckets over
-``dedup.LSH_BUCKET_CAP`` (final occupancy), while this incremental
-sink sees occupancy only as it accumulates — a bucket that crosses the
-cap mid-stream keeps its early pairs here but contributes none in the
-one-shot. The pin holds for any corpus whose buckets stay under the
-cap (the fixture's max is 18 vs cap 100); a capped streaming variant
-would need retraction, which append-only pairs/ cannot express.
+Hot buckets are bounded here too (ADVICE r7): each micro-batch drops
+any (band, key) bucket whose ACCUMULATED occupancy (index + batch)
+exceeds ``bucket_cap`` before the candidate join, so the per-bucket
+fan-out never passes cap^2 — the same guard as the batch path's
+``dedup.LSH_BUCKET_CAP``. Residual divergence from the one-shot: the
+batch path excludes an over-cap bucket's pairs RETROACTIVELY (final
+occupancy), while this sink keeps pairs emitted while the bucket was
+still under the cap — append-only pairs/ cannot retract. The equality
+pin therefore holds exactly for any corpus whose buckets never cross
+the cap (the fixture's max is 18 vs cap 100); the crossing case is
+pinned separately (no NEW pairs once over cap).
 
 Same honesty caveat as cdc_sink: parquet appends are not transactional
 across the three tables; a transactional format is the production
@@ -84,6 +88,7 @@ def neardup_index_sink(
     num_hashes: int = dedup.NUM_HASHES,
     num_bands: int = dedup.NUM_BANDS,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    bucket_cap: int = dedup.LSH_BUCKET_CAP,
 ) -> StreamingQuery:
     """Start the incremental near-dup detection: ``docs`` is a streaming
     DataFrame of (id, text) document rows; each micro-batch is checked
@@ -102,6 +107,7 @@ def neardup_index_sink(
             num_hashes=num_hashes,
             num_bands=num_bands,
             n_buckets=n_buckets,
+            bucket_cap=bucket_cap,
         )
 
     return (
@@ -121,6 +127,7 @@ def neardup_merge_batch(
     num_hashes: int = dedup.NUM_HASHES,
     num_bands: int = dedup.NUM_BANDS,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    bucket_cap: int = dedup.LSH_BUCKET_CAP,
 ) -> None:
     """One micro-batch of the near-dup index, public so the streaming
     corpus monitor (streaming/corpus_monitor.py) and backfills can
@@ -205,8 +212,21 @@ def neardup_merge_batch(
             F.col("_bb").isin(touched_bb)
         )
         all_bk = bk_b.unionByName(old_bk)
+    # per-batch hot-bucket bound (ADVICE r7): a bucket whose ACCUMULATED
+    # occupancy (index + this batch) exceeds bucket_cap contributes no
+    # candidates this batch — bounding the fan-out of the equi-join at
+    # cap^2 per bucket, exactly the skew the batch-side LSH_BUCKET_CAP
+    # guards. The count is exact: every row of a (band, key) bucket
+    # hashes to the same _bb partition, and the batch touches it. Pairs
+    # emitted in earlier batches while the bucket was still under the
+    # cap are kept (pairs/ is append-only; retraction is out of scope),
+    # which is the one residual divergence from the one-shot batch path
+    # documented in the module docstring.
+    heavy = dedup._heavy_bucket_keys(all_bk, bucket_cap)
+    bk_probe = bk_b.join(F.broadcast(heavy), ["band", "key"], "left_anti")
+    all_bk = all_bk.join(F.broadcast(heavy), ["band", "key"], "left_anti")
     cand = (
-        bk_b.select("band", "key", F.col(id_col).alias("_n"))
+        bk_probe.select("band", "key", F.col(id_col).alias("_n"))
         .join(
             all_bk.select("band", "key", F.col(id_col).alias("_o")),
             ["band", "key"],

@@ -108,6 +108,18 @@ def test_window_self_rotates_at_round_boundary(tmp_path):
     assert not set(repacked) & set(registered[:WINDOW_SIZE])
 
 
+def test_packer_degrades_without_correctness_files(tmp_path):
+    """ADVICE r7: with no CORRECTNESS_r*.json on disk (packaged
+    install, partial checkout) pack_window must NOT raise at import
+    time — it falls back to the registration-order prefix with a
+    warning. The hard never-attested assertion still fires when
+    correctness files exist (previous test)."""
+    registered = [f"q_{i}" for i in range(WINDOW_SIZE + 25)]
+    with pytest.warns(UserWarning, match="no CORRECTNESS"):
+        packed = pack_window(registered, repo_root=str(tmp_path))
+    assert packed == registered[:WINDOW_SIZE]
+
+
 def test_ledger_reads_history():
     latest, current = load_ledger()
     assert current >= 5

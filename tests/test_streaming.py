@@ -1075,6 +1075,64 @@ def test_neardup_index_sink_matches_batch_lsh(spark, tmp_path):
         q.stop()
 
 
+def test_neardup_index_bounds_hot_buckets(spark, tmp_path):
+    """ADVICE r7: the streaming candidate join is bounded by the same
+    occupancy cap as the batch path. A bucket whose ACCUMULATED
+    occupancy (index + batch) crosses ``bucket_cap`` contributes NO new
+    candidates from that batch on — while pairs emitted before the
+    crossing stay (append-only, the documented residual divergence
+    from the one-shot's retroactive drop). Docs with identical text
+    share every band key, so they all land in the same buckets."""
+    from dns_log_transformer_spark.operators import dedup
+    from dns_log_transformer_spark.streaming.neardup_index import (
+        neardup_merge_batch,
+        read_pairs,
+    )
+
+    table = str(tmp_path / "capidx")
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    cold_a = "completely different cold text about spark shuffles here"
+    cold_b = "completely different cold text about spark shuffles there"
+
+    def merge(rows):
+        neardup_merge_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            table,
+            bucket_cap=3,
+        )
+
+    # batch 1: 3 identical docs — occupancy 3 == cap, under the bound
+    merge([(1, hot), (2, hot), (3, hot)])
+    p1 = {
+        (r["doc_a"], r["doc_b"]) for r in read_pairs(spark, table).collect()
+    }
+    assert p1 == {(1, 2), (1, 3), (2, 3)}
+    # batch 2: 3 more identical docs push accumulated occupancy to 6 > 3
+    # — the hot bucket is excluded, so NO new hot pairs; the under-cap
+    # cold pair in the same batch still verifies normally
+    merge([(4, hot), (5, hot), (6, hot), (7, cold_a), (8, cold_b)])
+    p2 = {
+        (r["doc_a"], r["doc_b"]) for r in read_pairs(spark, table).collect()
+    }
+    assert p2 - p1 <= {(7, 8)}, (
+        "hot-bucket pairs emitted after the bucket crossed the cap: "
+        f"{sorted(p2 - p1)}"
+    )
+    assert (7, 8) in p2, "under-cap pair suppressed by the hot-bucket bound"
+    # the one-shot batch path at the same cap drops the hot bucket
+    # RETROACTIVELY — zero hot pairs — which is exactly the documented
+    # divergence the early streaming pairs represent
+    full = spark.createDataFrame(
+        [(i, hot) for i in range(1, 7)] + [(7, cold_a), (8, cold_b)],
+        "doc_id long, text string",
+    )
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(full, bucket_cap=3).collect()
+    }
+    assert not any(a <= 6 and b <= 6 for a, b in batch_pairs)
+
+
 def test_sketch_table_sink_matches_batch_sketches(spark, tmp_path):
     """Streaming sketch-table upkeep: CMS is linear and HLL register
     merge is max-based, so under ANY batch split the streamed grid must
