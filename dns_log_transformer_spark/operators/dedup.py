@@ -261,6 +261,36 @@ def _drop_heavy_buckets(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
     return bucketed.join(F.broadcast(heavy), ["band", "key"], "left_anti")
 
 
+def lsh_band_rows(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """(id, band, key) LSH band-bucket rows of an already-shingled
+    (id_col, shingles) DataFrame — the banding stage alone, exposed for
+    consumers that need to shape the candidate join themselves (e.g.
+    the incremental delta query joins NEW-side rows against OLD-side
+    rows only, never old x old)."""
+    rows = num_hashes // num_bands
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"m{k * rows + r}").cast("string") for r in range(rows)],
+                ).alias("key"),
+            )
+            for k in range(num_bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+
+
 def _lsh_band_candidates(
     sh: DataFrame,
     id_col: str,
@@ -277,20 +307,6 @@ def _lsh_band_candidates(
     LSH_BUCKET_CAP) via a map-side-combined occupancy count and a
     broadcast anti-join of the heavy keys — no full-row window sort,
     no driver-side key list."""
-    rows = num_hashes // num_bands
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"m{k * rows + r}").cast("string") for r in range(rows)],
-                ).alias("key"),
-            )
-            for k in range(num_bands)
-        ]
-    )
     # Band buckets carry IDS ONLY: a doc pair sharing several bands would
     # otherwise flow through the candidate-dedup exchange once per band
     # WITH both full shingle arrays in tow — the corpus's heaviest
@@ -300,11 +316,7 @@ def _lsh_band_candidates(
     # upstream is the expensive half of this lineage, and the heavy-key
     # agg plus both anti-joined join sides all read this frame — without
     # the cache each consumer would recompute the signatures
-    bucketed = persist_tracked(
-        sig.select(id_col, F.explode(bands).alias("b")).select(
-            id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
-        )
-    )
+    bucketed = persist_tracked(lsh_band_rows(sh, id_col, num_hashes, num_bands))
     bucketed = _drop_heavy_buckets(bucketed, bucket_cap)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"))

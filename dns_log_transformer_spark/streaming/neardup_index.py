@@ -136,8 +136,6 @@ def neardup_merge_batch(
     buckets_path = os.path.join(table_path, "buckets")
     shingles_path = os.path.join(table_path, "shingles")
     pairs_path = os.path.join(table_path, "pairs")
-    rows = num_hashes // num_bands
-
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -168,29 +166,8 @@ def neardup_merge_batch(
         return
 
     # 3. band buckets for the batch (the attested signature recipe)
-    sig = dedup.minhash_signatures(sh_b, id_col, num_hashes)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"m{k * rows + r}").cast("string")
-                        for r in range(rows)
-                    ],
-                ).alias("key"),
-            )
-            for k in range(num_bands)
-        ]
-    )
     bk_b = (
-        sig.select(F.col(id_col), F.explode(bands).alias("b"))
-        .select(
-            id_col,
-            F.col("b.band").alias("band"),
-            F.col("b.key").alias("key"),
-        )
+        dedup.lsh_band_rows(sh_b, id_col, num_hashes, num_bands)
         .withColumn(
             "_bb",
             (

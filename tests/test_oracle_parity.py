@@ -42,6 +42,9 @@ BNLJ_DOCUMENTED = {
     "sim_topk_bruteforce",  # exact broadcast-queries baseline
     "text_bm25_topk",  # broadcast query-term constants
     "text_hybrid_rrf",  # composes the bm25 retriever above
+    "corpus_prune_curve",  # 10-row threshold dim + 1-row totals scalar
+    "q_concurrent_intervals",  # year-dimension triangular prefix (tens of rows)
+    "q_skyline_pareto",  # <=50-point size-domain triangular frontier
 }
 
 # The single measured row-at-a-time Python exception: the sentence-split
