@@ -233,7 +233,7 @@ def minhash_signatures(
 LSH_BUCKET_CAP = 100
 
 
-def _heavy_bucket_keys(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
+def heavy_bucket_keys(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
     """The (band, key) pairs holding more than ``bucket_cap`` member
     rows — a map-side-combined count, shipped as a tiny frame for a
     broadcast anti-join. Heavy keys are rare by construction (each
@@ -251,13 +251,18 @@ def _heavy_bucket_keys(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
     )
 
 
-def _drop_heavy_buckets(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
+def drop_heavy_buckets(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
     """The shared hot-bucket exclusion: a map-side-combined
     per-(band, key) count plus a broadcast ANTI-join of the heavy keys
     — NOT a count window, which would shuffle and sort every row while
     the partial agg ships only (band, key, count). The plan shape is
-    asserted for both consumers in test_skew_and_plans."""
-    heavy = _heavy_bucket_keys(bucketed, bucket_cap)
+    asserted for both consumers in test_skew_and_plans.
+
+    Public API alongside ``heavy_bucket_keys`` / ``lsh_band_rows``
+    (ADVICE r8): external consumers are queries/round8.py's
+    incremental delta and streaming/neardup_index.py's accumulated
+    occupancy cap."""
+    heavy = heavy_bucket_keys(bucketed, bucket_cap)
     return bucketed.join(F.broadcast(heavy), ["band", "key"], "left_anti")
 
 
@@ -317,7 +322,7 @@ def _lsh_band_candidates(
     # agg plus both anti-joined join sides all read this frame — without
     # the cache each consumer would recompute the signatures
     bucketed = persist_tracked(lsh_band_rows(sh, id_col, num_hashes, num_bands))
-    bucketed = _drop_heavy_buckets(bucketed, bucket_cap)
+    bucketed = drop_heavy_buckets(bucketed, bucket_cap)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"))
     return (
@@ -563,7 +568,7 @@ def simhash_pairs(
     bucketed = sh.select(id_col, "simhash", F.explode(bands).alias("b")).select(
         id_col, "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    bucketed = _drop_heavy_buckets(bucketed, bucket_cap)
+    bucketed = drop_heavy_buckets(bucketed, bucket_cap)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

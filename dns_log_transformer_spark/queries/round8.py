@@ -24,7 +24,12 @@ from dns_log_transformer_spark.queries.registry import register, table
 # dedup_incremental_delta — new-crawl-batch triage against the corpus
 # ---------------------------------------------------------------------------
 
-#: synthetic id offset for the "re-crawled URL, new id, same bytes" rows
+#: synthetic id offset for the "re-crawled URL, new id, same bytes" rows.
+#: Fixture invariant (ADVICE r8): every real doc_id must stay BELOW this
+#: offset or the is_new predicate silently reclassifies it — max doc_id
+#: is 4,999 at sf0.1 / ~50k at sf1 (TESTDATA.md scaling), and
+#: tests/test_round8.py::test_recrawl_offset_clears_fixture_ids pins the
+#: invariant against every shipped sf directory.
 _RECRAWL_OFFSET = 1_000_000
 
 
@@ -37,7 +42,17 @@ def _delta_oracle() -> str:
     # the shared MinHash recipe verbatim, retargeted at the delta
     # union (old corpus + new batch incl. re-crawled copies) — ONE
     # definition of the pipeline, so a recipe tweak cannot drift this
-    # oracle from the dedup_* family
+    # oracle from the dedup_* family. The retarget must hit EXACTLY the
+    # shingle CTE's one source mention; a recipe edit that adds another
+    # 'FROM documents' would be rewritten silently (ADVICE r8), so fail
+    # loudly here instead.
+    n_mentions = _MH_PAIRS_CTES.count("FROM documents")
+    if n_mentions != 1:
+        raise AssertionError(
+            "dedup_incremental_delta oracle retarget expects exactly one "
+            f"'FROM documents' in _MH_PAIRS_CTES, found {n_mentions} — "
+            "parameterize the new mention instead of relying on replace()"
+        )
     mh = _MH_PAIRS_CTES.replace("FROM documents", "FROM alldocs")
     norm = _SQL_NORM
     return rf"""
@@ -110,7 +125,7 @@ def dedup_incremental_delta(spark: SparkSession, sf: str) -> DataFrame:
     sh = persist_tracked(
         dedup.with_shingles(alldocs).filter(F.col("n_shingles") > 0)
     )
-    kept = dedup._drop_heavy_buckets(
+    kept = dedup.drop_heavy_buckets(
         persist_tracked(dedup.lsh_band_rows(sh)), dedup.LSH_BUCKET_CAP
     )
     cand = (
@@ -677,8 +692,11 @@ def q_skyline_pareto(spark: SparkSession, sf: str) -> DataFrame:
     "emb_dim_stats",
     oracle="""
     WITH v AS (
+      -- dim count derives from the data (len(embedding)) exactly as the
+      -- Spark side's posexplode does, so a fixture dimension change
+      -- cannot diverge the two sides (ADVICE r8)
       SELECT i AS dim, CAST(embedding[i+1] AS DOUBLE) AS val
-      FROM embeddings, unnest(range(64)) AS t(i))
+      FROM embeddings, unnest(range(len(embedding))) AS t(i))
     SELECT CAST(dim AS INT) AS dim,
            ROUND(AVG(val), 4) AS mean_val,
            ROUND(STDDEV_SAMP(val), 4) AS std_val,

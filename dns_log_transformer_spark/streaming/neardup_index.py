@@ -199,7 +199,7 @@ def neardup_merge_batch(
     # cap are kept (pairs/ is append-only; retraction is out of scope),
     # which is the one residual divergence from the one-shot batch path
     # documented in the module docstring.
-    heavy = dedup._heavy_bucket_keys(all_bk, bucket_cap)
+    heavy = dedup.heavy_bucket_keys(all_bk, bucket_cap)
     bk_probe = bk_b.join(F.broadcast(heavy), ["band", "key"], "left_anti")
     all_bk = all_bk.join(F.broadcast(heavy), ["band", "key"], "left_anti")
     cand = (
