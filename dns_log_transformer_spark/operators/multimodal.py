@@ -329,3 +329,240 @@ def phash_pairs(
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level format sniffing + header-parsed dimensions (no decoder needed)
+# ---------------------------------------------------------------------------
+#
+# Unlike the stubbed pixel paths above, these operators are REAL in this
+# sandbox: magic-number detection and dimensions-from-header parsing are
+# pure byte arithmetic (hex/substring/conv — whole-stage codegen, no
+# Python), exactly what a 100 TB ingest census runs before any decode.
+# Formats: PNG (IHDR big-endian dims), JPEG (segment walk to SOF0..3),
+# GIF (logical-screen little-endian dims), BMP (DIB header little-endian
+# dims).
+
+#: JPEG segment-walk depth: headers put SOF within the first few
+#: segments (APP0/APPn/COM/quant tables); 5 unrolled steps cover the
+#: synthetic fixture (SOF is segment 3) with margin. Real-world JPEGs
+#: with long marker prefaces would need a larger constant — the walk is
+#: O(depth) projections, so raising it is cheap.
+JPEG_WALK_STEPS = 5
+
+
+def _hx_byte(hx, pos):
+    """Byte value at 1-indexed byte position ``pos`` of the hex-encoded
+    payload column ``hx`` (out-of-range reads 0 via the lpad guard —
+    keeps ANSI conv() off empty strings)."""
+    return F.conv(
+        F.lpad(F.substring(hx, pos * 2 - 1, F.lit(2)), 2, "0"), 16, 10
+    ).cast("long")
+
+
+def _hx_be16(hx, pos):
+    return _hx_byte(hx, pos) * 256 + _hx_byte(hx, pos + 1)
+
+
+def _hx_be32(hx, pos):
+    return _hx_be16(hx, pos) * 65536 + _hx_be16(hx, pos + 2)
+
+
+def _hx_le16(hx, pos):
+    return _hx_byte(hx, pos) + _hx_byte(hx, pos + 1) * 256
+
+
+def _hx_le32(hx, pos):
+    return _hx_le16(hx, pos) + _hx_le16(hx, pos + 2) * 65536
+
+
+def sniff_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, format, width, height, n_bytes) from raw payload bytes by
+    magic-number sniff + per-format header parse — no image library:
+
+    - png: 8-byte signature; dims big-endian 32-bit at IHDR offsets
+      17/21 (the IHDR chunk is mandated first by the PNG spec).
+    - jpeg: FFD8 SOI, then an unrolled marker-segment walk (each
+      non-SOF segment advances by 2 + big-endian length) until a
+      SOF0..SOF3 frame header; dims big-endian 16-bit at SOF+5/+7.
+    - gif: GIF87a/89a signature; logical-screen dims little-endian
+      16-bit at offsets 7/9.
+    - bmp: BM signature; DIB dims little-endian 32-bit at 19/23.
+    - anything else: format 'unknown', null dims.
+
+    All positions are 1-indexed (Spark substring convention). The hex
+    payload is materialized ONCE as a top-level projection (PLANS.md
+    rule 1) and every per-step walk position/flag is its own projection
+    column so codegen subexpression elimination applies; the whole
+    operator is joins-free, shuffle-free, UDF-free.
+    """
+    blobs = df if "blob" in df.columns else attach_blob(df)
+    cur = blobs.select(F.col(id_col), "blob").withColumn(
+        "_hx", F.hex("blob")
+    )
+    hx = F.col("_hx")
+
+    fmt = (
+        F.when(F.substring(hx, 1, 16) == "89504E470D0A1A0A", "png")
+        .when(F.substring(hx, 1, 4) == "FFD8", "jpeg")
+        .when(
+            F.substring(hx, 1, 12).isin("474946383961", "474946383761"),
+            "gif",
+        )
+        .when(F.substring(hx, 1, 4) == "424D", "bmp")
+        .otherwise("unknown")
+    )
+    cur = cur.withColumn("_fmt", fmt)
+
+    # JPEG marker-segment walk, unrolled: _p{k} is the byte position of
+    # the k-th marker, _sof{k} whether it is a frame header. Non-JPEG
+    # rows compute harmless garbage that the final CASE never reads.
+    cur = cur.withColumn("_p0", F.lit(3).cast("long"))
+    for k in range(JPEG_WALK_STEPS):
+        p = F.col(f"_p{k}")
+        b1 = _hx_byte(hx, p + 1)
+        cur = cur.withColumn(
+            f"_sof{k}",
+            (_hx_byte(hx, p) == 255) & (b1 >= 192) & (b1 <= 195),
+        )
+        if k + 1 < JPEG_WALK_STEPS:
+            cur = cur.withColumn(
+                f"_p{k + 1}",
+                F.when(F.col(f"_sof{k}"), p).otherwise(
+                    p + 2 + _hx_be16(hx, p + 2)
+                ),
+            )
+    jpeg_h = F.coalesce(
+        *[
+            F.when(F.col(f"_sof{k}"), _hx_be16(hx, F.col(f"_p{k}") + 5))
+            for k in range(JPEG_WALK_STEPS)
+        ]
+    )
+    jpeg_w = F.coalesce(
+        *[
+            F.when(F.col(f"_sof{k}"), _hx_be16(hx, F.col(f"_p{k}") + 7))
+            for k in range(JPEG_WALK_STEPS)
+        ]
+    )
+
+    width = (
+        F.when(F.col("_fmt") == "png", _hx_be32(hx, F.lit(17)))
+        .when(F.col("_fmt") == "jpeg", jpeg_w)
+        .when(F.col("_fmt") == "gif", _hx_le16(hx, F.lit(7)))
+        .when(F.col("_fmt") == "bmp", _hx_le32(hx, F.lit(19)))
+    )
+    height = (
+        F.when(F.col("_fmt") == "png", _hx_be32(hx, F.lit(21)))
+        .when(F.col("_fmt") == "jpeg", jpeg_h)
+        .when(F.col("_fmt") == "gif", _hx_le16(hx, F.lit(9)))
+        .when(F.col("_fmt") == "bmp", _hx_le32(hx, F.lit(23)))
+    )
+    return cur.select(
+        F.col(id_col),
+        F.col("_fmt").alias("format"),
+        width.cast("int").alias("width"),
+        height.cast("int").alias("height"),
+        F.octet_length("blob").cast("long").alias("n_bytes"),
+    )
+
+
+def _hex2(c):
+    return F.lpad(F.hex(c.cast("bigint")), 2, "0")
+
+
+def _hex_be16(c):
+    return F.lpad(F.hex(c.cast("bigint")), 4, "0")
+
+
+def _hex_be32(c):
+    return F.lpad(F.hex(c.cast("bigint")), 8, "0")
+
+
+def _hex_le16(c):
+    return F.concat(_hex2(c % 256), _hex2(F.floor(c / 256)))
+
+
+def _hex_le32(c):
+    # fixture dims are < 2^16, so the two high bytes are zero
+    return F.concat(_hex_le16(c), F.lit("0000"))
+
+
+def synth_image_blob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic spec-true image payloads for the sniff/census path
+    (the container has no image libs, so the FIXTURE is synthesized; the
+    PARSER above is real): format cycles with ``id % 4`` (png, jpeg,
+    gif, bmp), dims derive from the id, payload filler length from
+    ``len_col`` — so the DuckDB oracle can state every expected value
+    arithmetically while the Spark side must actually parse the bytes
+    it built. Headers are format-faithful: PNG signature + IHDR chunk,
+    JPEG SOI + variable-length APP0 + COM + SOF0 (so the segment walk
+    is exercised, not a fixed offset), GIF89a logical screen, BMP
+    BITMAPINFOHEADER.
+
+    Layout constants (mirrored in the mm_format_census oracle):
+    width = 16 + id % 240, height = 16 + (id // 4) % 224,
+    payload = 10 + len % 100; byte sizes png 29+payload, gif
+    10+payload, bmp 26+payload, jpeg 27 + app0(16 + id % 8) +
+    com(4 + id % 5) + payload.
+    """
+    i = F.col(id_col)
+    w = (F.lit(16) + i % 240).cast("long")
+    h = (F.lit(16) + F.floor(i / 4) % 224).cast("long")
+    pl = (F.lit(10) + F.col(len_col) % 100).cast("int")
+    filler = F.repeat(F.lit("00"), pl)
+    l0 = (F.lit(16) + i % 8).cast("long")  # APP0 length (incl. itself)
+    l1 = (F.lit(4) + i % 5).cast("long")  # COM length (incl. itself)
+
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"),  # signature
+        F.lit("0000000D49484452"),  # IHDR length 13 + type
+        _hex_be32(w),
+        _hex_be32(h),
+        F.lit("0806000000"),  # bit depth 8, RGBA, default methods
+        filler,
+    )
+    jpeg = F.concat(
+        F.lit("FFD8"),  # SOI
+        F.lit("FFE0"),
+        _hex_be16(l0),
+        F.repeat(F.lit("00"), (l0 - 2).cast("int")),  # APP0 body
+        F.lit("FFFE"),
+        _hex_be16(l1),
+        F.repeat(F.lit("00"), (l1 - 2).cast("int")),  # COM body
+        F.lit("FFC0"),
+        F.lit("0011"),  # SOF0, length 17
+        F.lit("08"),  # precision
+        _hex_be16(h),
+        _hex_be16(w),
+        F.lit("03"),  # 3 components
+        F.lit("011100021100031100"),  # component specs
+        F.lit("FFD9"),  # EOI
+        filler,
+    )
+    gif = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        _hex_le16(w),
+        _hex_le16(h),
+        filler,
+    )
+    bmp = F.concat(
+        F.lit("424D"),  # BM
+        F.lit("00000000"),  # file size (unused by the parser)
+        F.lit("00000000"),  # reserved
+        F.lit("36000000"),  # pixel-data offset
+        F.lit("28000000"),  # DIB header size 40
+        _hex_le32(w),
+        _hex_le32(h),
+        filler,
+    )
+    blob_hex = (
+        F.when(i % 4 == 0, png)
+        .when(i % 4 == 1, jpeg)
+        .when(i % 4 == 2, gif)
+        .otherwise(bmp)
+    )
+    return df.select(F.col(id_col), F.unhex(blob_hex).alias("blob"))

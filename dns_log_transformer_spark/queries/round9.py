@@ -1,0 +1,297 @@
+"""Round-9 additions: the HLL sliding-distinct twin (the variant a
+100 TB pipeline actually runs), a per-source embedding drift monitor
+(the gate that catches an encoder change poisoning an ANN index), and
+a byte-level multimodal format census (magic-number sniff + header-
+parsed dimensions — real in this sandbox, no image library).
+
+Kept deliberately small (three registrations): the rotation ledger's
+capacity ceiling is approached at +8/round (VERDICT r8 #4), and the
+r9/r10 windows are mostly re-attestation of the r5/r6 cohorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.queries.registry import register, table
+
+# ---------------------------------------------------------------------------
+# q_sliding_distinct_approx — HLL twin of the exact sliding distinct
+# ---------------------------------------------------------------------------
+
+#: HLL relative standard deviation; the attestation bound below is 5x
+#: this (plus a small-count floor), far outside plausible sketch error.
+_HLL_RSD = 0.02
+
+
+@register(
+    "q_sliding_distinct_approx",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS ws
+      FROM events, unnest([0, 1, 2, 3]) AS t(k))
+    SELECT ws, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_ok
+    FROM e GROUP BY ws ORDER BY ws
+    """,
+)
+def q_sliding_distinct_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL distinct users per sliding 1-hour window (15-minute slide) —
+    the approximate twin of ``q_sliding_distinct`` and the variant a
+    100 TB pipeline actually runs: HLL++ registers are fixed-size and
+    MERGEABLE, so the per-window state is O(registers) regardless of
+    cardinality and partial sketches fold map-side, where the exact op
+    must shuffle every (window, user) pair into a two-phase hash
+    distinct.
+
+    Sketch internals differ by engine, so the oracle-comparable output
+    is the exact count plus an in-bounds flag (the q_approx_percentiles
+    pattern): |hll - exact| <= max(5 * rsd * exact, 5) — 5 sigma of the
+    sketch's relative-error guarantee with a small-count floor (HLL++
+    is exact in sparse mode at these cardinalities, so the flag is
+    deterministically TRUE at fixture scales)."""
+    ev = table(spark, sf, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", _HLL_RSD).alias("_hll"),
+    )
+    bound = F.greatest(
+        F.lit(5.0) * _HLL_RSD * F.col("n_users_exact"), F.lit(5.0)
+    )
+    return agg.select(
+        F.col("w.start").alias("ws"),
+        "n_users_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact")).cast("double")
+            <= bound
+        ).alias("hll_ok"),
+    ).orderBy("ws")
+
+
+# ---------------------------------------------------------------------------
+# emb_source_drift — per-source mean-vector distance across two snapshots
+# ---------------------------------------------------------------------------
+
+#: planted drift: snapshot B shifts dimension 0 of even-id vectors by
+#: +0.05 (50_000 micro-units) — the "encoder change poisoned one
+#: source's embeddings" shape the monitor must surface.
+_DRIFT_MICRO = 50_000
+
+
+@register(
+    "emb_source_drift",
+    oracle=f"""
+    WITH j AS (
+      SELECT e.vec_id, d.source, e.embedding
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    v AS (
+      SELECT vec_id, source, i AS dim,
+             CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * 1000000)
+               AS BIGINT) AS micro
+      FROM j, unnest(range(len(embedding))) AS t(i)),
+    t AS (
+      SELECT source, dim,
+             SUM(CASE WHEN vec_id % 3 <> 0 THEN micro ELSE 0 END) AS s_a,
+             SUM(CASE WHEN vec_id % 7 <> 0 THEN micro +
+                   (CASE WHEN vec_id % 2 = 0 AND dim = 0
+                         THEN {_DRIFT_MICRO} ELSE 0 END)
+                 ELSE 0 END) AS s_b,
+             SUM(CASE WHEN vec_id % 3 <> 0 THEN 1 ELSE 0 END) AS c_a,
+             SUM(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS c_b
+      FROM v GROUP BY 1, 2),
+    d2 AS (SELECT source, dim, c_a, c_b,
+                  CAST(s_b * c_a - s_a * c_b AS HUGEINT) AS d
+           FROM t),
+    agg AS (
+      SELECT source, MAX(c_a) AS n_a, MAX(c_b) AS n_b,
+             SUM(d * d) AS ss, MAX(ABS(d)) AS mx
+      FROM d2 GROUP BY 1
+      HAVING MAX(c_a) > 0 AND MAX(c_b) > 0)
+    SELECT a.source,
+           CAST(a.n_a AS BIGINT) AS n_a,
+           CAST(a.n_b AS BIGINT) AS n_b,
+           ROUND(SQRT(CAST(a.ss AS DOUBLE))
+                 / (a.n_a * a.n_b * 1000000.0), 4) AS l2_mean_dist,
+           ROUND(CAST(a.mx AS DOUBLE)
+                 / (a.n_a * a.n_b * 1000000.0), 4) AS max_dim_shift,
+           CAST(MIN(CASE WHEN ABS(d2.d) = a.mx THEN d2.dim END) AS INT)
+             AS top_dim
+    FROM agg a JOIN d2 ON d2.source = a.source
+    GROUP BY a.source, a.n_a, a.n_b, a.ss, a.mx
+    ORDER BY a.source
+    """,
+)
+def emb_source_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source embedding drift between two corpus snapshots —
+    snapshot A (vec_id % 3 != 0) vs snapshot B (% 7 != 0, with a
+    planted +0.05 shift on dimension 0 of even-id vectors): the
+    monitoring gate that catches an encoder change or a broken
+    normalization poisoning one source's vectors BEFORE an ANN index
+    is rebuilt over them. Reports the L2 distance between the two
+    per-source mean vectors, the largest single-dimension shift, and
+    which dimension it is.
+
+    Exact-arithmetic discipline (PLANS.md rule 5): values quantize to
+    integer micro-units at the scan, per-(source, dim) snapshot sums
+    are exact integer conditional aggregates out of ONE explode pass
+    (no second read, no join between snapshots — the q_snapshot_drift
+    shape), and the cross-snapshot difference is cleared of
+    denominators (d = s_b*c_a - s_a*c_b) so squaring/summing stays in
+    DECIMAL(38,0) (HUGEINT in the oracle) — order-independent,
+    engine-exact; the single fp step is the final sqrt/divide,
+    ROUND(_, 4).
+
+    Scale shape: embeddings equi-join documents on id (source lookup),
+    one posexplode into a map-side-combined (source, dim) aggregate —
+    at most sources x dims rows survive the shuffle; everything after
+    operates on that tiny frame (persisted: the argmax join-back reads
+    it twice)."""
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    emb = table(spark, sf, "embeddings")
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    v = (
+        emb.join(docs, "vec_id")
+        .select("vec_id", "source", F.posexplode("embedding").alias("dim", "_e"))
+        .select(
+            "vec_id",
+            "source",
+            "dim",
+            F.round(F.col("_e").cast("double") * 1_000_000, 0)
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    in_a = F.col("vec_id") % 3 != 0
+    in_b = F.col("vec_id") % 7 != 0
+    micro_b = F.col("micro") + F.when(
+        (F.col("vec_id") % 2 == 0) & (F.col("dim") == 0),
+        F.lit(_DRIFT_MICRO),
+    ).otherwise(F.lit(0))
+    t = v.groupBy("source", "dim").agg(
+        F.sum(F.when(in_a, F.col("micro")).otherwise(F.lit(0))).alias("s_a"),
+        F.sum(F.when(in_b, micro_b).otherwise(F.lit(0))).alias("s_b"),
+        F.sum(in_a.cast("long")).alias("c_a"),
+        F.sum(in_b.cast("long")).alias("c_b"),
+    )
+    d2 = persist_tracked(
+        t.select(
+            "source",
+            "dim",
+            "c_a",
+            "c_b",
+            (F.col("s_b") * F.col("c_a") - F.col("s_a") * F.col("c_b"))
+            .cast("decimal(38,0)")
+            .alias("d"),
+        )
+    )
+    agg = (
+        d2.groupBy("source")
+        .agg(
+            F.max("c_a").cast("long").alias("n_a"),
+            F.max("c_b").cast("long").alias("n_b"),
+            F.sum(F.col("d") * F.col("d")).alias("ss"),
+            F.max(F.abs("d")).alias("mx"),
+        )
+        # a source with an empty snapshot has no drift defined (and the
+        # fixture's source = id % 20 assignment makes % 5 snapshots
+        # empty for four sources — hence the coprime % 7 predicate);
+        # the guard keeps the division total either way
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    denom = F.col("n_a") * F.col("n_b") * F.lit(1_000_000.0)
+    return (
+        agg.join(d2.select("source", "dim", "d"), "source")
+        .groupBy("source", "n_a", "n_b", "ss", "mx")
+        .agg(
+            F.min(
+                F.when(F.abs("d") == F.col("mx"), F.col("dim"))
+            )
+            .cast("int")
+            .alias("top_dim")
+        )
+        .select(
+            "source",
+            "n_a",
+            "n_b",
+            F.round(F.sqrt(F.col("ss").cast("double")) / denom, 4).alias(
+                "l2_mean_dist"
+            ),
+            F.round(F.col("mx").cast("double") / denom, 4).alias(
+                "max_dim_shift"
+            ),
+            "top_dim",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_format_census — byte-level multimodal format census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_format_census",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+             16 + doc_id % 240 AS w,
+             16 + (doc_id // 4) % 224 AS h,
+             CASE doc_id % 4
+               WHEN 0 THEN 29
+               WHEN 1 THEN 27 + (16 + doc_id % 8) + (4 + doc_id % 5)
+               WHEN 2 THEN 10
+               ELSE 26 END + 10 + n_chars % 100 AS n_bytes
+      FROM documents)
+    SELECT format,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(w) AS INT) AS min_w, CAST(MAX(w) AS INT) AS max_w,
+           CAST(MIN(h) AS INT) AS min_h, CAST(MAX(h) AS INT) AS max_h,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels
+    FROM m GROUP BY format ORDER BY format
+    """,
+)
+def mm_format_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal ingest census from RAW BYTES: per image format, how
+    many payloads, total bytes, dimension ranges, and total pixels —
+    the first report over a crawled binary corpus, run before any
+    decode budget is spent. The Spark side must actually PARSE the
+    payloads (magic-number sniff; PNG IHDR / GIF logical-screen / BMP
+    DIB fixed-offset dims; a real JPEG marker-segment walk to SOF —
+    operators/multimodal.py sniff_image_meta, pure codegen byte
+    arithmetic, no image library and no UDF); the fixture payloads are
+    synthesized spec-true from (doc_id, n_chars) so the DuckDB oracle
+    states every expected value arithmetically — a parse bug cannot
+    cancel out, because the oracle never touches the bytes.
+
+    Scale shape: synth + sniff are shuffle-free per-row projections
+    riding the scan; the census is ONE map-side-combined aggregation
+    on a tiny format key."""
+    from dns_log_transformer_spark.operators import multimodal
+
+    docs = table(spark, sf, "documents").select("doc_id", "n_chars")
+    blobs = multimodal.synth_image_blob(docs)
+    meta = multimodal.sniff_image_meta(blobs)
+    return (
+        meta.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("width").cast("int").alias("min_w"),
+            F.max("width").cast("int").alias("max_w"),
+            F.min("height").cast("int").alias("min_h"),
+            F.max("height").cast("int").alias("max_h"),
+            F.sum(F.col("width").cast("long") * F.col("height"))
+            .cast("long")
+            .alias("total_pixels"),
+        )
+        .orderBy("format")
+    )
