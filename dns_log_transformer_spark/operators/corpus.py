@@ -1145,6 +1145,7 @@ def source_scorecard(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Per-source corpus triage scorecard — the keep/re-crawl/drop view:
     doc count, EXACT benchmark-contamination count (through the Bloom
@@ -1171,9 +1172,14 @@ def source_scorecard(
         .withColumn("is_exdup", F.count("*").over(wfp) >= 2)
         .select(id_col, "is_exdup")
     )
+    cap_kwargs = {} if bucket_cap is None else {"bucket_cap": bucket_cap}
     pairs = persist_tracked(
         dedup.minhash_lsh_pairs(
-            docs, id_col=id_col, text_col=text_col, threshold=threshold
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            **cap_kwargs,
         )
     )
     near = (

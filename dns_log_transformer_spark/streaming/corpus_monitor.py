@@ -29,14 +29,13 @@ the triage report, not a per-batch path.
 Correctness contract (pinned in test_streaming): after EVERY batch,
 ``read_scorecard`` equals ``corpus.source_scorecard`` of all docs
 ingested so far against the same fixed benchmark — splits and replays
-included. Near-dup caveat inherited from neardup_index (ADVICE r7):
-the streaming candidate join is bounded by the same per-batch
-accumulated-occupancy cap as the batch path's ``dedup.
-LSH_BUCKET_CAP``, but a bucket that CROSSES the cap mid-stream keeps
-the pairs it emitted while under it (append-only, no retraction)
-while the batch scorecard drops that bucket retroactively — so
-``n_near_dup`` can exceed the batch figure on cap-crossing corpora.
-The equality pin is exact whenever no bucket ever crosses the cap.
+included, cap-crossing corpora included: the near-dup membership comes
+from ``neardup_index.read_pairs_reconciled``, which re-checks every
+accumulated pair against FINAL bucket occupancy at read time, so a
+bucket that crossed the occupancy cap mid-stream has its early pairs
+dropped from the report exactly as the batch path drops them
+retroactively (r8 watch-item closed; pairs/ itself stays append-only
+— the reconciliation is read-side, no retraction machinery).
 
 Same honesty caveat as the sibling sinks: parquet appends are not
 transactional across the two stores; a transactional table format is
@@ -59,17 +58,26 @@ from dns_log_transformer_spark.streaming.cdc_sink import (
 )
 from dns_log_transformer_spark.streaming.neardup_index import (
     neardup_merge_batch,
-    read_pairs,
+    read_pairs_reconciled,
 )
 
 
-def read_scorecard(spark: SparkSession, table_path: str) -> DataFrame | None:
+def read_scorecard(
+    spark: SparkSession,
+    table_path: str,
+    bucket_cap: int | None = None,
+) -> DataFrame | None:
     """The per-source triage report over everything ingested so far —
     same columns and values as the batch ``corpus.source_scorecard``.
-    None before any batch has landed."""
+    None before any batch has landed. ``bucket_cap`` must match the
+    sink's (defaults to the shared ``dedup.LSH_BUCKET_CAP``): near-dup
+    membership is read through ``read_pairs_reconciled`` so pairs from
+    buckets that crossed the cap mid-stream are dropped exactly as the
+    batch path drops them retroactively."""
     from dns_log_transformer_spark.operators.corpus import (
         scorecard_from_flags,
     )
+    from dns_log_transformer_spark.operators.dedup import LSH_BUCKET_CAP
 
     _require_local_path(table_path)
     flags_path = os.path.join(table_path, "flags")
@@ -78,7 +86,11 @@ def read_scorecard(spark: SparkSession, table_path: str) -> DataFrame | None:
     flags = spark.read.parquet(flags_path).drop("_kb")
     wfp = Window.partitionBy("fingerprint")
     flagged = flags.withColumn("is_exdup", F.count("*").over(wfp) >= 2)
-    pairs = read_pairs(spark, os.path.join(table_path, "neardup"))
+    pairs = read_pairs_reconciled(
+        spark,
+        os.path.join(table_path, "neardup"),
+        bucket_cap=LSH_BUCKET_CAP if bucket_cap is None else bucket_cap,
+    )
     if pairs is None:
         flagged = flagged.withColumn("is_near", F.lit(None).cast("boolean"))
     else:
@@ -107,11 +119,13 @@ def corpus_monitor_sink(
     m_bits: int | None = None,
     threshold: float = 0.5,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    bucket_cap: int | None = None,
 ) -> StreamingQuery:
     """Start the crawl-time triage monitor. ``docs`` is a streaming
     DataFrame of (id, text, source) rows; ``benchmark`` is the FIXED
-    held-out eval set (a batch DataFrame). Returns the
-    StreamingQuery."""
+    held-out eval set (a batch DataFrame). ``bucket_cap`` defaults to
+    the shared ``dedup.LSH_BUCKET_CAP``; pass the same value to
+    ``read_scorecard``. Returns the StreamingQuery."""
     from dns_log_transformer_spark.operators.caching import persist_tracked
     from dns_log_transformer_spark.operators.corpus import decontaminate_against
     from dns_log_transformer_spark.operators.dedup import with_shingles
@@ -202,6 +216,7 @@ def corpus_monitor_sink(
         # near-dup first: its own store does the same replay-drop, and
         # a crash between the two writes replays the batch (flags not
         # yet appended -> not dropped), re-running both idempotently
+        merge_kwargs = {} if bucket_cap is None else {"bucket_cap": bucket_cap}
         neardup_merge_batch(
             batch_df,
             neardup_path,
@@ -209,6 +224,7 @@ def corpus_monitor_sink(
             text_col=text_col,
             threshold=threshold,
             n_buckets=n_buckets,
+            **merge_kwargs,
         )
         flags.write.mode("append").partitionBy("_kb").parquet(flags_path)
 

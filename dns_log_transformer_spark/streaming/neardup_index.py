@@ -38,10 +38,14 @@ fan-out never passes cap^2 — the same guard as the batch path's
 ``dedup.LSH_BUCKET_CAP``. Residual divergence from the one-shot: the
 batch path excludes an over-cap bucket's pairs RETROACTIVELY (final
 occupancy), while this sink keeps pairs emitted while the bucket was
-still under the cap — append-only pairs/ cannot retract. The equality
-pin therefore holds exactly for any corpus whose buckets never cross
-the cap (the fixture's max is 18 vs cap 100); the crossing case is
-pinned separately (no NEW pairs once over cap).
+still under the cap — append-only pairs/ cannot retract. ``read_pairs``
+therefore matches the one-shot exactly only for corpora whose buckets
+never cross the cap (the fixture's max is 18 vs cap 100; the crossing
+case is pinned separately — no NEW pairs once over cap), while
+``read_pairs_reconciled`` restores the retroactive semantics at READ
+time by re-checking every pair against final bucket occupancy — the
+read side of the store closes the divergence without retraction
+machinery (pinned on a planted cap-crossing corpus in test_streaming).
 
 Same honesty caveat as cdc_sink: parquet appends are not transactional
 across the three tables; a transactional format is the production
@@ -75,6 +79,48 @@ def read_pairs(spark: SparkSession, table_path: str) -> DataFrame | None:
     if not os.path.isdir(pairs):
         return None
     return spark.read.parquet(pairs)
+
+
+def read_pairs_reconciled(
+    spark: SparkSession,
+    table_path: str,
+    bucket_cap: int = dedup.LSH_BUCKET_CAP,
+    id_col: str = "doc_id",
+) -> DataFrame | None:
+    """``read_pairs`` with the one-shot batch path's RETROACTIVE cap
+    semantics restored at read time: a pair whose every shared
+    (band, key) bucket ended up over ``bucket_cap`` (final occupancy,
+    from the accumulated buckets/ store) is dropped — exactly the pairs
+    the batch ``dedup.minhash_lsh_pairs`` would never have generated.
+    This closes the append-only divergence on cap-crossing corpora
+    (pairs emitted while a bucket was still under the cap) WITHOUT
+    retraction machinery: pairs/ stays append-only, the report-side
+    read filters.
+
+    Cost: pairs x bands probe against the under-cap index — O(corpus
+    band rows) for the occupancy count, O(|pairs| x bands) for the
+    probe; a report-time path (the streaming corpus monitor's
+    read_scorecard), never per-batch."""
+    pairs = read_pairs(spark, table_path)
+    if pairs is None:
+        return None
+    buckets_path = os.path.join(table_path, "buckets")
+    if not _has_partitions(buckets_path, "_bb="):
+        return pairs
+    kept = dedup.drop_heavy_buckets(
+        spark.read.parquet(buckets_path).drop("_bb"), bucket_cap
+    )
+    ka = kept.select(F.col(id_col).alias("doc_a"), "band", "key")
+    kb = kept.select(F.col(id_col).alias("doc_b"), "band", "key")
+    # survives iff the two docs still share >= 1 under-cap bucket — the
+    # batch path's "a pair is found if ANY shared band stays under the
+    # cap" rule, evaluated against final occupancy
+    return (
+        pairs.join(ka, "doc_a")
+        .join(kb, ["doc_b", "band", "key"], "left_semi")
+        .select("doc_a", "doc_b", "jaccard")
+        .distinct()
+    )
 
 
 def neardup_index_sink(

@@ -1820,3 +1820,99 @@ def test_ivf_index_sink_clears_emptied_cell_and_survives_null_delete(
     assert not _os.path.isdir(
         _os.path.join(table, "cells", "cell=1")
     ), "emptied cell partition left on disk"
+
+
+def test_corpus_monitor_reconciles_cap_crossing(spark, tmp_path):
+    """r8 watch-item closed: on a corpus where a band bucket CROSSES the
+    occupancy cap mid-stream, the append-only pairs/ store keeps the
+    early hot pairs — but read_scorecard must STILL equal the one-shot
+    batch scorecard, because near-dup membership is read through
+    read_pairs_reconciled (pairs re-checked against FINAL bucket
+    occupancy at read time). The raw-store assertion guards against a
+    vacuous pass: the divergence must actually exist for the
+    reconciliation to close."""
+    import json as _json
+
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.streaming import (
+        corpus_monitor_sink,
+        read_scorecard,
+    )
+    from dns_log_transformer_spark.streaming.neardup_index import (
+        read_pairs,
+        read_pairs_reconciled,
+    )
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    cold_a = "completely different cold text about spark shuffles here"
+    cold_b = "completely different cold text about spark shuffles there"
+    bench = spark.createDataFrame(
+        [
+            (
+                999,
+                "an unrelated benchmark document with enough words that "
+                "eight gram shingles exist for the bloom filter build",
+                "bench",
+            )
+        ],
+        "doc_id long, text string, source string",
+    )
+    b1 = [(1, hot, "hot"), (2, hot, "hot"), (3, hot, "hot")]
+    b2 = [
+        (4, hot, "hot"),
+        (5, hot, "hot"),
+        (6, hot, "hot"),
+        (7, cold_a, "cold"),
+        (8, cold_b, "cold"),
+    ]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    table = str(tmp_path / "capmon")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).json(str(src))
+    q = corpus_monitor_sink(
+        stream, bench, table, str(tmp_path / "ck"), bucket_cap=3
+    )
+    try:
+        for name, chunk in [("b1", b1), ("b2", b2)]:
+            with open(src / f"{name}.json", "w") as f:
+                for did, text, source in chunk:
+                    f.write(
+                        _json.dumps(
+                            {"doc_id": did, "text": text, "source": source}
+                        )
+                        + "\n"
+                    )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    nd = str(tmp_path / "capmon" / "neardup")
+    raw = {
+        (r["doc_a"], r["doc_b"]) for r in read_pairs(spark, nd).collect()
+    }
+    # batch 1 emitted hot pairs while the bucket (occupancy 3) was at
+    # the cap; batch 2 pushed final occupancy to 6 > 3
+    assert {(1, 2), (1, 3), (2, 3)} <= raw, (
+        "planted crossing did not materialize — vacuous test"
+    )
+    recon = {
+        (r["doc_a"], r["doc_b"])
+        for r in read_pairs_reconciled(spark, nd, bucket_cap=3).collect()
+    }
+    assert recon == {(7, 8)}, f"reconciliation kept over-cap pairs: {recon}"
+
+    got = {
+        tuple(r)
+        for r in read_scorecard(spark, table, bucket_cap=3).collect()
+    }
+    full = spark.createDataFrame(
+        b1 + b2, "doc_id long, text string, source string"
+    )
+    want = {
+        tuple(r)
+        for r in corpus.source_scorecard(full, bench, bucket_cap=3).collect()
+    }
+    assert got == want
