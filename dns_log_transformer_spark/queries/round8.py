@@ -27,10 +27,13 @@ from dns_log_transformer_spark.queries.registry import register, table
 #: synthetic id offset for the "re-crawled URL, new id, same bytes" rows.
 #: Fixture invariant (ADVICE r8): every real doc_id must stay BELOW this
 #: offset or the is_new predicate silently reclassifies it — max doc_id
-#: is 4,999 at sf0.1 / ~50k at sf1 (TESTDATA.md scaling), and
+#: is 4,999 at sf0.1 / ~50k at sf1 (TESTDATA.md scaling), and the
+#: scratch/x10 replica set offsets ids by 1e7 per replica (max ~9e7,
+#: which overflowed the original 1e6 offset — hence 1e12, far above any
+#: scale-up this repo runs while well inside int64).
 #: tests/test_round8.py::test_recrawl_offset_clears_fixture_ids pins the
 #: invariant against every shipped sf directory.
-_RECRAWL_OFFSET = 1_000_000
+_RECRAWL_OFFSET = 10**12
 
 
 def _delta_oracle() -> str:
