@@ -34,3 +34,45 @@ def test_round_trip(spark, tmp_path, fmt):
     a = {tuple(r) for r in src.select("o_orderkey", "o_totalprice").collect()}
     b = {tuple(r) for r in back.select("o_orderkey", "o_totalprice").collect()}
     assert a == b
+
+
+def test_sniff_image_meta_on_real_world_headers(spark):
+    """The byte-level sniffer must parse REAL spec-laid-out headers, not
+    just the synthetic census fixture: a JFIF JPEG whose SOF0 sits
+    behind an APP0 and a 67-byte DQT segment (the marker walk has to
+    actually walk), a PNG IHDR, a GIF89a logical screen, a BMP
+    BITMAPINFOHEADER, and an unknown payload."""
+    from dns_log_transformer_spark.operators.multimodal import (
+        sniff_image_meta,
+    )
+
+    blobs = [
+        # 640x480 PNG: signature + IHDR (8-bit RGB)
+        (1, bytes.fromhex(
+            "89504e470d0a1a0a0000000d4948445200000280000001e00802000000")),
+        # 1920x1080 JPEG: SOI, APP0/JFIF(16), DQT(67), SOF0(17)
+        (2, bytes.fromhex(
+            "ffd8ffe000104a46494600010100004800480000ffdb0043"
+            + "00" * 65
+            + "ffc00011080438078003012200021101031101")),
+        # 320x200 GIF89a logical screen (little-endian)
+        (3, bytes.fromhex("4749463839614001c800f70000")),
+        # 800x600 BMP BITMAPINFOHEADER (little-endian dims at 19/23)
+        (4, bytes.fromhex(
+            "424d000000000000000036000000280000002003000058020000"
+            "01001800")),
+        # not an image
+        (5, b"plain text payload"),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"])
+        for r in sniff_image_meta(df).collect()
+    }
+    assert got == {
+        1: ("png", 640, 480),
+        2: ("jpeg", 1920, 1080),
+        3: ("gif", 320, 200),
+        4: ("bmp", 800, 600),
+        5: ("unknown", None, None),
+    }
