@@ -76,3 +76,41 @@ def test_sniff_image_meta_on_real_world_headers(spark):
         4: ("bmp", 800, 600),
         5: ("unknown", None, None),
     }
+
+
+def test_jpeg_marker_walk_handles_variable_segment_layouts(spark):
+    """The unrolled SOF walk must parse any header with up to
+    JPEG_WALK_STEPS-1 leading segments of arbitrary lengths and marker
+    types (APPn / COM / DQT / DRI), SOF0..SOF3 alike — seeded random
+    layouts, built as real spec bytes, never via the synth fixture."""
+    import random
+    import struct
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        JPEG_WALK_STEPS,
+        sniff_image_meta,
+    )
+
+    rng = random.Random(0xD09)
+    rows = []
+    want = {}
+    markers = [0xE0, 0xE1, 0xEE, 0xFE, 0xDB, 0xDD]  # APP0/1/14, COM, DQT, DRI
+    for i in range(200):
+        n_pre = rng.randrange(0, JPEG_WALK_STEPS)  # segments before SOF
+        w, h = rng.randrange(1, 65536), rng.randrange(1, 65536)
+        buf = b"\xff\xd8"
+        for _ in range(n_pre):
+            ln = rng.randrange(2, 300)  # len field includes itself
+            buf += bytes([0xFF, rng.choice(markers)]) + struct.pack(">H", ln)
+            buf += bytes(rng.randrange(256) for _ in range(ln - 2))
+        sof = rng.choice([0xC0, 0xC1, 0xC2, 0xC3])
+        buf += bytes([0xFF, sof]) + struct.pack(">H", 17) + b"\x08"
+        buf += struct.pack(">HH", h, w) + b"\x03" + bytes(9)
+        rows.append((i, buf))
+        want[i] = ("jpeg", w, h)
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"])
+        for r in sniff_image_meta(df).collect()
+    }
+    assert got == want
