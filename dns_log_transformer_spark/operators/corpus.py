@@ -1172,14 +1172,14 @@ def source_scorecard(
         .withColumn("is_exdup", F.count("*").over(wfp) >= 2)
         .select(id_col, "is_exdup")
     )
-    cap_kwargs = {} if bucket_cap is None else {"bucket_cap": bucket_cap}
+    bucket_cap = dedup.LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
     pairs = persist_tracked(
         dedup.minhash_lsh_pairs(
             docs,
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
-            **cap_kwargs,
+            bucket_cap=bucket_cap,
         )
     )
     near = (

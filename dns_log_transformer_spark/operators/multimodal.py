@@ -457,11 +457,15 @@ def sniff_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .when(F.col("_fmt") == "gif", _hx_le16(hx, F.lit(9)))
         .when(F.col("_fmt") == "bmp", _hx_le32(hx, F.lit(23)))
     )
+    # try_cast, not cast: arbitrary crawled bytes can put >= 2^31 at a
+    # dim offset (e.g. a spec-legal top-down BMP stores biHeight as a
+    # NEGATIVE two's-complement le32) — ANSI cast would crash the whole
+    # census job on one such payload; null dims route it instead
     return cur.select(
         F.col(id_col),
         F.col("_fmt").alias("format"),
-        width.cast("int").alias("width"),
-        height.cast("int").alias("height"),
+        width.try_cast("int").alias("width"),
+        height.try_cast("int").alias("height"),
         F.octet_length("blob").cast("long").alias("n_bytes"),
     )
 

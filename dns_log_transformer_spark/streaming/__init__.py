@@ -47,6 +47,7 @@ from dns_log_transformer_spark.streaming.vector_index import (
 from dns_log_transformer_spark.streaming.neardup_index import (
     neardup_index_sink,
     read_pairs,
+    read_pairs_reconciled,
 )
 from dns_log_transformer_spark.streaming.sketch_sink import (
     read_cms,
@@ -96,6 +97,7 @@ __all__ = [
     "read_index",
     "neardup_index_sink",
     "read_pairs",
+    "read_pairs_reconciled",
     "sketch_table_sink",
     "read_cms",
     "read_source_sketches",

@@ -128,7 +128,12 @@ def corpus_monitor_sink(
     ``read_scorecard``. Returns the StreamingQuery."""
     from dns_log_transformer_spark.operators.caching import persist_tracked
     from dns_log_transformer_spark.operators.corpus import decontaminate_against
-    from dns_log_transformer_spark.operators.dedup import with_shingles
+    from dns_log_transformer_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        with_shingles,
+    )
+
+    cap = LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
     from dns_log_transformer_spark.operators.sketches import (
         BLOOM_BITS,
         BLOOM_K,
@@ -216,7 +221,6 @@ def corpus_monitor_sink(
         # near-dup first: its own store does the same replay-drop, and
         # a crash between the two writes replays the batch (flags not
         # yet appended -> not dropped), re-running both idempotently
-        merge_kwargs = {} if bucket_cap is None else {"bucket_cap": bucket_cap}
         neardup_merge_batch(
             batch_df,
             neardup_path,
@@ -224,7 +228,7 @@ def corpus_monitor_sink(
             text_col=text_col,
             threshold=threshold,
             n_buckets=n_buckets,
-            **merge_kwargs,
+            bucket_cap=cap,
         )
         flags.write.mode("append").partitionBy("_kb").parquet(flags_path)
 

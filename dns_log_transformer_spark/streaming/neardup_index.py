@@ -101,14 +101,29 @@ def read_pairs_reconciled(
     band rows) for the occupancy count, O(|pairs| x bands) for the
     probe; a report-time path (the streaming corpus monitor's
     read_scorecard), never per-batch."""
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
     pairs = read_pairs(spark, table_path)
     if pairs is None:
         return None
     buckets_path = os.path.join(table_path, "buckets")
     if not _has_partitions(buckets_path, "_bb="):
         return pairs
-    kept = dedup.drop_heavy_buckets(
-        spark.read.parquet(buckets_path).drop("_bb"), bucket_cap
+    # dropDuplicates before counting: buckets/ is append-only and a
+    # crash between the buckets and shingles writes replays the batch,
+    # appending its bucket rows a second time — duplicated rows would
+    # permanently double that batch's occupancy counts and silently
+    # mark (cap/2, cap] buckets heavy. (doc, band, key) is unique in a
+    # consistent store, so the dedup is the idempotent read.
+    # persisted: both probe sides (ka, kb) and the heavy-key aggregate
+    # consume this frame (PLANS.md rule 4).
+    kept = persist_tracked(
+        dedup.drop_heavy_buckets(
+            spark.read.parquet(buckets_path)
+            .drop("_bb")
+            .dropDuplicates([id_col, "band", "key"]),
+            bucket_cap,
+        )
     )
     ka = kept.select(F.col(id_col).alias("doc_a"), "band", "key")
     kb = kept.select(F.col(id_col).alias("doc_b"), "band", "key")
@@ -231,8 +246,17 @@ def neardup_merge_batch(
         touched_bb = [
             r["_bb"] for r in bk_b.select("_bb").distinct().collect()
         ]
-        old_bk = spark.read.parquet(buckets_path).filter(
-            F.col("_bb").isin(touched_bb)
+        # dropDuplicates on the store read: a crash between the buckets
+        # and shingles appends replays the batch (the replay-drop keys
+        # on the SHINGLES store), appending its bucket rows twice —
+        # undeduped, the accumulated occupancy count below would double
+        # those buckets forever (same idempotent-read rule as
+        # read_pairs_reconciled; touched partitions only, so the dedup
+        # exchange is batch-bounded)
+        old_bk = (
+            spark.read.parquet(buckets_path)
+            .filter(F.col("_bb").isin(touched_bb))
+            .dropDuplicates([id_col, "band", "key"])
         )
         all_bk = bk_b.unionByName(old_bk)
     # per-batch hot-bucket bound (ADVICE r7): a bucket whose ACCUMULATED

@@ -114,3 +114,32 @@ def test_jpeg_marker_walk_handles_variable_segment_layouts(spark):
         for r in sniff_image_meta(df).collect()
     }
     assert got == want
+
+
+def test_sniff_image_meta_routes_overflow_dims_instead_of_crashing(spark):
+    """A spec-legal top-down BMP stores biHeight as a NEGATIVE
+    two's-complement le32 (reads as >= 2^31 unsigned) — under ANSI mode
+    a plain int cast would crash the whole census job on one such
+    payload; the sniffer must yield null dims for that row and keep
+    every other row intact (code-review r9 finding, reproduced)."""
+    import struct
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        sniff_image_meta,
+    )
+
+    topdown_bmp = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<Iii", 40, 800, -600)  # width 800, biHeight -600
+        + struct.pack("<HH", 1, 24)
+    )
+    ok_gif = b"GIF89a" + struct.pack("<HH", 32, 16) + b"\x00"
+    df = spark.createDataFrame(
+        [(1, topdown_bmp), (2, ok_gif)], "doc_id long, blob binary"
+    )
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"])
+        for r in sniff_image_meta(df).collect()
+    }
+    assert got[1] == ("bmp", 800, None)
+    assert got[2] == ("gif", 32, 16)

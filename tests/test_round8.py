@@ -23,6 +23,7 @@ TESTDATA = "/root/testdata"
 def test_recrawl_offset_clears_fixture_ids():
     sf_dirs = sorted(glob.glob(os.path.join(TESTDATA, "sf*")))
     assert sf_dirs, "no testdata sf directories found"
+    checked = 0
     for d in sf_dirs:
         path = os.path.join(d, "documents.parquet")
         if not os.path.exists(path):
@@ -35,6 +36,9 @@ def test_recrawl_offset_clears_fixture_ids():
             f"{_RECRAWL_OFFSET} — the is_new predicate in "
             "dedup_incremental_delta would misclassify real docs"
         )
+        checked += 1
+    # the pin must not pass vacuously if the fixture layout changes
+    assert checked > 0, "no documents.parquet found under any sf dir"
 
 
 def test_delta_oracle_retarget_is_single_mention():

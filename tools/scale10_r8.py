@@ -33,8 +33,9 @@ from dns_log_transformer_spark.session import get_spark  # noqa: E402
 
 DST_R8 = "/root/repo/scratch/x10r8"
 
-#: (query, sf_dir to use at 10x) — everything except the two
-#: supplemental-replica consumers runs against the stock x10 set.
+#: query names; queries in NEEDS_R8_DIR below run their 10x pass
+#: against the supplemental-replica dir, everything else against the
+#: stock x10 set.
 QUERIES = (
     # round 8
     "dedup_incremental_delta",
