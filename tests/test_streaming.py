@@ -1916,3 +1916,54 @@ def test_corpus_monitor_reconciles_cap_crossing(spark, tmp_path):
         for r in corpus.source_scorecard(full, bench, bucket_cap=3).collect()
     }
     assert got == want
+
+
+def test_neardup_occupancy_survives_replayed_bucket_rows(spark, tmp_path):
+    """Crash-window pin (code-review r9): buckets/ is appended BEFORE
+    shingles/, and the replay-drop keys on the shingle store — so a
+    crash between the two writes replays the batch and appends its
+    bucket rows twice. Undeduped, those duplicates would double the
+    bucket's accumulated occupancy forever: a later batch would see a
+    true-occupancy-3 bucket as 5 > cap and silently drop valid pairs,
+    and read_pairs_reconciled would retroactively drop the early ones.
+    Both paths must count occupancy over deduplicated (doc, band, key)."""
+    import os as _os
+
+    from dns_log_transformer_spark.streaming.neardup_index import (
+        neardup_merge_batch,
+        read_pairs,
+        read_pairs_reconciled,
+    )
+
+    table = str(tmp_path / "replayidx")
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+
+    def merge(rows):
+        neardup_merge_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            table,
+            bucket_cap=4,
+        )
+
+    merge([(1, hot), (2, hot)])
+    assert {(r["doc_a"], r["doc_b"]) for r in read_pairs(spark, table).collect()} == {
+        (1, 2)
+    }
+
+    # simulate the crash-replay: re-append the store's own bucket rows
+    buckets = _os.path.join(table, "buckets")
+    dup = spark.read.parquet(buckets)
+    dup.write.mode("append").partitionBy("_bb").parquet(buckets)
+
+    # batch 2: true occupancy becomes 3 <= cap 4 (raw rows say 5) —
+    # the new doc's pairs must still emit
+    merge([(3, hot)])
+    got = {(r["doc_a"], r["doc_b"]) for r in read_pairs(spark, table).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}, (
+        f"replay-duplicated bucket rows inflated occupancy: {sorted(got)}"
+    )
+    recon = {
+        (r["doc_a"], r["doc_b"])
+        for r in read_pairs_reconciled(spark, table, bucket_cap=4).collect()
+    }
+    assert recon == {(1, 2), (1, 3), (2, 3)}
