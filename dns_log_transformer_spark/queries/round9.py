@@ -1,12 +1,15 @@
 """Round-9 additions: the HLL sliding-distinct twin (the variant a
 100 TB pipeline actually runs), a per-source embedding drift monitor
-(the gate that catches an encoder change poisoning an ANN index), and
-a byte-level multimodal format census (magic-number sniff + header-
-parsed dimensions — real in this sandbox, no image library).
+(the gate that catches an encoder change poisoning an ANN index), a
+byte-level multimodal format census (magic-number sniff + header-
+parsed dimensions — real in this sandbox, no image library), and a
+per-source embedding coverage audit (the third leg of the
+ANN-preflight triad).
 
-Kept deliberately small (three registrations): the rotation ledger's
-capacity ceiling is approached at +8/round (VERDICT r8 #4), and the
-r9/r10 windows are mostly re-attestation of the r5/r6 cohorts.
+Kept deliberately small (four registrations, within the <=5 budget
+VERDICT r8 #4 set): the rotation ledger's capacity ceiling is
+approached at +8/round, and the r9/r10 windows are mostly
+re-attestation of the r5/r6 cohorts.
 """
 
 from __future__ import annotations
@@ -311,4 +314,64 @@ def mm_format_census(spark: SparkSession, sf: str) -> DataFrame:
             .alias("total_pixels"),
         )
         .orderBy("format")
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_coverage_audit — per-source embedding coverage before an index build
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_coverage_audit",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 3 <> 0)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_covered,
+           ROUND(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 100.0 / COUNT(*), 4) AS coverage_pct
+    FROM documents d LEFT JOIN v ON v.vec_id = d.doc_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def emb_coverage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source embedding coverage of the CURRENT snapshot (vec_id %
+    3 != 0, the A-snapshot convention shared with emb_source_drift) —
+    the third leg of the ANN-preflight triad: dimensions healthy
+    (emb_dim_stats), no encoder drift (emb_source_drift), and COVERAGE
+    complete (this query): a source whose docs silently lack vectors
+    is invisible to every downstream similarity/dedup/retrieval path,
+    which is a data-loss bug no index metric will ever surface.
+
+    Scale shape: one distinct projection of the vector ids, one
+    id-keyed left equi-join (both sides shuffle on the uniform id key
+    — no skew by construction), one map-side-combined conditional agg
+    on the source key."""
+    docs = table(spark, sf, "documents").select("doc_id", "source")
+    v = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") % 3 != 0)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_has", F.lit(True))
+    )
+    return (
+        docs.join(v, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("_has", F.lit(False)).cast("long"))
+            .cast("long")
+            .alias("n_covered"),
+            F.round(
+                F.sum(F.coalesce("_has", F.lit(False)).cast("long"))
+                * 100.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage_pct"),
+        )
+        .orderBy("source")
     )

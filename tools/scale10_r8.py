@@ -50,8 +50,9 @@ QUERIES = (
     "q_sliding_distinct_approx",
     "emb_source_drift",
     "mm_format_census",
+    "emb_coverage_audit",
 )
-NEEDS_R8_DIR = {"emb_source_drift", "q_skyline_pareto"}
+NEEDS_R8_DIR = {"emb_source_drift", "q_skyline_pareto", "emb_coverage_audit"}
 
 
 def build_supplemental(spark) -> None:
