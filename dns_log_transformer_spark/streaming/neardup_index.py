@@ -246,19 +246,26 @@ def neardup_merge_batch(
         touched_bb = [
             r["_bb"] for r in bk_b.select("_bb").distinct().collect()
         ]
-        # dropDuplicates on the store read: a crash between the buckets
-        # and shingles appends replays the batch (the replay-drop keys
-        # on the SHINGLES store), appending its bucket rows twice —
-        # undeduped, the accumulated occupancy count below would double
-        # those buckets forever (same idempotent-read rule as
-        # read_pairs_reconciled; touched partitions only, so the dedup
-        # exchange is batch-bounded)
-        old_bk = (
-            spark.read.parquet(buckets_path)
-            .filter(F.col("_bb").isin(touched_bb))
-            .dropDuplicates([id_col, "band", "key"])
+        old_bk = spark.read.parquet(buckets_path).filter(
+            F.col("_bb").isin(touched_bb)
         )
-        all_bk = bk_b.unionByName(old_bk)
+        # dropDuplicates on the UNION, not just the store read: a crash
+        # between the buckets and shingles appends replays the batch
+        # (the replay-drop keys on the SHINGLES store), so the store
+        # already holds the replayed batch's bucket rows (prior-crash
+        # append) AND bk_b carries them again in-flight — undeduped,
+        # the occupancy count below would double every batch-touched
+        # bucket during the replay, and (once re-appended) forever for
+        # later batches. (doc, band, key) is unique in a consistent
+        # history, so the dedup is the idempotent read; touched
+        # partitions only, batch-bounded. Pairs are safe either way:
+        # the write order below lands pairs/ FIRST, so a replayed
+        # batch's pairs already exist — replays make pairs
+        # at-least-once, deduplicated by every read path
+        # (read_pairs_reconciled .distinct(), the set-based pins).
+        all_bk = bk_b.unionByName(old_bk).dropDuplicates(
+            [id_col, "band", "key"]
+        )
     # per-batch hot-bucket bound (ADVICE r7): a bucket whose ACCUMULATED
     # occupancy (index + this batch) exceeds bucket_cap contributes no
     # candidates this batch — bounding the fan-out of the equi-join at

@@ -566,24 +566,22 @@ def test_observed_write_counts_rejected_rows(spark):
     assert "CollectMetrics" in plans.physical_plan(observed, "simple")
 
 
-def test_sliding_distinct_approx_ignores_null_users(spark):
+def test_sliding_distinct_approx_ignores_null_users(spark, monkeypatch):
     """Review-fix pin (r9): a NULL user_id forms its own dedup group but
     must not count — COUNT(DISTINCT), the exact twin, and the HLL all
-    ignore NULLs. Latent on the shipped fixtures (no NULL users), so pin
-    it on a crafted frame routed through the registered query's own
-    aggregation shape."""
+    ignore NULLs. Latent on the shipped fixtures (no NULL users), so
+    feed a crafted frame through the REGISTERED query itself (table()
+    monkeypatched) — an inline re-implementation of the aggregation
+    would keep passing if the production expression regressed."""
     import datetime
 
-    from pyspark.sql import functions as F
+    from dns_log_transformer_spark.queries import round9
 
     base = datetime.datetime(2024, 1, 1, 0, 20)
     rows = [(1, base, 10), (2, base, 11), (3, base, None), (4, base, 10)]
     ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
-    deduped = ev.groupBy(
-        F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id"
-    ).agg(F.lit(1).alias("_x"))
-    agg = deduped.groupBy("w").agg(
-        F.count("user_id").cast("long").alias("n_users_exact")
-    )
-    counts = {r["n_users_exact"] for r in agg.collect()}
+    monkeypatch.setattr(round9, "table", lambda _s, _sf, name: ev)
+    out = round9.q_sliding_distinct_approx(spark, "unused").collect()
+    counts = {r["n_users_exact"] for r in out}
     assert counts == {2}, f"NULL user leaked into the distinct count: {counts}"
+    assert all(r["hll_ok"] for r in out)

@@ -1967,3 +1967,27 @@ def test_neardup_occupancy_survives_replayed_bucket_rows(spark, tmp_path):
         for r in read_pairs_reconciled(spark, table, bucket_cap=4).collect()
     }
     assert recon == {(1, 2), (1, 3), (2, 3)}
+
+    # in-flight replay window: merge doc 4 fully, then simulate a crash
+    # BEFORE its shingles append landed (pairs/ and buckets/ did — the
+    # write order) by rewriting the shingle store without doc 4, and
+    # replay the batch. The union-level dedup must count the bucket's
+    # true occupancy (4 == cap), not store+batch double-counted (5),
+    # and the store must stay consistent for the reconciled read.
+    merge([(4, hot)])
+    sh_path = _os.path.join(table, "shingles")
+    sh_all = spark.read.parquet(sh_path).filter(F.col("doc_id") != 4)
+    sh_rows = sh_all.collect()
+    import shutil as _shutil
+
+    _shutil.rmtree(sh_path)
+    spark.createDataFrame(sh_rows, sh_all.schema).write.partitionBy(
+        "_kb"
+    ).parquet(sh_path)
+    merge([(4, hot)])  # the replay
+    expect = {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    recon2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in read_pairs_reconciled(spark, table, bucket_cap=4).collect()
+    }
+    assert recon2 == expect, f"in-flight replay broke the index: {recon2}"
