@@ -1381,10 +1381,12 @@ def q_ntile_buckets(spark: SparkSession, sf: str) -> DataFrame:
     SELECT n_a, c_a, n_b, c_b,
            ROUND(c_a * 100.0 / n_a, 4) AS rate_a_pct,
            ROUND(c_b * 100.0 / n_b, 4) AS rate_b_pct,
-           ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
-             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+           CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+             ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 4)
+           END AS z_stat
     FROM wide
     """,
 )
@@ -1449,6 +1451,13 @@ def q_ab_test_ztest(spark: SparkSession, sf: str) -> DataFrame:
     ) / F.sqrt(
         p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
+    # degenerate experiment (everyone or no one converted): the pooled
+    # variance is 0 and the z-statistic is undefined — NULL, never an
+    # ANSI divide-by-zero that kills the job (bit at sf0.001, where no
+    # user reaches the conversion threshold; oracle mirrors the CASE)
+    pool_ok = (F.col("c_a") + F.col("c_b") > 0) & (
+        F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")
+    )
     return wide.select(
         "n_a",
         "c_a",
@@ -1456,7 +1465,7 @@ def q_ab_test_ztest(spark: SparkSession, sf: str) -> DataFrame:
         "c_b",
         F.round(F.col("c_a") * 100.0 / F.col("n_a"), 4).alias("rate_a_pct"),
         F.round(F.col("c_b") * 100.0 / F.col("n_b"), 4).alias("rate_b_pct"),
-        F.round(z, 4).alias("z_stat"),
+        F.when(pool_ok, F.round(z, 4)).alias("z_stat"),
     )
 
 

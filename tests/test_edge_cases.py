@@ -161,3 +161,20 @@ def test_simhash_cap_binding_matches_oracle(spark):
     assert got == want
     assert (100, 101, 0) in got  # the under-cap pair survives both sides
     assert not any(a < 100 for a, _b, _h in got)  # the cluster is excluded
+
+
+def test_ab_ztest_degenerate_pool_yields_null_z(spark):
+    """At sf0.001 every user converts (pooled variance 0): the
+    z-statistic is undefined and must come back NULL — not an ANSI
+    divide-by-zero that kills the job (found by the all-queries
+    smallest-fixture sweep, round 9)."""
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_SMOKE
+
+    rows = entry_mod.queries()["q_ab_test_ztest"](spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["c_a"] == r["n_a"] and r["c_b"] == r["n_b"], (
+        "fixture no longer degenerate — update this pin"
+    )
+    assert r["z_stat"] is None
