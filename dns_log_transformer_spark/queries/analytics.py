@@ -786,8 +786,10 @@ def q_cube_returnflag(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_suppkey)                       AS n_suppliers,
            COUNT(DISTINCT l_partkey)                       AS n_parts,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2)   AS median_price,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 2)  AS p95_price,
+           ROUND(QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.5), 1)                    AS median_cents,
+           ROUND(QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.95), 1)                   AS p95_cents,
            ROUND(STDDEV_SAMP(l_quantity), 4)               AS sd_qty
     FROM lineitem
     GROUP BY l_returnflag
@@ -795,7 +797,13 @@ def q_cube_returnflag(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_distinct_and_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Multiple exact count-distincts + exact interpolated percentiles
-    (Spark `percentile` == DuckDB `quantile_cont`).
+    (Spark `percentile` == DuckDB `quantile_cont`), computed in the
+    integer-CENTS domain (PLANS.md rule 5): the even-group median of
+    2-decimal prices interpolates to .xx5 dollar values whose decimal
+    expansion sits exactly on the ROUND boundary, where Spark's
+    exact-BigDecimal HALF_UP and DuckDB's multiply-based rounding can
+    disagree by one cent (bit at sf0.001); cents interpolate to exact
+    .0/.5 doubles that ROUND(_, 1) never perturbs.
 
     Shape: each distinct count runs as its own two-phase aggregation
     (groupBy(key, col) then count) and the results join on the tiny
@@ -805,6 +813,7 @@ def q_distinct_and_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     shuffled rows dominate even more (narrow column scans are cheap,
     shuffled bytes are not)."""
     li = table(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     sup = (
         li.groupBy("l_returnflag", "l_suppkey")
         .agg(F.lit(1))
@@ -819,12 +828,12 @@ def q_distinct_and_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
     # array-form percentile: one aggregation buffer for both targets
     pct = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit([0.5, 0.95])).alias("_pq"),
+        F.percentile(cents, F.lit([0.5, 0.95])).alias("_pq"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
     ).select(
         "l_returnflag",
-        F.round(F.col("_pq")[0], 2).alias("median_price"),
-        F.round(F.col("_pq")[1], 2).alias("p95_price"),
+        F.round(F.col("_pq")[0], 1).alias("median_cents"),
+        F.round(F.col("_pq")[1], 1).alias("p95_cents"),
         "sd_qty",
     )
     return (
@@ -834,8 +843,8 @@ def q_distinct_and_percentiles(spark: SparkSession, sf: str) -> DataFrame:
             "l_returnflag",
             "n_suppliers",
             "n_parts",
-            "median_price",
-            "p95_price",
+            "median_cents",
+            "p95_cents",
             "sd_qty",
         )
     )
@@ -2249,8 +2258,10 @@ def q_gapfill_buckets(spark: SparkSession, sf: str) -> DataFrame:
     "q_approx_percentiles",
     oracle="""
     SELECT l_returnflag,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2)  AS median_exact,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 2) AS p95_exact,
+           ROUND(QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.5), 1)  AS median_exact_cents,
+           ROUND(QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.95), 1) AS p95_exact_cents,
            TRUE AS median_ok,
            TRUE AS p95_ok
     FROM lineitem
@@ -2264,12 +2275,17 @@ def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     within n/a of the target, so it must lie between the exact
     (q - 1/a) and (q + 1/a) quantiles. Sketch internals differ by
     engine, so the oracle-comparable output is the exact value + the
-    in-bounds flag — the q_approx_distinct pattern.
+    in-bounds flag — the q_approx_distinct pattern. Percentiles run in
+    the integer-CENTS domain (PLANS.md rule 5): even-group dollar
+    medians land on .xx5 ROUND boundaries where the engines' rounding
+    algorithms disagree by a cent (bit at sf0.001); cents interpolate
+    to exact .0/.5 doubles.
 
     The sketch is the 100 TB path: exact QUANTILE_CONT buffers every
     group value for a sort; GK folds partial sketches map-side and
     shuffles fixed-size summaries."""
     li = table(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     acc = 100  # rank error <= 1% of each group
     eps = 1.0 / acc
     # ONE exact-percentile aggregate evaluating all six targets and ONE
@@ -2279,13 +2295,11 @@ def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     # Bound targets derive from acc so tightening the sketch keeps the
     # attestation window in lockstep.
     exact6 = F.percentile(
-        "l_extendedprice",
+        cents,
         F.lit([max(0.5 - eps, 0.0), 0.5, min(0.5 + eps, 1.0),
                max(0.95 - eps, 0.0), 0.95, min(0.95 + eps, 1.0)]),
     )
-    approx2 = F.percentile_approx(
-        "l_extendedprice", F.lit([0.5, 0.95]), F.lit(acc)
-    )
+    approx2 = F.percentile_approx(cents, F.lit([0.5, 0.95]), F.lit(acc))
     agg = li.groupBy("l_returnflag").agg(
         exact6.alias("_ex"), approx2.alias("_ap")
     )
@@ -2293,8 +2307,8 @@ def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     ap = lambda i: F.col("_ap")[i]  # noqa: E731
     return agg.select(
         "l_returnflag",
-        F.round(ex(1), 2).alias("median_exact"),
-        F.round(ex(4), 2).alias("p95_exact"),
+        F.round(ex(1), 1).alias("median_exact_cents"),
+        F.round(ex(4), 1).alias("p95_exact_cents"),
         ((ap(0) >= ex(0)) & (ap(0) <= ex(2))).alias("median_ok"),
         ((ap(1) >= ex(3)) & (ap(1) <= ex(5))).alias("p95_ok"),
     )
@@ -2596,33 +2610,43 @@ def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_iqr_outliers",
     oracle="""
-    WITH q AS (
+    WITH c AS (
       SELECT o_orderpriority,
-             QUANTILE_CONT(o_totalprice, 0.25) AS q1,
-             QUANTILE_CONT(o_totalprice, 0.75) AS q3
-      FROM orders GROUP BY o_orderpriority)
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    q AS (
+      SELECT o_orderpriority,
+             QUANTILE_CONT(cents, 0.25) AS q1,
+             QUANTILE_CONT(cents, 0.75) AS q3
+      FROM c GROUP BY o_orderpriority)
     SELECT o.o_orderpriority,
-           ROUND(q.q1, 2) AS q1,
-           ROUND(q.q3, 2) AS q3,
+           ROUND(q.q1, 2) AS q1_cents,
+           ROUND(q.q3, 2) AS q3_cents,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CASE WHEN o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
-                           OR o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+           CAST(SUM(CASE WHEN o.cents > q.q3 + 1.5 * (q.q3 - q.q1)
+                           OR o.cents < q.q1 - 1.5 * (q.q3 - q.q1)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM orders o JOIN q ON q.o_orderpriority = o.o_orderpriority
+    FROM c o JOIN q ON q.o_orderpriority = o.o_orderpriority
     GROUP BY o.o_orderpriority, q.q1, q.q3
     """,
 )
 def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Tukey-fence outlier counts per priority class — the robust-stats
     screen (quartiles are insensitive to the outliers they detect,
-    unlike mean/stddev z-scores). Two passes: one array-percentile agg
-    for the fences (5 rows, broadcast back), one conditional-sum agg
-    for the counts. Fence comparisons keep the oracle's exact
-    expression shape (q3 + 1.5*(q3-q1), unrounded) so boundary rows
-    classify identically."""
-    orders = table(spark, sf, "orders")
+    unlike mean/stddev z-scores). Quartiles run in the integer-CENTS
+    domain (PLANS.md rule 5): quarter-fraction interpolants over
+    integers are exact .0/.25/.5/.75 doubles, so the fences and the
+    ROUND output are boundary-free on both engines (2-decimal dollar
+    interpolants land on .xx5 rounding boundaries). Two passes: one
+    array-percentile agg for the fences (5 rows, broadcast back), one
+    conditional-sum agg for the counts; fence comparisons keep the
+    oracle's exact expression shape (q3 + 1.5*(q3-q1), unrounded) so
+    boundary rows classify identically."""
+    orders = table(spark, sf, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    )
     q = orders.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit([0.25, 0.75])).alias("_q")
+        F.percentile("cents", F.lit([0.25, 0.75])).alias("_q")
     ).select(
         "o_orderpriority",
         F.col("_q")[0].alias("_q1"),
@@ -2638,14 +2662,14 @@ def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").cast("long").alias("n_orders"),
             F.sum(
                 (
-                    (F.col("o_totalprice") > hi) | (F.col("o_totalprice") < lo)
+                    (F.col("cents") > hi) | (F.col("cents") < lo)
                 ).cast("long")
             ).cast("long").alias("n_outliers"),
         )
         .select(
             "o_orderpriority",
-            F.round(F.col("_q1"), 2).alias("q1"),
-            F.round(F.col("_q3"), 2).alias("q3"),
+            F.round(F.col("_q1"), 2).alias("q1_cents"),
+            F.round(F.col("_q3"), 2).alias("q3_cents"),
             "n_orders",
             "n_outliers",
         )
