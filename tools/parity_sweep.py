@@ -1,0 +1,62 @@
+"""One-off full oracle-parity sweep at an arbitrary scale factor —
+the round-9 hardening tool that found the degenerate-pool z-test crash
+and the .xx5 money-percentile rounding divergence, both invisible at
+the gated sf0.01.
+
+Usage: python tools/parity_sweep.py [sf_dir]   (default sf0.001)
+
+Runs every registered query AND its DuckDB oracle at the given fixture
+and applies the exact driver-style compare (row count + schema +
+order-insensitive values via tests/test_oracle_parity helpers).
+Not part of the pytest suite (it would roughly double the parity
+suite's wall time); run it whenever queries change rounding, guards,
+or degenerate-input behavior.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from dns_log_transformer_spark.operators.caching import release_all  # noqa: E402
+from dns_log_transformer_spark.session import TABLES, get_spark  # noqa: E402
+from tests.test_oracle_parity import (  # noqa: E402
+    assert_frames_match,
+    driver_canon,
+)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("parity_sweep")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    oracles = entry_mod.oracle_sql()
+    bad: list[tuple[str, str]] = []
+    for name, fn in sorted(entry_mod.queries().items()):
+        try:
+            spdf = fn(spark, sf).toPandas()
+            release_all()
+            driver_canon(spdf, name)
+            if name in oracles:
+                ddf = con.execute(oracles[name]).df()
+                assert_frames_match(spdf, ddf, name)
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            bad.append((name, str(ex).splitlines()[0][:160]))
+            release_all()
+    print(f"{sf}: mismatches {len(bad)} / {len(entry_mod.queries())}")
+    for n, m in bad:
+        print(f"  {n} -> {m}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
