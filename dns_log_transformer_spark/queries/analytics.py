@@ -1529,19 +1529,24 @@ def q22_idle_balances(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q2_min_cost_supplier",
     oracle="""
-    WITH ps AS (
+    WITH rows_q4 AS (
       SELECT l_partkey, l_suppkey,
-             MIN(l_extendedprice / l_quantity) AS ps_supplycost
-      FROM lineitem GROUP BY l_partkey, l_suppkey),
-    mc AS (SELECT l_partkey, MIN(ps_supplycost) AS min_cost
+             (2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100
+              + CAST(ROUND(l_quantity) AS BIGINT))
+             // (2 * CAST(ROUND(l_quantity) AS BIGINT)) AS cost_q4
+      FROM lineitem),
+    ps AS (
+      SELECT l_partkey, l_suppkey, MIN(cost_q4) AS ps_cost_q4
+      FROM rows_q4 GROUP BY l_partkey, l_suppkey),
+    mc AS (SELECT l_partkey, MIN(ps_cost_q4) AS min_cost
            FROM ps GROUP BY l_partkey)
     SELECT p_partkey, s_name, n_name,
-           CAST(ROUND(ps_supplycost, 4) AS DOUBLE) AS supply_cost
+           CAST(ps_cost_q4 AS BIGINT) AS supply_cost_q4
     FROM ps JOIN mc USING (l_partkey)
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
-    WHERE ps_supplycost = min_cost AND p_size = 10
+    WHERE ps_cost_q4 = min_cost AND p_size = 10
     ORDER BY p_partkey, s_name
     """,
 )
@@ -1549,9 +1554,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H-Q2-shape: cheapest supplier per part (partsupp derived from
     lineitem as MIN(unit price) per part-supplier pair — the fixture set
     has no partsupp table). The correlated MIN subquery is decorrelated
-    into a per-part window MIN; ties keep all rows in both engines; the
-    equality compares bit-identical doubles (same division, MIN is
-    order-independent).
+    into a per-part window MIN; ties keep all rows in both engines.
+
+    Exact-integer unit cost (PLANS.md rule 5, found by the sf0.1 parity
+    sweep): price/quantity quotients land on 4-decimal .5 boundaries
+    (89.11625 at sf0.1) where the engines' double ROUND disagrees by a
+    ulp-visible digit — the cost is instead quantized per ROW with
+    integer round-half-up ((2*cents*100 + q) div (2q), exact on both
+    engines) and MIN runs over integers; rounding is monotone, so
+    min-of-rounded equals rounded-min, and the min-cost tie compare is
+    integer-exact.
 
     Round-6 plan rewrite (oracle-hash-preserving): (a) the selective
     ``p_size = 10`` part filter is pushed BELOW the aggregate as a
@@ -1573,14 +1585,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
+    cost_q4 = F.expr(
+        "(2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100"
+        " + CAST(ROUND(l_quantity) AS BIGINT))"
+        " div (2 * CAST(ROUND(l_quantity) AS BIGINT))"
+    )
     ps = li10.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
-            "ps_supplycost"
-        )
+        F.min(cost_q4).alias("ps_cost_q4")
     )
     w = W.partitionBy("l_partkey")
-    keep = ps.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
-        F.col("ps_supplycost") == F.col("min_cost")
+    keep = ps.withColumn("min_cost", F.min("ps_cost_q4").over(w)).filter(
+        F.col("ps_cost_q4") == F.col("min_cost")
     )
     return (
         keep.join(
@@ -1592,7 +1607,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
             "p_partkey",
             "s_name",
             "n_name",
-            F.round("ps_supplycost", 4).cast("double").alias("supply_cost"),
+            F.col("ps_cost_q4").cast("bigint").alias("supply_cost_q4"),
         )
         .orderBy("p_partkey", "s_name")
     )
