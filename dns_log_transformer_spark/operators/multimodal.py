@@ -343,12 +343,16 @@ def phash_pairs(
 # GIF (logical-screen little-endian dims), BMP (DIB header little-endian
 # dims).
 
-#: JPEG segment-walk depth: headers put SOF within the first few
-#: segments (APP0/APPn/COM/quant tables); 5 unrolled steps cover the
-#: synthetic fixture (SOF is segment 3) with margin. Real-world JPEGs
-#: with long marker prefaces would need a larger constant — the walk is
-#: O(depth) projections, so raising it is cheap.
-JPEG_WALK_STEPS = 5
+#: JPEG segment-walk depth: real-world headers routinely front-load
+#: APP0/JFIF + APP1/EXIF + APP2/ICC + APP13/APP14 + COM + several
+#: DQT/DHT/DRI segments before SOF — 12 unrolled steps cover an
+#: 11-segment preface (comfortably past the typical camera/Photoshop
+#: layout; r9's 5 covered only 4 and silently nulled deep-preface dims,
+#: ADVICE r9). The walk is O(depth) shuffle-free projections, so depth
+#: is cheap; when it DOES exhaust, the row stays loud — format='jpeg',
+#: null dims, dims_parsed=false — and mm_format_census counts it in
+#: n_unparsed instead of silently excluding the payload.
+JPEG_WALK_STEPS = 12
 
 
 def _hx_byte(hx, pos):
@@ -389,6 +393,11 @@ def sniff_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
       16-bit at offsets 7/9.
     - bmp: BM signature; DIB dims little-endian 32-bit at 19/23.
     - anything else: format 'unknown', null dims.
+
+    ``dims_parsed`` makes partial parses LOUD: false whenever either
+    dim is null (unknown format, walk exhausted before SOF, overflow
+    dims routed by try_cast) so a census can report parse coverage
+    instead of silently excluding null-dim rows (ADVICE r9).
 
     All positions are 1-indexed (Spark substring convention). The hex
     payload is materialized ONCE as a top-level projection (PLANS.md
@@ -461,11 +470,14 @@ def sniff_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # dim offset (e.g. a spec-legal top-down BMP stores biHeight as a
     # NEGATIVE two's-complement le32) — ANSI cast would crash the whole
     # census job on one such payload; null dims route it instead
+    w_i = width.try_cast("int")
+    h_i = height.try_cast("int")
     return cur.select(
         F.col(id_col),
         F.col("_fmt").alias("format"),
-        width.try_cast("int").alias("width"),
-        height.try_cast("int").alias("height"),
+        w_i.alias("width"),
+        h_i.alias("height"),
+        (w_i.isNotNull() & h_i.isNotNull()).alias("dims_parsed"),
         F.octet_length("blob").cast("long").alias("n_bytes"),
     )
 
@@ -511,7 +523,16 @@ def synth_image_blob(
     width = 16 + id % 240, height = 16 + (id // 4) % 224,
     payload = 10 + len % 100; byte sizes png 29+payload, gif
     10+payload, bmp 26+payload, jpeg 27 + app0(16 + id % 8) +
-    com(4 + id % 5) + payload.
+    com(4 + id % 5) + 4 * (id % 16) + payload.
+
+    JPEG prefaces are DEEP on purpose: id % 16 extra empty COM
+    segments sit between the COM and the SOF, so SOF is marker index
+    2 + id % 16 (range 2..17). Ids with id % 16 <= 9 parse through the
+    12-step walk — pinning depths the r9 walk (5) could not reach —
+    while id % 16 >= 10 EXCEEDS the walk and must surface as the loud
+    format='jpeg' / null-dims / dims_parsed=false row the census
+    counts in n_unparsed; both regimes are stated arithmetically in
+    the oracle, so neither a walk bug nor a silent drop can cancel.
     """
     i = F.col(id_col)
     w = (F.lit(16) + i % 240).cast("long")
@@ -520,6 +541,7 @@ def synth_image_blob(
     filler = F.repeat(F.lit("00"), pl)
     l0 = (F.lit(16) + i % 8).cast("long")  # APP0 length (incl. itself)
     l1 = (F.lit(4) + i % 5).cast("long")  # COM length (incl. itself)
+    n_extra = (i % 16).cast("int")  # extra 4-byte empty COM segments
 
     png = F.concat(
         F.lit("89504E470D0A1A0A"),  # signature
@@ -537,6 +559,7 @@ def synth_image_blob(
         F.lit("FFFE"),
         _hex_be16(l1),
         F.repeat(F.lit("00"), (l1 - 2).cast("int")),  # COM body
+        F.repeat(F.lit("FFFE0002"), n_extra),  # deep preface (see above)
         F.lit("FFC0"),
         F.lit("0011"),  # SOF0, length 17
         F.lit("08"),  # precision

@@ -1379,9 +1379,12 @@ def q_ntile_buckets(spark: SparkSession, sf: str) -> DataFrame:
              MAX(CASE WHEN arm = 'B' THEN n_conv END) AS c_b
       FROM arms)
     SELECT n_a, c_a, n_b, c_b,
-           ROUND(c_a * 100.0 / n_a, 4) AS rate_a_pct,
-           ROUND(c_b * 100.0 / n_b, 4) AS rate_b_pct,
-           CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+           CASE WHEN n_a > 0 THEN ROUND(c_a * 100.0 / n_a, 4) END
+             AS rate_a_pct,
+           CASE WHEN n_b > 0 THEN ROUND(c_b * 100.0 / n_b, 4) END
+             AS rate_b_pct,
+           CASE WHEN n_a > 0 AND n_b > 0
+                     AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
              ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
                / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
                       * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
@@ -1454,17 +1457,27 @@ def q_ab_test_ztest(spark: SparkSession, sf: str) -> DataFrame:
     # degenerate experiment (everyone or no one converted): the pooled
     # variance is 0 and the z-statistic is undefined — NULL, never an
     # ANSI divide-by-zero that kills the job (bit at sf0.001, where no
-    # user reaches the conversion threshold; oracle mirrors the CASE)
-    pool_ok = (F.col("c_a") + F.col("c_b") > 0) & (
-        F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")
+    # user reaches the conversion threshold; oracle mirrors the CASE).
+    # The same guard covers an EMPTY arm (n is NULL from the pivot's
+    # MAX-over-nothing, and can never be 0): rates and the 1/n terms
+    # stay inside explicit n > 0 CASEs on both engines (ADVICE r9).
+    arm_ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    pool_ok = (
+        arm_ok
+        & (F.col("c_a") + F.col("c_b") > 0)
+        & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b"))
     )
     return wide.select(
         "n_a",
         "c_a",
         "n_b",
         "c_b",
-        F.round(F.col("c_a") * 100.0 / F.col("n_a"), 4).alias("rate_a_pct"),
-        F.round(F.col("c_b") * 100.0 / F.col("n_b"), 4).alias("rate_b_pct"),
+        F.when(
+            F.col("n_a") > 0, F.round(F.col("c_a") * 100.0 / F.col("n_a"), 4)
+        ).alias("rate_a_pct"),
+        F.when(
+            F.col("n_b") > 0, F.round(F.col("c_b") * 100.0 / F.col("n_b"), 4)
+        ).alias("rate_b_pct"),
         F.when(pool_ok, F.round(z, 4)).alias("z_stat"),
     )
 

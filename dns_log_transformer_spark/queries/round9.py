@@ -204,7 +204,19 @@ def emb_source_drift(spark: SparkSession, sf: str) -> DataFrame:
             "dim",
             "c_a",
             "c_b",
-            (F.col("s_b") * F.col("c_a") - F.col("s_a") * F.col("c_b"))
+            # all four operands enter DECIMAL(38,0) BEFORE the multiply:
+            # s reaches n * 1e6 micro-units per (source, dim), so a LONG
+            # s*c product overflows int64 around ~3M docs per source and
+            # ANSI mode would kill the job (ADVICE r9). In decimal the
+            # exact path holds to ~3e6 docs/source per snapshot (d^2
+            # stays under 38 digits); past that, widen the micro-unit
+            # quantum before raising precision.
+            (
+                F.col("s_b").cast("decimal(38,0)")
+                * F.col("c_a").cast("decimal(38,0)")
+                - F.col("s_a").cast("decimal(38,0)")
+                * F.col("c_b").cast("decimal(38,0)")
+            )
             .cast("decimal(38,0)")
             .alias("d"),
         )
@@ -262,20 +274,31 @@ def emb_source_drift(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id,
              CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                   WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+             -- a jpeg whose deep preface (2 + id%16 segments before
+             -- SOF) exceeds the 12-step walk parses NO dims: the walk
+             -- covers marker indexes 0..11, so SOF index 2 + id%16
+             -- is reachable iff id%16 <= 9 (multimodal.synth_image_blob)
+             doc_id % 4 = 1 AND doc_id % 16 >= 10 AS unparsed,
              16 + doc_id % 240 AS w,
              16 + (doc_id // 4) % 224 AS h,
              CASE doc_id % 4
                WHEN 0 THEN 29
                WHEN 1 THEN 27 + (16 + doc_id % 8) + (4 + doc_id % 5)
+                          + 4 * (doc_id % 16)
                WHEN 2 THEN 10
                ELSE 26 END + 10 + n_chars % 100 AS n_bytes
       FROM documents)
     SELECT format,
            CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN unparsed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unparsed,
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-           CAST(MIN(w) AS INT) AS min_w, CAST(MAX(w) AS INT) AS max_w,
-           CAST(MIN(h) AS INT) AS min_h, CAST(MAX(h) AS INT) AS max_h,
-           CAST(SUM(w * h) AS BIGINT) AS total_pixels
+           CAST(MIN(CASE WHEN NOT unparsed THEN w END) AS INT) AS min_w,
+           CAST(MAX(CASE WHEN NOT unparsed THEN w END) AS INT) AS max_w,
+           CAST(MIN(CASE WHEN NOT unparsed THEN h END) AS INT) AS min_h,
+           CAST(MAX(CASE WHEN NOT unparsed THEN h END) AS INT) AS max_h,
+           CAST(SUM(CASE WHEN NOT unparsed THEN w * h END) AS BIGINT)
+             AS total_pixels
     FROM m GROUP BY format ORDER BY format
     """,
 )
@@ -300,10 +323,18 @@ def mm_format_census(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents").select("doc_id", "n_chars")
     blobs = multimodal.synth_image_blob(docs)
     meta = multimodal.sniff_image_meta(blobs)
+    # n_unparsed makes partial parses LOUD (ADVICE r9): the fixture
+    # plants jpegs whose preface exceeds the SOF walk (id % 16 >= 10),
+    # and the dimension stats aggregate PARSED rows only — min/max/sum
+    # ignore the null dims on both engines, and the census reports how
+    # many payloads were excluded instead of silently shrinking.
     return (
         meta.groupBy("format")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum((~F.col("dims_parsed")).cast("long"))
+            .cast("long")
+            .alias("n_unparsed"),
             F.sum("n_bytes").cast("long").alias("total_bytes"),
             F.min("width").cast("int").alias("min_w"),
             F.max("width").cast("int").alias("max_w"),

@@ -66,6 +66,7 @@ def read_scorecard(
     spark: SparkSession,
     table_path: str,
     bucket_cap: int | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame | None:
     """The per-source triage report over everything ingested so far —
     same columns and values as the batch ``corpus.source_scorecard``.
@@ -73,7 +74,11 @@ def read_scorecard(
     sink's (defaults to the shared ``dedup.LSH_BUCKET_CAP``): near-dup
     membership is read through ``read_pairs_reconciled`` so pairs from
     buckets that crossed the cap mid-stream are dropped exactly as the
-    batch path drops them retroactively."""
+    batch path drops them retroactively. ``id_col`` must also match the
+    sink's — the flags/ and neardup buckets/ stores carry the caller's
+    id column name, so a monitor started with a custom id needs the
+    same name here (ADVICE r9: previously hardcoded to doc_id, which
+    broke the reconciled read's dropDuplicates on custom-id stores)."""
     from dns_log_transformer_spark.operators.corpus import (
         scorecard_from_flags,
     )
@@ -90,17 +95,18 @@ def read_scorecard(
         spark,
         os.path.join(table_path, "neardup"),
         bucket_cap=LSH_BUCKET_CAP if bucket_cap is None else bucket_cap,
+        id_col=id_col,
     )
     if pairs is None:
         flagged = flagged.withColumn("is_near", F.lit(None).cast("boolean"))
     else:
         near = (
-            pairs.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            pairs.select(F.col("doc_a").alias(id_col))
+            .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
             .distinct()
             .withColumn("is_near", F.lit(True))
         )
-        flagged = flagged.join(near, "doc_id", "left")
+        flagged = flagged.join(near, id_col, "left")
     return scorecard_from_flags(
         flagged.select("source", "is_contaminated", "is_exdup", "is_near")
     )

@@ -116,6 +116,51 @@ def test_jpeg_marker_walk_handles_variable_segment_layouts(spark):
     assert got == want
 
 
+def test_jpeg_walk_exhaustion_is_loud_not_silent(spark):
+    """A JPEG whose marker preface exceeds JPEG_WALK_STEPS (EXIF+ICC
+    pile-ups deeper than the unrolled walk) must surface as the LOUD
+    row — format='jpeg', null dims, dims_parsed=false — never a crash
+    or a wrong dimension; one segment shallower must parse (the walk's
+    guarantee boundary, pinned from both sides). Depths include the
+    real-world 8+-segment EXIF/ICC-style prefaces (VERDICT r9 #3)."""
+    import struct
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        JPEG_WALK_STEPS,
+        sniff_image_meta,
+    )
+
+    def jpeg_with_preface(n_pre: int, w: int, h: int) -> bytes:
+        buf = b"\xff\xd8"
+        for j in range(n_pre):
+            ln = 2 + (j * 7) % 60  # varied lengths, incl. empty bodies
+            buf += bytes([0xFF, 0xFE]) + struct.pack(">H", ln + 2)
+            buf += bytes(ln)
+        buf += b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        buf += struct.pack(">HH", h, w) + b"\x03" + bytes(9)
+        return buf
+
+    rows, want = [], {}
+    # depths straddling the boundary: 8 (deep real-world preface),
+    # STEPS-1 (last parseable), STEPS and STEPS+3 (exhausted)
+    for i, n_pre in enumerate(
+        [8, JPEG_WALK_STEPS - 1, JPEG_WALK_STEPS, JPEG_WALK_STEPS + 3]
+    ):
+        rows.append((i, jpeg_with_preface(n_pre, 100 + i, 200 + i)))
+        if n_pre <= JPEG_WALK_STEPS - 1:
+            want[i] = ("jpeg", 100 + i, 200 + i, True)
+        else:
+            want[i] = ("jpeg", None, None, False)
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        r["doc_id"]: (
+            r["format"], r["width"], r["height"], r["dims_parsed"]
+        )
+        for r in sniff_image_meta(df).collect()
+    }
+    assert got == want
+
+
 def test_sniff_image_meta_routes_overflow_dims_instead_of_crashing(spark):
     """A spec-legal top-down BMP stores biHeight as a NEGATIVE
     two's-complement le32 (reads as >= 2^31 unsigned) — under ANSI mode

@@ -1657,6 +1657,79 @@ def test_corpus_monitor_sink_matches_batch_scorecard(spark, tmp_path):
     )
 
 
+def test_corpus_monitor_threads_custom_id_col(spark, tmp_path):
+    """A monitor started with a non-default id column must be readable
+    with the same id_col: the flags/ and neardup buckets/ stores carry
+    the caller's column name, and read_scorecard previously hardcoded
+    doc_id into the reconciled pairs read (ADVICE r9) — this pins the
+    threading end-to-end against the batch scorecard."""
+    import json as _json
+
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.streaming import (
+        corpus_monitor_sink,
+        read_scorecard,
+    )
+
+    full = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.col("doc_id").alias("item_id"),
+            F.col("text").alias("body"),
+            "source",
+        )
+        .filter(F.col("item_id") < 2000)
+    )
+    bench = full.filter(F.col("item_id") % 97 == 0)
+    src = tmp_path / "docs"
+    src.mkdir()
+    table = str(tmp_path / "monitor")
+    stream = spark.readStream.schema(
+        "item_id long, body string, source string"
+    ).json(str(src))
+    q = corpus_monitor_sink(
+        stream,
+        bench,
+        table,
+        str(tmp_path / "ck"),
+        id_col="item_id",
+        text_col="body",
+    )
+    try:
+        with open(src / "b1.json", "w") as f:
+            for r in full.collect():
+                f.write(
+                    _json.dumps(
+                        {
+                            "item_id": r["item_id"],
+                            "body": r["body"],
+                            "source": r["source"],
+                        }
+                    )
+                    + "\n"
+                )
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in read_scorecard(spark, table, id_col="item_id").collect()
+        }
+        # source_scorecard takes the benchmark under its DEFAULT names
+        # (bench_id_col/bench_text_col stay doc_id/text); the sink takes
+        # it under the sink's id_col/text_col — rename for the batch twin
+        bench_default = bench.select(
+            F.col("item_id").alias("doc_id"), F.col("body").alias("text")
+        )
+        want = {
+            tuple(r)
+            for r in corpus.source_scorecard(
+                full, bench_default, id_col="item_id", text_col="body"
+            ).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_winnow_index_crash_windows_replay_clean(spark, tmp_path):
     """The winnow sink's write order (spans -> fpagg -> anchors) is
     load-bearing: a crash after EITHER intermediate write followed by
