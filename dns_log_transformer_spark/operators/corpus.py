@@ -684,6 +684,7 @@ def bloom_verified_decontaminate(
     bench_text_col: str = "text",
     k: int | None = None,
     m_bits: int | None = None,
+    with_probe_stats: bool = False,
 ) -> DataFrame:
     """EXACT decontamination computed through a Bloom pre-filter — the
     two-stage shape a 100 TB pipeline actually runs:
@@ -720,7 +721,20 @@ def bloom_verified_decontaminate(
         F.lit(0.0).alias("contam_frac"),
         F.lit(False).alias("is_contaminated"),
     )
-    return verified.unionByName(clean)
+    out = verified.unionByName(clean)
+    if with_probe_stats:
+        # attach the probe-stage counts beside the verified values —
+        # bloomed is already persisted above, so this is one id-keyed
+        # join against cached rows, and the one-sided-error containment
+        # (n_maybe_hits >= n_hits) becomes visible per row
+        out = out.join(
+            bloomed.select(id_col, "n_maybe_hits", "maybe_contaminated"),
+            id_col,
+        ).select(
+            id_col, "n_shingles", "n_maybe_hits", "maybe_contaminated",
+            "n_hits", "contam_frac", "is_contaminated",
+        )
+    return out
 
 
 def span_dedup(

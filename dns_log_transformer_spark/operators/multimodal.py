@@ -250,6 +250,60 @@ def phash64(
     return blobs.select(F.col(id_col), "blob").mapInPandas(run, PHASH_SCHEMA)
 
 
+#: Output schema of the combined meta + aHash profile pass.
+IMAGE_PROFILE_SCHEMA = IMAGE_META_SCHEMA + ", b0 int, b1 int, b2 int, b3 int"
+
+
+def image_profile(
+    df: DataFrame,
+    decoder: Callable[[bytes, int], tuple[int, int, int]] | None = None,
+    pixels: Callable[[bytes], list[int]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Header metadata AND the 64-bit average-hash bands in ONE Arrow
+    pass over the binary payloads (r10: backs the merged mm_image_meta
+    registration — the old image_meta + phash64 pair each paid a full
+    mapInPandas scan; a census that wants both should decode once).
+    Inject ``decoder``/``pixels`` exactly as in the split operators,
+    which remain for callers needing only one half."""
+    dec = decoder or fake_image_meta
+    px = pixels or fake_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [dec(b, i) for b, i in zip(pdf["blob"], pdf[id_col])]
+            bands: list[list[int]] = [[], [], [], []]
+            for blob in pdf["blob"]:
+                p = px(blob)
+                total = sum(p)
+                for k in range(4):
+                    v = 0
+                    for i in range(16):
+                        if p[k * 16 + i] * 64 > total:
+                            v |= 1 << i
+                    bands[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf["blob"].map(len).astype("int64"),
+                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
+                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "channels": pd.Series(
+                        [m[2] for m in meta], dtype="int32"
+                    ),
+                    "b0": pd.Series(bands[0], dtype="int32"),
+                    "b1": pd.Series(bands[1], dtype="int32"),
+                    "b2": pd.Series(bands[2], dtype="int32"),
+                    "b3": pd.Series(bands[3], dtype="int32"),
+                }
+            )
+
+    blobs = df if "blob" in df.columns else attach_blob(df)
+    return blobs.select(F.col(id_col), "blob").mapInPandas(
+        run, IMAGE_PROFILE_SCHEMA
+    )
+
+
 def phash_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -1039,12 +1039,19 @@ def int8_encode(
     mxs: list[float],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quantize each vector to an ``array<int>`` of int8-range codes
     using broadcast-in-closure calibration bounds (2 x dim doubles).
-    Arrow-batched; one pass, no shuffle."""
+    Arrow-batched; one pass, no shuffle. ``keep_cols`` ride through
+    (the pq_encode convention) so representation pipelines can chain
+    encoders without a join."""
     enc = _int8_encoder(mns, mxs)
-    return emb.select(id_col, enc(_as_double(F.col(vec_col))).alias("code"))
+    return emb.select(
+        id_col,
+        *[F.col(c) for c in keep_cols],
+        enc(_as_double(F.col(vec_col))).alias("code"),
+    )
 
 
 def int8_topk(

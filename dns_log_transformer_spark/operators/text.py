@@ -1006,6 +1006,7 @@ def bpe_apply_stats(
     k: int = 5,
     text_col: str = "text",
     source_col: str = "source",
+    with_merges_csv: bool = False,
 ) -> DataFrame:
     """Train-then-apply: learn ``k`` BPE merges on the corpus
     (``_bpe_learn``), apply them IN ORDER to every document, and report
@@ -1015,8 +1016,15 @@ def bpe_apply_stats(
     one scan; counts are exact ints, the averages one double division,
     ROUND 4.
 
+    ``with_merges_csv`` appends the learned merge table itself as a
+    constant column — 'rank:lhs rhs:count' rows joined with '|' — so
+    one registration attests BOTH the induction (the merge table) and
+    its application (the compression), r10 consolidation of the
+    text_bpe_merges/text_bpe_apply pair. The merges are already driver
+    state (one row per step), so the column is a literal.
+
     Output: (source, n_docs, avg_tokens_before, avg_tokens_after,
-    compression_pct)."""
+    compression_pct[, merges_csv])."""
     base = (
         rebalance_for_fanout(df.select(F.col(source_col), F.col(text_col)))
         .select(
@@ -1035,7 +1043,7 @@ def bpe_apply_stats(
     applied = applied.withColumn(
         "n_after", F.size(F.split(F.col("t"), " ")).cast("long")
     )
-    return applied.groupBy("source").agg(
+    out = applied.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(
             F.sum(F.col("n_before").cast("decimal(38,0)")).cast("double")
@@ -1057,3 +1065,9 @@ def bpe_apply_stats(
             4,
         ).alias("compression_pct"),
     )
+    if with_merges_csv:
+        csv = "|".join(
+            f"{r}:{lhs} {rhs}:{cnt}" for r, lhs, rhs, cnt in merges
+        )
+        out = out.withColumn("merges_csv", F.lit(csv))
+    return out

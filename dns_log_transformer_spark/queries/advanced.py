@@ -430,38 +430,92 @@ _INT8_CODE_SQL = f"""
 """
 
 
-@register(
-    "emb_int8_codes",
-    oracle=f"""
-    WITH {_INT8_CODE_SQL}
-    SELECT vec_id,
-           array_to_string(code, ',') AS code_csv,
-           CAST(list_sum(code) AS BIGINT) AS code_sum
-    FROM codes
-    """,
-)
-def emb_int8_codes(spark: SparkSession, sf: str) -> DataFrame:
-    """Scalar int8 quantization of every embedding (global per-dim
-    min/max calibration -> 254 levels -> [-127, 127]) — 4x smaller
-    vectors ahead of ANN. Calibration is a 64-group aggregation
-    regardless of corpus size; encode is one Arrow pass.
+def _vector_codes_oracle() -> str:
+    """Merged per-vector representation oracle: the int8 CTEs (local),
+    the PQ codebook/code CTEs and the literal-plane LSH key (imported
+    from llm_ops — fully loaded first by queries/__init__), sharing ONE
+    ``e`` base CTE. The PQ code CTE is renamed codes -> pqc so the two
+    recipes' CTEs coexist."""
+    from dns_log_transformer_spark.queries.llm_ops import (
+        _LSH_KEY_SQL,
+        _PQ_CB,
+        _PQ_CODES,
+    )
 
-    Driver-facing projection: codes serialize to CSV (+ an exact code
-    checksum) so the harness canonicalizer can sort the output — the
-    array-returning operator stays internal (round-4 lesson)."""
+    pqc = _PQ_CODES.replace("codes AS (", "pqc AS (", 1).replace(
+        "FROM codes", "FROM pqc"
+    )
+    return f"""
+    WITH {_INT8_CODE_SQL},
+    i8 AS (
+      SELECT vec_id,
+             array_to_string(code, ',') AS int8_csv,
+             CAST(list_sum(code) AS BIGINT) AS int8_sum
+      FROM codes),
+    {_PQ_CB},
+    {pqc},
+    pq AS (
+      SELECT vec_id,
+             array_to_string(list(CAST(cell AS VARCHAR) ORDER BY sub), ',')
+               AS pq_csv
+      FROM pqc GROUP BY vec_id),
+    lsh AS (
+      SELECT vec_id, CAST({_LSH_KEY_SQL} AS INT) AS lsh_key FROM e)
+    SELECT i8.vec_id, i8.int8_csv, i8.int8_sum, pq.pq_csv, lsh.lsh_key
+    FROM i8 JOIN pq USING (vec_id) JOIN lsh USING (vec_id)
+    """
+
+
+@register("emb_vector_codes", oracle=_vector_codes_oracle())
+def emb_vector_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector compressed representations, all three families in ONE
+    Arrow pipeline over one scan (r10 consolidation of emb_int8_codes +
+    emb_pq_codes + sim_lsh_buckets, VERDICT r9 #1 — three per-vec
+    projection shells over the same embeddings scan):
+
+    - ``int8_csv`` / ``int8_sum``: scalar int8 quantization (global
+      per-dim min/max calibration -> 254 levels -> [-127, 127]) — 4x
+      smaller vectors ahead of ANN; the checksum is the exact slot-sum;
+    - ``pq_csv``: product-quantization codes (nearest codebook cell per
+      8-dim subspace by L2) — the 32x-compressed form a billion-vector
+      index actually stores;
+    - ``lsh_key``: random-hyperplane LSH bucket key (numpy matmul in a
+      pandas UDF; literal-plane SQL folds in the oracle).
+
+    Plan shape: calibration is a 64-group aggregation and the codebook
+    is bounded driver state regardless of corpus size; the three
+    encoders then CHAIN as keep_cols-threaded Arrow projections riding
+    one scan — zero joins, zero shuffles on the Spark side (the oracle
+    joins its three CTEs; the engine never does).
+
+    Driver-facing projection: code arrays serialize to CSV so the
+    harness canonicalizer can sort the output — the array-returning
+    operators stay internal (round-4 lesson)."""
     emb = table(spark, sf, "embeddings")
     mns, mxs = similarity.int8_bounds(emb)
-    return similarity.int8_encode(emb, mns, mxs).select(
+    cb = similarity.pq_codebook(emb, n_cells=similarity.PQ_CELLS)
+    keyed = similarity.with_lsh_bucket(emb)
+    i8 = similarity.int8_encode(
+        emb=keyed, mns=mns, mxs=mxs, keep_cols=("lsh_key", "embedding")
+    ).withColumnRenamed("code", "_i8")
+    coded = similarity.pq_encode(
+        i8, cb, m=similarity.PQ_SUBSPACES, keep_cols=("lsh_key", "_i8")
+    )
+    return coded.select(
         "vec_id",
-        F.array_join(F.col("code").cast("array<string>"), ",").alias(
-            "code_csv"
+        F.array_join(F.col("_i8").cast("array<string>"), ",").alias(
+            "int8_csv"
         ),
         # explicit slot-sum over the fixed 64 dims (PLANS.md rule 3:
         # no interpreted higher-order-function lambda in a hot path)
         sum(
-            F.col("code").getItem(i).cast("long")
+            F.col("_i8").getItem(i).cast("long")
             for i in range(similarity.EMBEDDING_DIM)
-        ).alias("code_sum"),
+        ).alias("int8_sum"),
+        F.array_join(F.col("code").cast("array<string>"), ",").alias(
+            "pq_csv"
+        ),
+        "lsh_key",
     )
 
 
@@ -704,7 +758,10 @@ def _keep_best_oracle() -> str:
       SELECT component, arg_max(allc.doc_id, {skey}) AS best_id
       FROM allc JOIN scored ON allc.doc_id = scored.doc_id
       GROUP BY component)
-    SELECT allc.doc_id, best.best_id,
+    SELECT allc.doc_id,
+           allc.component AS keep_id,
+           allc.doc_id = allc.component AS is_kept_min,
+           best.best_id,
            allc.doc_id = best.best_id AS is_kept
     FROM allc JOIN best USING (component)
     """
@@ -712,16 +769,26 @@ def _keep_best_oracle() -> str:
 
 @register("dedup_keep_best", oracle=_keep_best_oracle())
 def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality-aware survivor selection: within each near-dup cluster
-    keep the HIGHEST-quality document (min doc_id tiebreak), not the
-    smallest id — the policy real curation ships (drop the boilerplate
-    copy, keep the clean one). Singletons keep themselves.
+    """Dedup survivor election, BOTH shipped policies in one per-doc
+    frame (r10: dedup_keep_list consolidated in, VERDICT r9 #1 — the
+    two shells shared the pairs -> components -> full-corpus join-back
+    pipeline and differed only in the elected survivor):
+
+    - ``keep_id`` / ``is_kept_min``: the cluster's canonical MIN doc id
+      (docs outside any cluster keep themselves) — the join-key
+      artifact a corpus dedup ships for downstream `WHERE is_kept` /
+      keep_id joins;
+    - ``best_id`` / ``is_kept``: the HIGHEST-quality member (min
+      doc_id tiebreak) — the policy real curation elects (drop the
+      boilerplate copy, keep the clean one).
 
     Composition: MinHash-LSH pairs -> connected components (both
-    already attested) -> one max_by per component over a packed
+    already attested) -> left join back to the full corpus (singletons
+    must survive) -> one max_by per component over a packed
     (score, -id) int64 key — argmax replaces the join-back-on-max
     idiom, so survivor election costs ONE extra hash aggregation on
-    component ids.
+    component ids, and the min-id policy is free (it IS the component
+    id the left join already carries).
     """
     from dns_log_transformer_spark.operators import dedup, text as text_ops
 
@@ -751,6 +818,8 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     )
     return allc.join(best, "component").select(
         "doc_id",
+        F.col("component").alias("keep_id"),
+        (F.col("doc_id") == F.col("component")).alias("is_kept_min"),
         "best_id",
         (F.col("doc_id") == F.col("best_id")).alias("is_kept"),
     )
@@ -808,23 +877,40 @@ _PHASH_PLANT = """
 
 
 @register(
-    "mm_phash64",
+    "mm_image_meta",
     oracle=f"""
     WITH {_PHASH_CTES}
-    SELECT doc_id, b0, b1, b2, b3 FROM ph
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(d.text)) % 640 AS INT) AS width,
+           CAST(d.doc_id % 480 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           ph.b0, ph.b1, ph.b2, ph.b3
+    FROM documents d JOIN ph USING (doc_id)
     """,
 )
-def mm_phash64(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit perceptual average-hash per image payload (decode stubbed
-    with the locality-preserving character-sample thumbnail — a real
-    deployment injects the 8x8 grayscale averager). bit i = 1 iff
-    pixel_i clears the image mean, compared in exact integers
-    (pixel*64 > sum). Emitted as four 16-bit band ints, the join-ready
-    form. Arrow-batched mapInPandas; no shuffle."""
+def mm_image_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-image metadata AND the 64-bit perceptual average-hash in one
+    frame (r10: mm_phash64 consolidated in, VERDICT r9 #1 — the two
+    shells each paid a full mapInPandas decode over the same payloads;
+    a real census decodes once):
+
+    - n_bytes/width/height/channels through the real mapInPandas binary
+      plumbing (decoder stubbed deterministically — no image libs
+      here; the REAL byte-level header parse is sniff_image_meta /
+      mm_format_census);
+    - b0..b3: the aHash emitted as four 16-bit band ints, the join-ready
+      form mm_phash_pairs band-joins on — bit i = 1 iff pixel_i clears
+      the image mean, compared in exact integers (pixel*64 > sum), over
+      the locality-preserving character-sample thumbnail stand-in.
+
+    ONE Arrow pass (operators/multimodal.py image_profile), no shuffle,
+    no join on the Spark side — the oracle joins its two CTEs; the
+    engine never does."""
     from dns_log_transformer_spark.operators import multimodal
 
     docs = table(spark, sf, "documents")
-    return multimodal.phash64(docs)
+    return multimodal.image_profile(docs)
 
 
 @register(
@@ -1084,21 +1170,32 @@ def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
              CAST(RANK() OVER w AS BIGINT) AS rnk,
              CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
              ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-             ROUND(CUME_DIST() OVER w, 6) AS cume
+             ROUND(CUME_DIST() OVER w, 6) AS cume,
+             CAST(NTILE(10) OVER w AS INT) AS decile
       FROM o WINDOW w AS (PARTITION BY o_orderpriority
                           ORDER BY cents, o_orderkey))
-    SELECT o_orderkey, o_orderpriority, cents, rnk, drnk, pct_rank, cume
+    SELECT o_orderkey, o_orderpriority, cents, rnk, drnk, pct_rank, cume,
+           decile
     FROM ranked WHERE o_orderkey % 17 = 0
     """,
 )
 def q_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
-    """The rank-function family not yet attested elsewhere: rank,
-    dense_rank, percent_rank, cume_dist in ONE window pass (all four
-    share the per-priority sort; the plan must carry a single Window
-    node). Ordering key (cents, orderkey) is total, so ranks are
+    """The full window rank family in ONE window pass: rank,
+    dense_rank, percent_rank, cume_dist, and NTILE(10) equi-frequency
+    deciles (r10: q_ntile_buckets consolidated in, VERDICT r9 #1 —
+    NTILE rides the SAME per-priority sort as the other four, so the
+    plan must still carry a single Window node). Ordering key
+    (cents, orderkey) is total, so ranks and bucket boundaries are
     deterministic; the two ratio functions divide exact integers and
     are rounded identically on both engines. Output sampled to every
     17th order AFTER ranking (the filter must not perturb the frame).
+
+    The partition key (orderpriority) has bounded cardinality with
+    members that scale — the same caveat the old q_ntile_buckets
+    carried; the production-scale NTILE shape (range-partitioned
+    grouped_rank + ntile_from_rank, no WindowExec) is attested by
+    text_quality's decile column and plan-pinned in
+    test_skew_and_plans.
     """
     o = table(spark, sf, "orders").select(
         "o_orderkey",
@@ -1117,6 +1214,7 @@ def q_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
             F.dense_rank().over(w).cast("long").alias("drnk"),
             F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
             F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
         )
         .filter(F.col("o_orderkey") % 17 == 0)
     )

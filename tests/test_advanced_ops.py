@@ -566,22 +566,27 @@ def test_observed_write_counts_rejected_rows(spark):
     assert "CollectMetrics" in plans.physical_plan(observed, "simple")
 
 
-def test_sliding_distinct_approx_ignores_null_users(spark, monkeypatch):
-    """Review-fix pin (r9): a NULL user_id forms its own dedup group but
-    must not count — COUNT(DISTINCT), the exact twin, and the HLL all
-    ignore NULLs. Latent on the shipped fixtures (no NULL users), so
-    feed a crafted frame through the REGISTERED query itself (table()
-    monkeypatched) — an inline re-implementation of the aggregation
-    would keep passing if the production expression regressed."""
+def test_sliding_distinct_ignores_null_users(spark, monkeypatch):
+    """Review-fix pin (r9, carried through the r10 consolidation into
+    the merged q_sliding_distinct): a NULL user_id forms its own dedup
+    group but must not count in the distinct — COUNT(DISTINCT) and the
+    HLL both ignore NULLs — while n_events must still count the
+    NULL-user rows (the oracle's COUNT(*)). Latent on the shipped
+    fixtures (no NULL users), so feed a crafted frame through the
+    REGISTERED query itself (table() monkeypatched) — an inline
+    re-implementation of the aggregation would keep passing if the
+    production expression regressed."""
     import datetime
 
-    from dns_log_transformer_spark.queries import round9
+    from dns_log_transformer_spark.queries import round8
 
     base = datetime.datetime(2024, 1, 1, 0, 20)
     rows = [(1, base, 10), (2, base, 11), (3, base, None), (4, base, 10)]
     ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
-    monkeypatch.setattr(round9, "table", lambda _s, _sf, name: ev)
-    out = round9.q_sliding_distinct_approx(spark, "unused").collect()
+    monkeypatch.setattr(round8, "table", lambda _s, _sf, name: ev)
+    out = round8.q_sliding_distinct(spark, "unused").collect()
     counts = {r["n_users_exact"] for r in out}
     assert counts == {2}, f"NULL user leaked into the distinct count: {counts}"
+    events = {r["n_events"] for r in out}
+    assert events == {4}, f"NULL-user rows dropped from n_events: {events}"
     assert all(r["hll_ok"] for r in out)

@@ -33,7 +33,7 @@ REPRESENTATIVE = [
     "q_event_funnel",
     "q_argmax_orders",
     "q_global_rank",
-    "q_hll_sketch_merge",
+    "q_approx_distinct",  # merged: HLL++ check + datasketches partials
     "q_unpivot_measures",
     "q_approx_percentiles",
     "q_recursive_months",
@@ -46,10 +46,9 @@ REPRESENTATIVE = [
     "sketch_cms_topk",
     "sim_topk_bruteforce",
     "sim_ann_lsh_topk",
-    "text_quality_deciles",
+    "text_quality",  # merged quality suite (stats + deciles + classifier)
     "text_bm25_topk",
     "text_hybrid_rrf",
-    "corpus_bloom_decontaminate",
     "corpus_bloom_verified_decon",
     "corpus_source_overlap",
     "corpus_token_budget",
@@ -75,7 +74,7 @@ REPRESENTATIVE = [
     # round-6 families
     "dedup_sorted_neighborhood",  # global_rank's empty-partition path
     "text_tfidf_cosine_rerank",  # empty corpus -> empty candidates
-    "text_bpe_merges",  # zero pairs -> zero merge rows, stable schema
+    "text_bpe_apply",  # zero merges learned -> empty stats, stable schema
     "q_key_skew_report",
     "q_ri_audit",
     "q_snapshot_drift",
@@ -90,13 +89,12 @@ REPRESENTATIVE = [
 # the learning ops: clear ValueError by contract
 LEARNERS = [
     "emb_kmeans",
-    "emb_pq_codes",
+    "emb_vector_codes",  # merged int8/pq/lsh representation learner
     "emb_semantic_dedup",
     "sim_ann_ivf_topk",
     "sim_pq_adc_topk",
     # round-5 learners: int8 calibration and the IVF-PQ coarse codebook
     # learn from the corpus
-    "emb_int8_codes",
     "sim_int8_topk",
     "sim_ivfpq_topk",
     # round-6 learners: the int8 rerank's calibration and the delta

@@ -91,7 +91,7 @@ def test_representative_queries_survive_foreign_session(spark):
         "dns_bind9_lines",             # full DNS pipeline
         "corpus_split",                # hash-derived corpus op
         "corpus_pack_sequences",       # applyInPandas op
-        "sim_lsh_buckets",             # pandas-UDF embedding op
+        "emb_vector_codes",            # pandas-UDF embedding reps (lsh/int8/pq)
         "emb_kmeans",                  # iterative collect-per-round op
         "q_variant_props",             # VariantType extraction
         "q_profile_columns",           # per-column profiling aggs

@@ -346,7 +346,8 @@ def test_pagerank_plan_has_no_union_over_edge_cache(spark):
 
 
 def test_quality_deciles_plan_has_no_per_source_window(spark):
-    """Round-5 rewrite guard: text_quality_deciles must NOT plan a
+    """Round-5 rewrite guard (now on the merged text_quality, which
+    carries the per-source decile column): the plan must NOT contain a
     ntile window hash-partitioned on source — with single-digit source
     cardinality and terabyte members, that sorts each source's entire
     corpus in one task. The grouped_rank shape is a range partition on
@@ -356,21 +357,23 @@ def test_quality_deciles_plan_has_no_per_source_window(spark):
     from dns_log_transformer_spark.queries import ALL_QUERIES
     from tests.conftest import SF_SMOKE
 
-    df = ALL_QUERIES["text_quality_deciles"].fn(spark, SF_SMOKE)
+    df = ALL_QUERIES["text_quality"].fn(spark, SF_SMOKE)
     plan = physical_plan(df, "simple")
     assert "Window" not in plan, "per-source window sort reintroduced"
     assert "ntile(" not in plan
     assert "SinglePartition" not in plan
     # NTILE-equivalent result still verified by test_oracle_parity
-    rows = {(r["source"], r["decile"]): r["n_docs"] for r in df.collect()}
-    assert rows, "deciles produced no rows"
-    # every source's bucket sizes differ by at most 1 (NTILE allocation)
     import collections
 
-    per_source = collections.defaultdict(list)
-    for (src, _dec), n in rows.items():
-        per_source[src].append(n)
-    for src, sizes in per_source.items():
+    per_source = collections.defaultdict(
+        lambda: collections.defaultdict(int)
+    )
+    for r in df.collect():
+        per_source[r["source"]][r["decile"]] += 1
+    assert per_source, "deciles produced no rows"
+    # every source's bucket sizes differ by at most 1 (NTILE allocation)
+    for src, buckets in per_source.items():
+        sizes = list(buckets.values())
         assert max(sizes) - min(sizes) <= 1, (src, sorted(sizes))
 
 

@@ -23,7 +23,7 @@ from dns_log_transformer_spark.session import get_spark  # noqa: E402
 
 DST100 = "/root/repo/scratch/x100ev"
 
-QUERIES = ("q_sliding_distinct", "q_sliding_distinct_approx")
+QUERIES = ("q_sliding_distinct",)  # r10: approx twin merged in
 
 
 def build(spark) -> None:

@@ -107,7 +107,7 @@ def main():
         "q_cidr_enrich",
         "q_ewma_anomaly",
         "q_triangle_suppliers",
-        "emb_int8_codes",
+        "emb_vector_codes",
         "sim_int8_topk",
         "text_trigram_familiarity",
         "corpus_snapshot_diff",

@@ -20,7 +20,6 @@ QUERIES = (
     "text_tfidf_cosine_rerank",
     "q_key_skew_report",
     "q_ri_audit",
-    "text_bpe_merges",
     "q_snapshot_drift",
     "q_join_size_estimate",
     "cdc_time_travel",
@@ -29,7 +28,6 @@ QUERIES = (
     "q_decayed_popularity",
     "q_cohort_retention",
     "q_target_encode_lofo",
-    "q_ntile_buckets",
     "q_ab_test_ztest",
     "q_link_prediction_aa",
     "q_rfm_segments",

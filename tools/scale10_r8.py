@@ -47,7 +47,6 @@ QUERIES = (
     "q_skyline_pareto",
     "emb_dim_stats",
     # round 9
-    "q_sliding_distinct_approx",
     "emb_source_drift",
     "mm_format_census",
     "emb_coverage_audit",
