@@ -647,3 +647,352 @@ def synth_image_blob(
         .otherwise(bmp)
     )
     return df.select(F.col(id_col), F.unhex(blob_hex).alias("blob"))
+
+
+# ---------------------------------------------------------------------------
+# Audio/video container sniffing: WAV/RIFF, WebP (VP8/VP8L/VP8X), ISO-BMFF
+# ---------------------------------------------------------------------------
+#
+# The mm_format_census technique (VERDICT r9 #4) extended past images: a
+# multimodal training corpus also carries audio (WAV) and video (MP4)
+# payloads plus WebP, and the same pure-codegen byte arithmetic parses
+# their container headers — RIFF chunk walk for WAV, the three WebP
+# bitstream variants' distinct dimension encodings, and a top-level
+# ISO-BMFF box walk (the JPEG-marker-walk pattern generalized).
+
+#: RIFF chunk-walk depth for WAV: 'fmt ' is usually the first chunk but
+#: JUNK/LIST/bext prefaces are common in broadcast WAVs; 4 unrolled
+#: steps cover 3 preface chunks.
+WAV_WALK_STEPS = 4
+
+#: Top-level ISO-BMFF box-walk depth: ftyp + a handful of free/skip/
+#: meta boxes before moov/mdat in real muxers; 8 covers 7 intermediate
+#: boxes. Like the JPEG walk, exhaustion is LOUD: boxes past the walk
+#: are simply not counted and the structural flag stays 0 unless both
+#: moov and mdat were seen inside it.
+MP4_WALK_STEPS = 8
+
+
+def _hx_str4(hx, pos):
+    """Hex of the 4 bytes at 1-indexed byte position ``pos``."""
+    return F.substring(hx, pos * 2 - 1, F.lit(8))
+
+
+def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, container, d1, d2, parsed, n_bytes) from raw payload bytes —
+    magic-number sniff + per-container header parse, no media library:
+
+    - wav: 'RIFF' + 'WAVE', then a RIFF chunk walk (id/size/body, sizes
+      little-endian, bodies even-padded) to the 'fmt ' chunk;
+      d1 = sample rate (le32 at fmt+12), d2 = channels (le16 at fmt+10).
+    - webp: 'RIFF' + 'WEBP', then the variant fourcc — the three
+      bitstream flavors encode dimensions three different ways:
+      'VP8 ' (lossy: 14-bit le dims after the 9D012A sync code),
+      'VP8L' (lossless: width-1/height-1 packed into one le32 after the
+      0x2F signature), 'VP8X' (extended: 24-bit le canvas dims minus
+      one). d1 = width, d2 = height.
+    - mp4: ISO-BMFF starting with an 'ftyp' box (size be32 + fourcc per
+      box) — a top-level box walk counts boxes and checks structural
+      completeness; d1 = boxes seen within the walk, d2 = 1 iff BOTH
+      'moov' and 'mdat' were seen (a truncated upload misses one — the
+      quiet-data-loss class the census exists to surface).
+    - anything else: container 'unknown', null d1/d2.
+
+    ``parsed`` mirrors sniff_image_meta's dims_parsed: false whenever
+    either metric is null, so the census reports coverage instead of
+    silently excluding rows. Same discipline as the image sniffer: hex
+    payload materialized once, every walk position a top-level
+    projection column, joins-free, shuffle-free, UDF-free; try_cast
+    routes hostile values to NULL instead of an ANSI crash.
+    """
+    blobs = df if "blob" in df.columns else attach_blob(df)
+    cur = blobs.select(F.col(id_col), "blob").withColumn("_hx", F.hex("blob"))
+    hx = F.col("_hx")
+    n_bytes = F.octet_length("blob")
+
+    is_riff = F.substring(hx, 1, 8) == "52494646"  # 'RIFF'
+    container = (
+        F.when(is_riff & (F.substring(hx, 17, 8) == "57415645"), "wav")
+        .when(is_riff & (F.substring(hx, 17, 8) == "57454250"), "webp")
+        .when(F.substring(hx, 9, 8) == "66747970", "mp4")  # box 1 = ftyp
+        .otherwise("unknown")
+    )
+    cur = cur.withColumn("_ctr", container)
+
+    # WAV RIFF chunk walk: _wp{k} = byte position of the k-th chunk id
+    # (chunks start at 13); _wfmt{k} = that chunk is 'fmt '. Bodies are
+    # even-padded per spec (odd sizes advance one extra byte).
+    cur = cur.withColumn("_wp0", F.lit(13).cast("long"))
+    for k in range(WAV_WALK_STEPS):
+        p = F.col(f"_wp{k}")
+        cur = cur.withColumn(
+            f"_wfmt{k}", _hx_str4(hx, p) == "666D7420"  # 'fmt '
+        )
+        if k + 1 < WAV_WALK_STEPS:
+            sz = _hx_le32(hx, p + 4)
+            # clamp: on non-RIFF bytes the le32 "size" is garbage up to
+            # 2^32-1, and an unclamped position overflows substring's
+            # int argument (ANSI CAST_OVERFLOW kills the job); past-end
+            # positions all behave identically (lpad-guarded zero reads)
+            cur = cur.withColumn(
+                f"_wp{k + 1}",
+                F.when(F.col(f"_wfmt{k}"), p).otherwise(
+                    F.least(p + 8 + sz + sz % 2, n_bytes + 8)
+                ),
+            )
+    wav_rate = F.coalesce(
+        *[
+            F.when(F.col(f"_wfmt{k}"), _hx_le32(hx, F.col(f"_wp{k}") + 12))
+            for k in range(WAV_WALK_STEPS)
+        ]
+    )
+    wav_ch = F.coalesce(
+        *[
+            F.when(F.col(f"_wfmt{k}"), _hx_le16(hx, F.col(f"_wp{k}") + 10))
+            for k in range(WAV_WALK_STEPS)
+        ]
+    )
+
+    # WebP variant dims (chunk fourcc at 13, body at 21)
+    variant = _hx_str4(hx, F.lit(13))
+    vp8_sync = F.substring(hx, 47, 6) == "9D012A"  # bytes 24-26
+    vp8_w = _hx_le16(hx, F.lit(27)) % 16384
+    vp8_h = _hx_le16(hx, F.lit(29)) % 16384
+    vp8l_sig = F.substring(hx, 41, 2) == "2F"  # byte 21
+    vp8l_bits = _hx_le32(hx, F.lit(22))
+    vp8l_w = vp8l_bits % 16384 + 1
+    vp8l_h = F.floor(vp8l_bits / 16384) % 16384 + 1
+    vp8x_w = _hx_le16(hx, F.lit(25)) + _hx_byte(hx, F.lit(27)) * 65536 + 1
+    vp8x_h = _hx_le16(hx, F.lit(28)) + _hx_byte(hx, F.lit(30)) * 65536 + 1
+    webp_w = (
+        F.when((variant == "56503820") & vp8_sync, vp8_w)   # 'VP8 '
+        .when((variant == "5650384C") & vp8l_sig, vp8l_w)   # 'VP8L'
+        .when(variant == "56503858", vp8x_w)                # 'VP8X'
+    )
+    webp_h = (
+        F.when((variant == "56503820") & vp8_sync, vp8_h)
+        .when((variant == "5650384C") & vp8l_sig, vp8l_h)
+        .when(variant == "56503858", vp8x_h)
+    )
+
+    # ISO-BMFF top-level box walk: _bp{k} = byte position of box k's
+    # size field; a box is valid while its position fits the payload
+    # and its size is >= 8 (no 64-bit largesize in this census).
+    cur = cur.withColumn("_bp0", F.lit(1).cast("long"))
+    for k in range(MP4_WALK_STEPS):
+        p = F.col(f"_bp{k}")
+        sz = _hx_be32(hx, p)
+        ok = (p + 7 <= n_bytes) & (sz >= 8)
+        cur = cur.withColumn(f"_bok{k}", ok)
+        cur = cur.withColumn(
+            f"_bty{k}", F.when(ok, _hx_str4(hx, p + 4))
+        )
+        if k + 1 < MP4_WALK_STEPS:
+            # same clamp as the WAV walk: a garbage be32 "size" of up
+            # to 2^32-1 must not push the position past int range
+            cur = cur.withColumn(
+                f"_bp{k + 1}",
+                F.when(ok, F.least(p + sz, n_bytes + 8)).otherwise(
+                    n_bytes + 8
+                ),
+            )
+    mp4_boxes = sum(
+        F.col(f"_bok{k}").cast("long") for k in range(MP4_WALK_STEPS)
+    )
+    # each term coalesces through when/otherwise: _bty{k} is NULL past
+    # the last valid box, and a bare (NULL == 'moov') would poison the
+    # whole + chain to NULL (the first cut's bug — d2 came back NULL on
+    # every structurally-complete mp4)
+    mp4_complete = (
+        sum(
+            F.when(F.col(f"_bty{k}") == "6D6F6F76", 1).otherwise(0)  # 'moov'
+            for k in range(MP4_WALK_STEPS)
+        )
+        > 0
+    ) & (
+        sum(
+            F.when(F.col(f"_bty{k}") == "6D646174", 1).otherwise(0)  # 'mdat'
+            for k in range(MP4_WALK_STEPS)
+        )
+        > 0
+    )
+
+    d1 = (
+        F.when(F.col("_ctr") == "wav", wav_rate)
+        .when(F.col("_ctr") == "webp", webp_w)
+        .when(F.col("_ctr") == "mp4", mp4_boxes)
+    )
+    d2 = (
+        F.when(F.col("_ctr") == "wav", wav_ch)
+        .when(F.col("_ctr") == "webp", webp_h)
+        .when(F.col("_ctr") == "mp4", mp4_complete.cast("long"))
+    )
+    d1_i = d1.try_cast("long")
+    d2_i = d2.try_cast("long")
+    return cur.select(
+        F.col(id_col),
+        F.col("_ctr").alias("container"),
+        d1_i.alias("d1"),
+        d2_i.alias("d2"),
+        (d1_i.isNotNull() & d2_i.isNotNull()).alias("parsed"),
+        n_bytes.cast("long").alias("n_bytes"),
+    )
+
+
+def _hex_le24(c):
+    return F.concat(_hex2(c % 256), _hex2(F.floor(c / 256) % 256),
+                    _hex2(F.floor(c / 65536) % 256))
+
+
+def _hex_le32f(c):
+    """FULL 4-byte little-endian writer — unlike the image fixture's
+    _hex_le32 (dims < 2^16 by construction there), container fields
+    (RIFF sizes, byte rates, VP8L bit-packs) exceed 2^16, and lpad's
+    silent truncation above that corrupted the first cut of this
+    fixture."""
+    return F.concat(_hex_le24(c), _hex2(F.floor(c / 16777216) % 256))
+
+
+def synth_container_blob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic spec-true container payloads for the census path
+    (the synth_image_blob design): container cycles with ``id % 4``
+    (wav, webp, mp4, unknown), every field derives arithmetically from
+    (id, len) so the DuckDB oracle states expected values without ever
+    touching bytes, while the Spark side must actually parse what it
+    built.
+
+    Layout constants (mirrored in the mm_container_census oracle;
+    payload = 10 + len % 100 throughout):
+
+    - wav (id%4=0): sample_rate = 8000 + (id%8)*4000, channels =
+      1 + id%2; ids with id%5 == 0 carry a JUNK chunk of body
+      4 + 2*(id%4) BEFORE 'fmt ' (exercising the RIFF chunk walk);
+      n_bytes = 12 + junk*(12 + 2*(id%4)) + 24 + 8 + payload.
+    - webp (id%4=1): width = 16 + id%240, height = 16 + (id//4)%224;
+      variant cycles id%3 over VP8 (n_bytes = 30 + payload),
+      VP8L (25 + payload), VP8X (30 + payload) — all three dimension
+      encodings attested.
+    - mp4 (id%4=2): 'ftyp' (16 + 4*(id%3) bytes: id%3 compatible
+      brands) + id%4' = (id//4)%4 'free' boxes of 8 + 2*(id%5) bytes +
+      'moov' (16) + 'mdat' (8 + payload); boxes = 3 + (id//4)%4,
+      structurally complete (d2 = 1).
+    - unknown (id%4=3): zero bytes, n_bytes = 26 + payload — the
+      unparsed row the census must count, not drop.
+    """
+    i = F.col(id_col)
+    pl = (F.lit(10) + F.col(len_col) % 100).cast("int")
+    filler = F.repeat(F.lit("00"), pl)
+
+    # --- wav ---
+    rate = (F.lit(8000) + (i % 8) * 4000).cast("long")
+    ch = (F.lit(1) + i % 2).cast("long")
+    bits = F.lit(16).cast("long")
+    junk_body = (F.lit(4) + 2 * (i % 4)).cast("long")  # even by construction
+    has_junk = i % 5 == 0
+    junk = F.when(
+        has_junk,
+        F.concat(
+            F.lit("4A554E4B"),  # 'JUNK'
+            _hex_le32f(junk_body),
+            F.repeat(F.lit("00"), junk_body.cast("int")),
+        ),
+    ).otherwise(F.lit(""))
+    byte_rate = rate * ch * 2
+    block_align = ch * 2
+    data_size = pl.cast("long")
+    riff_size = (
+        F.lit(4)  # 'WAVE'
+        + F.when(has_junk, junk_body + 8).otherwise(F.lit(0))
+        + 24  # fmt chunk
+        + 8 + data_size  # data chunk
+    )
+    wav = F.concat(
+        F.lit("52494646"), _hex_le32f(riff_size), F.lit("57415645"),
+        junk,
+        F.lit("666D7420"), _hex_le32f(F.lit(16).cast("long")),
+        _hex_le16(F.lit(1).cast("long")),  # PCM
+        _hex_le16(ch),
+        _hex_le32f(rate),
+        _hex_le32f(byte_rate),
+        _hex_le16(block_align),
+        _hex_le16(bits),
+        F.lit("64617461"), _hex_le32f(data_size),
+        filler,
+    )
+
+    # --- webp ---
+    w = (F.lit(16) + i % 240).cast("long")
+    h = (F.lit(16) + F.floor(i / 4) % 224).cast("long")
+    vp8_body = F.concat(
+        F.lit("000000"),  # frame tag (3 bytes, unread by the sniffer)
+        F.lit("9D012A"),  # sync code
+        _hex_le16(w), _hex_le16(h),
+        filler,
+    )
+    vp8_size = (F.lit(10) + pl).cast("long")
+    vp8l_bits = (w - 1) + (h - 1) * 16384
+    vp8l_body = F.concat(F.lit("2F"), _hex_le32f(vp8l_bits), filler)
+    vp8l_size = (F.lit(5) + pl).cast("long")
+    vp8x_body = F.concat(
+        F.lit("00000000"),  # flags + reserved
+        _hex_le24(w - 1), _hex_le24(h - 1),
+        filler,
+    )
+    vp8x_size = (F.lit(10) + pl).cast("long")
+    chunk = (
+        F.when(i % 3 == 0, F.concat(F.lit("56503820"), _hex_le32f(vp8_size), vp8_body))
+        .when(i % 3 == 1, F.concat(F.lit("5650384C"), _hex_le32f(vp8l_size), vp8l_body))
+        .otherwise(F.concat(F.lit("56503858"), _hex_le32f(vp8x_size), vp8x_body))
+    )
+    chunk_size = (
+        F.when(i % 3 == 0, vp8_size).when(i % 3 == 1, vp8l_size).otherwise(vp8x_size)
+    )
+    webp = F.concat(
+        F.lit("52494646"),
+        _hex_le32f(chunk_size + 12),  # 'WEBP' + chunk hdr + body
+        F.lit("57454250"),
+        chunk,
+    )
+
+    # --- mp4 ---
+    ncompat = (i % 3).cast("int")
+    ftyp_size = (F.lit(16) + 4 * ncompat).cast("long")
+    ftyp = F.concat(
+        _hex_be32(ftyp_size), F.lit("66747970"),  # 'ftyp'
+        F.lit("69736F6D"),  # major brand 'isom'
+        F.lit("00000000"),  # minor version
+        F.repeat(F.lit("6D703431"), ncompat),  # 'mp41' compat brands
+    )
+    nfree = (F.floor(i / 4) % 4).cast("int")
+    free_size = (F.lit(8) + 2 * (i % 5)).cast("long")
+    free_box = F.concat(
+        _hex_be32(free_size), F.lit("66726565"),  # 'free'
+        F.repeat(F.lit("00"), (free_size - 8).cast("int")),
+    )
+    moov = F.concat(
+        _hex_be32(F.lit(16).cast("long")), F.lit("6D6F6F76"),
+        F.repeat(F.lit("00"), 8),
+    )
+    mdat = F.concat(
+        _hex_be32(F.lit(8).cast("long") + pl), F.lit("6D646174"), filler
+    )
+    mp4 = F.concat(
+        ftyp,
+        F.repeat(free_box, nfree),
+        moov,
+        mdat,
+    )
+
+    unknown = F.repeat(F.lit("00"), pl + 26)
+
+    blob_hex = (
+        F.when(i % 4 == 0, wav)
+        .when(i % 4 == 1, webp)
+        .when(i % 4 == 2, mp4)
+        .otherwise(unknown)
+    )
+    return df.select(F.col(id_col), F.unhex(blob_hex).alias("blob"))

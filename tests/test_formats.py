@@ -188,3 +188,80 @@ def test_sniff_image_meta_routes_overflow_dims_instead_of_crashing(spark):
     }
     assert got[1] == ("bmp", 800, None)
     assert got[2] == ("gif", 32, 16)
+
+
+def test_sniff_container_meta_on_real_world_headers(spark):
+    """The container sniffer must parse REAL spec-laid-out headers, not
+    just the synthetic census fixture: a 44.1 kHz stereo PCM WAV with a
+    JUNK preface chunk (the RIFF walk has to actually walk), all three
+    WebP variants' dimension encodings, a well-formed MP4 (ftyp + free
+    + moov + mdat), a TRUNCATED MP4 missing its mdat (structural flag
+    must read 0, loudly parsed=false is wrong — d2=0 IS the signal),
+    and an unknown payload."""
+    import struct
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        sniff_container_meta,
+    )
+
+    def wav(rate, ch, junk=0):
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                    rate * ch * 2, ch * 2, 16)
+        data = b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        body = b"WAVE"
+        if junk:
+            body += b"JUNK" + struct.pack("<I", junk) + b"\x00" * junk
+        body += fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def webp(chunk):
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # VP8 lossy: frame tag + sync 9D012A + 14-bit le dims
+    vp8 = b"VP8 " + struct.pack("<I", 10) + b"\x00\x00\x00\x9d\x01\x2a" \
+        + struct.pack("<HH", 1920, 1080)
+    # VP8L: 0x2F sig + (w-1) | (h-1)<<14 packed le32
+    bits = (640 - 1) | ((480 - 1) << 14)
+    vp8l = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits)
+    # VP8X: flags+reserved, then 24-bit le canvas dims minus one
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00" \
+        + struct.pack("<I", 800 - 1)[:3] + struct.pack("<I", 600 - 1)[:3]
+
+    def box(fourcc, body=b""):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    mp4_full = (
+        box(b"ftyp", b"isom\x00\x00\x00\x00mp41")
+        + box(b"free", b"\x00" * 6)
+        + box(b"moov", b"\x00" * 8)
+        + box(b"mdat", b"\x00" * 16)
+    )
+    mp4_truncated = (
+        box(b"ftyp", b"isom\x00\x00\x00\x00")
+        + box(b"moov", b"\x00" * 8)
+    )
+
+    rows = [
+        (1, wav(44100, 2, junk=12)),
+        (2, webp(vp8)),
+        (3, webp(vp8l)),
+        (4, webp(vp8x)),
+        (5, mp4_full),
+        (6, mp4_truncated),
+        (7, b"not a container at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        r["doc_id"]: (r["container"], r["d1"], r["d2"], r["parsed"])
+        for r in sniff_container_meta(df).collect()
+    }
+    assert got == {
+        1: ("wav", 44100, 2, True),
+        2: ("webp", 1920, 1080, True),
+        3: ("webp", 640, 480, True),
+        4: ("webp", 800, 600, True),
+        5: ("mp4", 4, 1, True),
+        6: ("mp4", 2, 0, True),
+        7: ("unknown", None, None, False),
+    }

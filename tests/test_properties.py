@@ -363,3 +363,121 @@ def test_merge_anchor_spans_matches_reference(spark, docs, k, min_anchors):
     }
     want = _spans_reference(docs, k, min_anchors)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Winnowing detection guarantee boundary (VERDICT r9 #8)
+# ---------------------------------------------------------------------------
+#
+# The SWA'03 guarantee for k-gram winnowing with window w: any shared
+# run of >= k + w - 1 chars contains w consecutive k-grams in BOTH
+# docs, each doc has a window consisting of exactly those grams, and
+# that window's minimum — the same VALUE in both docs — is selected,
+# so at least one anchor fp is shared. One window-width more
+# (>= k + 2w - 1 chars) gives two DISJOINT gram windows, hence >= 2
+# shared anchors per doc — winnow_span_dedup's min_anchors=2 emission
+# threshold. BELOW k + w - 1 nothing is guaranteed: the shared grams
+# can lose every window-min election to smaller context grams.
+
+_WK, _WW = 8, 4  # the operator defaults (corpus.winnow_span_dedup)
+
+
+def _rand_letters(rng, n):
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+
+def _planted_pair(rng, run_len, ctx=40):
+    """Two docs sharing ONLY a planted run of exactly run_len chars,
+    embedded at different offsets in distinct random contexts (pure
+    lowercase letters: normalization is then the identity, so char
+    positions in the docs are the positions the operator reports)."""
+    run = _rand_letters(rng, run_len)
+    a = _rand_letters(rng, ctx) + run + _rand_letters(rng, ctx)
+    b = _rand_letters(rng, ctx + 7) + run + _rand_letters(rng, ctx - 5)
+    return a, b
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31))
+def test_winnow_guarantee_at_and_above_threshold(spark, seed):
+    """AT the guarantee threshold (run = k + w - 1 chars) the two docs
+    must share >= 1 anchor fp; at k + 2w - 1 they must share >= 2
+    anchor positions each AND winnow_span_dedup must emit a span for
+    both docs that lies inside the planted run."""
+    import random
+
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.operators.text import winnow_anchors_arrow
+
+    rng = random.Random(seed)
+    ctx = 40
+    a1, b1 = _planted_pair(rng, _WK + _WW - 1, ctx)      # fp guarantee
+    a2, b2 = _planted_pair(rng, _WK + 2 * _WW - 1, ctx)  # span guarantee
+    df = spark.createDataFrame(
+        [(10, a1), (11, b1), (20, a2), (21, b2)], "doc_id long, text string"
+    )
+    anchors = winnow_anchors_arrow(df, k=_WK, w=_WW).collect()
+    fps = {}
+    for r in anchors:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[10] & fps[11], (
+        f"seed {seed}: no shared anchor at the k+w-1 guarantee threshold"
+    )
+    assert len(fps[20] & fps[21]) >= 2
+
+    spans = corpus.winnow_span_dedup(df, k=_WK, w=_WW).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_len"], r["n_anchors"])
+        )
+    run_len = _WK + 2 * _WW - 1
+    for doc, run_start in ((20, ctx + 1), (21, ctx + 7 + 1)):
+        assert doc in by_doc, f"seed {seed}: doc {doc} emitted no span"
+        inside = [
+            s for s in by_doc[doc]
+            if s[0] >= run_start and s[0] + s[1] <= run_start + run_len
+            and s[2] >= 2
+        ]
+        assert inside, (
+            f"seed {seed}: doc {doc} spans {by_doc[doc]} none inside the "
+            f"planted run [{run_start}, {run_start + run_len})"
+        )
+
+
+def test_winnow_below_threshold_can_miss(spark):
+    """ONE char below the guarantee (run = k + w - 2: only w - 1 shared
+    grams, so neither doc necessarily owns a window made purely of run
+    grams) detection is NOT guaranteed — a seeded search finds a
+    concrete corpus where the pair shares ZERO anchors. This pins the
+    boundary from below: the guarantee in the sibling test is exactly
+    tight, and callers must not assume sub-threshold boilerplate is
+    caught."""
+    import random
+
+    from dns_log_transformer_spark.operators.text import winnow_anchors_arrow
+
+    rng = random.Random(0xB0B)
+    rows = []
+    specs = []
+    for i in range(40):
+        a, b = _planted_pair(rng, _WK + _WW - 2)
+        rows += [(2 * i, a), (2 * i + 1, b)]
+        specs.append((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    anchors = winnow_anchors_arrow(df, k=_WK, w=_WW).collect()
+    fps = {}
+    for r in anchors:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    missed = [
+        (a, b) for a, b in specs if not (fps.get(a, set()) & fps.get(b, set()))
+    ]
+    assert missed, (
+        "every below-threshold pair was detected — either the seed got "
+        "lucky 40/40 (rerun with another) or the guarantee is looser "
+        "than documented"
+    )
