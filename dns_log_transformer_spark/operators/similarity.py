@@ -104,18 +104,26 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact cosine top-k: corpus x broadcast(queries) -> cosine ->
     row_number <= k. Ranking uses the cosine *rounded to 4 decimals* with
     the candidate id as tie-break — a total order both engines agree on
     (raw float ranks could flip on last-bit differences).
 
-    Output: (query_id, vec_id, cos_sim, rnk).
+    ``keep_cols``: extra CORPUS columns carried through scoring and the
+    top-k window (narrow payloads only — they ride every scored row
+    through the per-query shuffle). Cheaper than joining them back for
+    consumers like the k-NN label vote, which would otherwise pay a
+    second full corpus scan for a |Q| x k lookup (r10, the
+    emb_knn_label bench triage).
+
+    Output: (query_id, vec_id, cos_sim, rnk[, *keep_cols]).
     """
     q = with_norm(queries, vec_col, "q_nrm").select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "q_nrm"
     )
-    c = with_norm(emb.select(id_col, vec_col), vec_col)
+    c = with_norm(emb.select(id_col, vec_col, *keep_cols), vec_col)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -126,13 +134,14 @@ def brute_force_topk(
                 dot_pd(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm")),
                 4,
             ).alias("cos_sim"),
+            *keep_cols,
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", id_col, "cos_sim", "rnk")
+        .select("query_id", id_col, "cos_sim", "rnk", *keep_cols)
     )
 
 
@@ -937,20 +946,22 @@ def knn_predict_labels(
     points from their neighborhood).
 
     Composition of attested pieces: :func:`brute_force_topk` supplies
-    the deterministic neighbor set (rounded cosine, id tie-break); the
-    label join BROADCASTS the |Q| x k neighbor rows into the corpus
-    scan (never shuffles the corpus); the vote is two bounded
-    aggregations. Vote ties: highest count, then smallest label
-    (max_by on struct(n_votes, -label) — a total order).
+    the deterministic neighbor set (rounded cosine, id tie-break) and
+    CARRIES the neighbor's label through the top-k (keep_cols — one
+    corpus scan total; the r9 shape re-scanned the corpus and joined
+    the broadcast |Q| x k neighbor rows back just to fetch k labels
+    per query, which benched at ~1.4-1.6 s vs ~1.0 s for this form);
+    the vote is two bounded aggregations over |Q| x k rows. Vote ties:
+    highest count, then smallest label (max_by on
+    struct(n_votes, -label) — a total order).
 
     Output: (query_id, pred_label, n_votes).
     """
-    nn = brute_force_topk(emb, queries, k, id_col, vec_col)
-    votes = (
-        emb.select(F.col(id_col), F.col(label_col))
-        .join(F.broadcast(nn.select("query_id", id_col)), id_col)
-        .groupBy("query_id", label_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    nn = brute_force_topk(
+        emb, queries, k, id_col, vec_col, keep_cols=(label_col,)
+    )
+    votes = nn.groupBy("query_id", label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
     )
     best = votes.groupBy("query_id").agg(
         F.max_by(

@@ -150,9 +150,13 @@ def test_knn_predict_labels_votes_and_ties(spark):
     assert out[0]["pred_label"] == 1 and out[0]["n_votes"] == 3
 
 
-def test_knn_label_join_broadcasts_neighbors(spark):
-    """The corpus-side label join must broadcast the bounded |Q| x k
-    neighbor rows — the corpus never reshuffles for the vote."""
+def test_knn_label_vote_needs_no_label_join(spark):
+    """r10 shape: the neighbor's label rides the top-k through
+    brute_force_topk's keep_cols, so the vote needs NO label join and
+    the corpus is scanned ONCE (the r9 shape re-scanned it and
+    broadcast-joined the |Q| x k neighbors back just to fetch labels —
+    the emb_knn_label bench triage). The only join left is the scoring
+    cross join against the broadcast query side."""
     emb = spark.range(0, 100).select(
         F.col("id").alias("vec_id"),
         F.array(
@@ -162,7 +166,10 @@ def test_knn_label_join_broadcasts_neighbors(spark):
     )
     q = emb.filter(F.col("vec_id") % 10 == 0)
     plan = physical_plan(similarity.knn_predict_labels(emb, q, k=5), "simple")
-    assert "BroadcastHashJoin" in plan, "label join must broadcast neighbors"
+    assert "BroadcastHashJoin" not in plan, (
+        "label join reintroduced — labels should ride keep_cols"
+    )
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
 
 def test_ivf_assign_matches_topk_cell_choice(spark):

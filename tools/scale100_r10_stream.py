@@ -1,19 +1,21 @@
 """Two-decade per-batch cost curve for the streaming near-dup index
-(VERDICT r9 #6): feed a FIXED-size batch stream from the distinct-
-content x10 document replica set (50k docs; built by tools/scale10_r5.py)
-into ``neardup_merge_batch`` and measure wall time per batch as the
-accumulated index grows 1x -> 10x -> 100x (0.5k -> 5k -> 50k docs).
+(VERDICT r9 #6): grow the accumulated index 1x -> 10x -> 100x
+(0.5k -> 5k -> 50k docs, distinct-content x10 replicas built by
+tools/scale10_r5.py) and time an identical FIXED-size 500-doc probe
+batch at each decade.
 
 The claim under test: per-batch cost is O(batch + touched bucket
 partitions + candidate partners), never O(index) — a batch's candidate
 lookup reads only the ``_bb`` partitions its own band keys hash into
 and the ``_kb`` shingle partitions of its candidate partners, so the
-curve should stay flat (parquet-file-count growth inside touched
+probe time should stay flat (parquet-file-count growth inside touched
 partitions gives at most a slow drift, bounded by compaction in a real
 deployment).
 
-Output: one line per sampled batch (index size, seconds), plus the
-decade summary PLANS.md records.
+Method: filler batches of 4,500/45,000 docs advance the index between
+probes (their own wall time is reported but not the metric — a bigger
+batch legitimately costs more); each probe is 500 fresh docs, the
+constant micro-batch shape a crawler actually feeds.
 """
 
 from __future__ import annotations
@@ -31,9 +33,7 @@ from dns_log_transformer_spark.streaming.neardup_index import (  # noqa: E402
 
 X10_DOCS = "/root/repo/scratch/x10/documents.parquet"
 WORKDIR = "/root/repo/scratch/stream100"
-BATCH = 500
-N_BATCHES = 100
-SAMPLE_AT = {1, 2, 5, 10, 20, 50, 90, 100}
+PROBE = 500
 
 
 def main():
@@ -43,34 +43,36 @@ def main():
         spark.read.parquet(X10_DOCS)
         .select("doc_id", "text")
         .orderBy("doc_id")
-        .limit(BATCH * N_BATCHES)
+        .limit(50_000)
         .collect()
     )
-    assert len(docs) == BATCH * N_BATCHES, (
-        f"need {BATCH * N_BATCHES} docs, got {len(docs)} — run "
-        "tools/scale10_r5.py first"
+    assert len(docs) == 50_000, (
+        f"need 50000 docs, got {len(docs)} — run tools/scale10_r5.py first"
     )
-    samples = []
-    for b in range(N_BATCHES):
-        rows = docs[b * BATCH : (b + 1) * BATCH]
-        batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def feed(lo, hi, tag):
+        batch_df = spark.createDataFrame(
+            docs[lo:hi], "doc_id long, text string"
+        )
         t0 = time.monotonic()
         neardup_merge_batch(batch_df, WORKDIR)
         dt = time.monotonic() - t0
-        if b + 1 in SAMPLE_AT:
-            samples.append((b + 1, b * BATCH, dt))
-            print(
-                f"batch {b + 1:3d}: index {b * BATCH:6d} docs -> "
-                f"{dt:6.2f}s",
-                flush=True,
-            )
-    first = next(dt for n, _, dt in samples if n == 2)
-    at_10x = next(dt for n, _, dt in samples if n == 10)
-    at_100x = next(dt for n, _, dt in samples if n == 100)
+        print(f"{tag}: docs [{lo}, {hi}) -> {dt:6.2f}s", flush=True)
+        return dt
+
+    probes = []
+    feed(0, 500, "seed    (index 0)")
+    probes.append(feed(500, 500 + PROBE, "PROBE@0.5k"))
+    feed(1_000, 5_000, "fill to 5k")
+    probes.append(feed(5_000, 5_000 + PROBE, "PROBE@5k  "))
+    # fill to 49.5k in 9k-doc slices (keeps per-call memory bounded)
+    for lo in range(5_500, 49_500, 9_000):
+        feed(lo, min(lo + 9_000, 49_500), "fill      ")
+    probes.append(feed(49_500, 49_500 + PROBE, "PROBE@50k "))
+    p1, p10, p100 = probes
     print(
-        f"decades: batch@0.5k {first:.2f}s | batch@4.5k {at_10x:.2f}s | "
-        f"batch@49.5k {at_100x:.2f}s | 100x/1x ratio "
-        f"{at_100x / first:.2f}x"
+        f"decades: probe@0.5k {p1:.2f}s | probe@5k {p10:.2f}s | "
+        f"probe@50k {p100:.2f}s | 100x/1x ratio {p100 / p1:.2f}x"
     )
 
 
