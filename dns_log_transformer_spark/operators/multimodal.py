@@ -38,6 +38,20 @@ def fake_image_meta(blob: bytes, doc_id: int) -> tuple[int, int, int]:
     return (len(blob) % 640, doc_id % 480, 3)
 
 
+def _meta_columns(pdf: "pd.DataFrame", meta: list, id_col: str) -> dict:
+    """Assemble the IMAGE_META_SCHEMA column dict from decoded
+    (width, height, channels) tuples — the ONE definition image_meta
+    and image_profile share (two live copies are a dtype-divergence
+    trap; code-review r10)."""
+    return {
+        "doc_id": pdf[id_col].astype("int64"),
+        "n_bytes": pdf["blob"].map(len).astype("int64"),
+        "width": pd.Series([m[0] for m in meta], dtype="int32"),
+        "height": pd.Series([m[1] for m in meta], dtype="int32"),
+        "channels": pd.Series([m[2] for m in meta], dtype="int32"),
+    }
+
+
 def image_meta(
     df: DataFrame,
     decoder: Callable[[bytes, int], tuple[int, int, int]] | None = None,
@@ -57,15 +71,7 @@ def image_meta(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [dec(b, i) for b, i in zip(pdf["blob"], pdf[id_col])]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": pdf["blob"].map(len).astype("int64"),
-                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
-                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
-                    "channels": pd.Series([m[2] for m in meta], dtype="int32"),
-                }
-            )
+            yield pd.DataFrame(_meta_columns(pdf, meta, id_col))
 
     blobs = df if "blob" in df.columns else attach_blob(df)
     return blobs.select(id_col, "blob").mapInPandas(extract, IMAGE_META_SCHEMA)
@@ -211,6 +217,36 @@ def fake_pixels(blob: bytes) -> list[int]:
     return [ord(s[i * n // 64]) % 16 for i in range(64)]
 
 
+def _ahash_band_votes(p: list[int]) -> list[int]:
+    """Four 16-bit aHash bands from 64 pixel intensities: bit i of band
+    k = 1 iff p[k*16+i]*64 > sum(p) — the exact-integer mean compare
+    both engines agree on for ties. The ONE definition phash64 and
+    image_profile share (the band values feed the same pair join, so
+    two live copies were a silent-divergence trap; code-review r10)."""
+    total = sum(p)
+    out = []
+    for k in range(4):
+        v = 0
+        for i in range(16):
+            if p[k * 16 + i] * 64 > total:
+                v |= 1 << i
+        out.append(v)
+    return out
+
+
+def _band_columns(pdf: "pd.DataFrame", px, id_col: str) -> dict:
+    bands: list[list[int]] = [[], [], [], []]
+    for blob in pdf["blob"]:
+        for k, v in enumerate(_ahash_band_votes(px(blob))):
+            bands[k].append(v)
+    return {
+        "doc_id": pdf[id_col].astype("int64"),
+        **{
+            f"b{k}": pd.Series(bands[k], dtype="int32") for k in range(4)
+        },
+    }
+
+
 def phash64(
     df: DataFrame,
     pixels: Callable[[bytes], list[int]] | None = None,
@@ -226,25 +262,7 @@ def phash64(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            bands: list[list[int]] = [[], [], [], []]
-            for blob in pdf["blob"]:
-                p = px(blob)
-                total = sum(p)
-                for k in range(4):
-                    v = 0
-                    for i in range(16):
-                        if p[k * 16 + i] * 64 > total:
-                            v |= 1 << i
-                    bands[k].append(v)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "b0": pd.Series(bands[0], dtype="int32"),
-                    "b1": pd.Series(bands[1], dtype="int32"),
-                    "b2": pd.Series(bands[2], dtype="int32"),
-                    "b3": pd.Series(bands[3], dtype="int32"),
-                }
-            )
+            yield pd.DataFrame(_band_columns(pdf, px, id_col))
 
     blobs = df if "blob" in df.columns else attach_blob(df)
     return blobs.select(F.col(id_col), "blob").mapInPandas(run, PHASH_SCHEMA)
@@ -265,38 +283,21 @@ def image_profile(
     registration — the old image_meta + phash64 pair each paid a full
     mapInPandas scan; a census that wants both should decode once).
     Inject ``decoder``/``pixels`` exactly as in the split operators,
-    which remain for callers needing only one half."""
+    which remain for callers needing only one half; the meta assembly
+    and the band votes are the SAME helpers those operators run, so
+    the three surfaces cannot diverge."""
     dec = decoder or fake_image_meta
     px = pixels or fake_pixels
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [dec(b, i) for b, i in zip(pdf["blob"], pdf[id_col])]
-            bands: list[list[int]] = [[], [], [], []]
-            for blob in pdf["blob"]:
-                p = px(blob)
-                total = sum(p)
-                for k in range(4):
-                    v = 0
-                    for i in range(16):
-                        if p[k * 16 + i] * 64 > total:
-                            v |= 1 << i
-                    bands[k].append(v)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": pdf["blob"].map(len).astype("int64"),
-                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
-                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
-                    "channels": pd.Series(
-                        [m[2] for m in meta], dtype="int32"
-                    ),
-                    "b0": pd.Series(bands[0], dtype="int32"),
-                    "b1": pd.Series(bands[1], dtype="int32"),
-                    "b2": pd.Series(bands[2], dtype="int32"),
-                    "b3": pd.Series(bands[3], dtype="int32"),
-                }
+            cols = _meta_columns(pdf, meta, id_col)
+            band_cols = _band_columns(pdf, px, id_col)
+            cols.update(
+                {k: v for k, v in band_cols.items() if k != "doc_id"}
             )
+            yield pd.DataFrame(cols)
 
     blobs = df if "blob" in df.columns else attach_blob(df)
     return blobs.select(F.col(id_col), "blob").mapInPandas(
@@ -753,26 +754,32 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
 
-    # WebP variant dims (chunk fourcc at 13, body at 21)
+    # WebP variant dims (chunk fourcc at 13, body at 21). Every branch
+    # carries a LENGTH gate beside its signature check: the lpad guard
+    # reads past-end bytes as 0, so a truncated chunk would otherwise
+    # parse as a confidently-wrong 1x1 canvas with parsed=true — the
+    # exact quiet-data-loss class the census exists to surface
+    # (code-review r10; truncated-VP8X pinned in test_formats).
     variant = _hx_str4(hx, F.lit(13))
-    vp8_sync = F.substring(hx, 47, 6) == "9D012A"  # bytes 24-26
+    vp8_sync = (F.substring(hx, 47, 6) == "9D012A") & (n_bytes >= 30)
     vp8_w = _hx_le16(hx, F.lit(27)) % 16384
     vp8_h = _hx_le16(hx, F.lit(29)) % 16384
-    vp8l_sig = F.substring(hx, 41, 2) == "2F"  # byte 21
+    vp8l_sig = (F.substring(hx, 41, 2) == "2F") & (n_bytes >= 25)
     vp8l_bits = _hx_le32(hx, F.lit(22))
     vp8l_w = vp8l_bits % 16384 + 1
     vp8l_h = F.floor(vp8l_bits / 16384) % 16384 + 1
+    vp8x_ok = n_bytes >= 30  # flags+reserved+two le24 dims end at 30
     vp8x_w = _hx_le16(hx, F.lit(25)) + _hx_byte(hx, F.lit(27)) * 65536 + 1
     vp8x_h = _hx_le16(hx, F.lit(28)) + _hx_byte(hx, F.lit(30)) * 65536 + 1
     webp_w = (
         F.when((variant == "56503820") & vp8_sync, vp8_w)   # 'VP8 '
         .when((variant == "5650384C") & vp8l_sig, vp8l_w)   # 'VP8L'
-        .when(variant == "56503858", vp8x_w)                # 'VP8X'
+        .when((variant == "56503858") & vp8x_ok, vp8x_w)    # 'VP8X'
     )
     webp_h = (
         F.when((variant == "56503820") & vp8_sync, vp8_h)
         .when((variant == "5650384C") & vp8l_sig, vp8l_h)
-        .when(variant == "56503858", vp8x_h)
+        .when((variant == "56503858") & vp8x_ok, vp8x_h)
     )
 
     # ISO-BMFF top-level box walk: _bp{k} = byte position of box k's
@@ -868,10 +875,16 @@ def synth_container_blob(
     Layout constants (mirrored in the mm_container_census oracle;
     payload = 10 + len % 100 throughout):
 
-    - wav (id%4=0): sample_rate = 8000 + (id%8)*4000, channels =
-      1 + id%2; ids with id%5 == 0 carry a JUNK chunk of body
-      4 + 2*(id%4) BEFORE 'fmt ' (exercising the RIFF chunk walk);
-      n_bytes = 12 + junk*(12 + 2*(id%4)) + 24 + 8 + payload.
+    - wav (id%4=0): the variation arithmetic runs on id//4 — wav ids
+      all satisfy id%4 == 0, so id%2/id%4/id%8 are DEGENERATE on the
+      wav lattice (the first cut shipped channels constantly 1 and a
+      constant JUNK size; code-review r10): sample_rate =
+      8000 + ((id//4)%8)*4000, channels = 1 + (id//4)%2; ids with
+      id%5 == 0 carry a JUNK chunk of body 4 + 2*((id//4)%4) BEFORE
+      'fmt ' (exercising the RIFF chunk walk; odd bodies exist in the
+      wild but RIFF pads to even — the walk handles both, the even
+      fixture keeps byte math simple); n_bytes = 12 +
+      junk*(12 + 2*((id//4)%4)) + 24 + 8 + payload.
     - webp (id%4=1): width = 16 + id%240, height = 16 + (id//4)%224;
       variant cycles id%3 over VP8 (n_bytes = 30 + payload),
       VP8L (25 + payload), VP8X (30 + payload) — all three dimension
@@ -887,11 +900,13 @@ def synth_container_blob(
     pl = (F.lit(10) + F.col(len_col) % 100).cast("int")
     filler = F.repeat(F.lit("00"), pl)
 
-    # --- wav ---
-    rate = (F.lit(8000) + (i % 8) * 4000).cast("long")
-    ch = (F.lit(1) + i % 2).cast("long")
+    # --- wav --- (variation on id//4: see docstring — id%2/4/8 are
+    # constant on the id%4 == 0 lattice)
+    q4 = F.floor(i / 4)
+    rate = (F.lit(8000) + (q4 % 8) * 4000).cast("long")
+    ch = (F.lit(1) + q4 % 2).cast("long")
     bits = F.lit(16).cast("long")
-    junk_body = (F.lit(4) + 2 * (i % 4)).cast("long")  # even by construction
+    junk_body = (F.lit(4) + 2 * (q4 % 4)).cast("long")  # even by construction
     has_junk = i % 5 == 0
     junk = F.when(
         has_junk,

@@ -257,7 +257,7 @@ _SH_VOTES, _SH_PACK = _simhash_sql()
       FROM toks GROUP BY doc_id),
     sh AS (SELECT doc_id, {_SH_PACK} AS simhash FROM v)
     SELECT fp.doc_id, fp.fingerprint, fp.fingerprint64, sh.simhash
-    FROM fp JOIN sh USING (doc_id)
+    FROM fp LEFT JOIN sh USING (doc_id)
     """,
 )
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -273,13 +273,17 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
       few bits).
 
     Shape: the fingerprint is a per-row projection; the simhash is a
-    token fan-out + (id) aggregation; one id-keyed equi-join (inner:
-    both sides are total over documents) assembles the frame."""
+    token fan-out + (id) aggregation; one id-keyed LEFT join assembles
+    the frame — LEFT because a zero-token document (empty/whitespace
+    text) produces no simhash row but must keep its fingerprint row
+    exactly as the pre-merge registration did (code-review r10: an
+    inner join silently dropped those docs on both engines, so parity
+    could never catch it)."""
     docs = table(spark, sf, "documents")
     fp = text.with_fingerprint(docs).select(
         "doc_id", "fingerprint", "fingerprint64"
     )
-    return fp.join(dedup.simhash(docs), "doc_id")
+    return fp.join(dedup.simhash(docs), "doc_id", "left")
 
 
 @register(

@@ -28,19 +28,19 @@ from dns_log_transformer_spark.queries.registry import register, table
     v AS (
       SELECT container,
              CASE container
-               WHEN 'wav'  THEN 8000 + (doc_id % 8) * 4000
+               WHEN 'wav'  THEN 8000 + ((doc_id // 4) % 8) * 4000
                WHEN 'webp' THEN 16 + doc_id % 240
                WHEN 'mp4'  THEN 3 + (doc_id // 4) % 4
              END AS d1,
              CASE container
-               WHEN 'wav'  THEN 1 + doc_id % 2
+               WHEN 'wav'  THEN 1 + (doc_id // 4) % 2
                WHEN 'webp' THEN 16 + (doc_id // 4) % 224
                WHEN 'mp4'  THEN 1
              END AS d2,
              CASE container
                WHEN 'wav'  THEN 12
                     + CASE WHEN doc_id % 5 = 0
-                           THEN 12 + 2 * (doc_id % 4) ELSE 0 END
+                           THEN 12 + 2 * ((doc_id // 4) % 4) ELSE 0 END
                     + 24 + 8 + pl
                WHEN 'webp' THEN CASE doc_id % 3 WHEN 1 THEN 25
                                 ELSE 30 END + pl

@@ -242,6 +242,13 @@ def test_sniff_container_meta_on_real_world_headers(spark):
         + box(b"moov", b"\x00" * 8)
     )
 
+    # truncated VP8X: fourcc present but the canvas dims are cut off —
+    # the lpad guard reads past-end bytes as 0, so WITHOUT a length
+    # gate this parsed as a confidently-wrong 1x1 canvas with
+    # parsed=true (code-review r10); it must surface as the loud
+    # null-dims row instead
+    vp8x_cut = b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+
     rows = [
         (1, wav(44100, 2, junk=12)),
         (2, webp(vp8)),
@@ -250,6 +257,7 @@ def test_sniff_container_meta_on_real_world_headers(spark):
         (5, mp4_full),
         (6, mp4_truncated),
         (7, b"not a container at all"),
+        (8, webp(vp8x_cut)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     got = {
@@ -264,4 +272,5 @@ def test_sniff_container_meta_on_real_world_headers(spark):
         5: ("mp4", 4, 1, True),
         6: ("mp4", 2, 0, True),
         7: ("unknown", None, None, False),
+        8: ("webp", None, None, False),
     }

@@ -171,6 +171,57 @@ def test_tumbling_window_and_late_drop(spark, tmp_path):
     assert len([w for w, _ in out if w == "2024-01-01 00:00:00"]) == 1
 
 
+def test_sliding_window_counts(spark, tmp_path):
+    """streaming/windows.py sliding_counts in its STREAMING habitat —
+    each event lands in window_len/slide = 2 windows and late rows drop
+    at the watermark. (Code-review r10: the r10 consolidation retired
+    q_sliding_native, this operator's only exercise — the merged batch
+    query aggregates directly, so the streaming operator needs its own
+    pin.)"""
+    from dns_log_transformer_spark.streaming.windows import sliding_counts
+
+    src = tmp_path / "events"
+    src.mkdir()
+    stream = read_events_stream(spark, str(src))
+    agg = sliding_counts(
+        stream, window_len="10 minutes", slide="5 minutes",
+        watermark="10 minutes",
+    )
+    q = _start_memory(agg, "sliding_test")
+    try:
+        _write_events(
+            src,
+            "f1.json",
+            [
+                _ev(1, "2024-01-01T00:01:00Z"),
+                _ev(2, "2024-01-01T00:06:00Z"),
+            ],
+        )
+        q.processAllAvailable()
+        # close every open window, then prove a late row is dropped
+        _write_events(src, "f2.json", [_ev(3, "2024-01-01T01:00:00Z")])
+        q.processAllAvailable()
+        _write_events(src, "f3.json", [_ev(4, "2024-01-01T00:02:00Z")])
+        q.processAllAvailable()
+        _write_events(src, "f4.json", [_ev(5, "2024-01-01T02:00:00Z")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    # event 1 (00:01) -> windows [23:55, 00:05) and [00:00, 00:10);
+    # event 2 (00:06) -> [00:00, 00:10) and [00:05, 00:15); the late
+    # event 4 (00:02, behind the 00:50 watermark) must not re-open
+    # [00:00, 00:10)
+    assert ("2023-12-31 23:55:00", 1) in out
+    assert ("2024-01-01 00:00:00", 2) in out
+    assert ("2024-01-01 00:05:00", 1) in out
+    assert len([w for w, _ in out if w == "2024-01-01 00:00:00"]) == 1
+
+
 def test_session_window(spark, tmp_path):
     src = tmp_path / "events"
     src.mkdir()

@@ -132,3 +132,34 @@ def test_hashed_embedding_feeds_ann(spark):
     out = similarity.brute_force_topk(emb, emb.filter("vec_id = 0"), k=2)
     ranked = [r["vec_id"] for r in out.orderBy("rnk").collect()]
     assert ranked[0] == 1  # the twin is the nearest neighbor
+
+
+def test_fingerprint_keeps_zero_token_docs(spark, monkeypatch):
+    """The merged text_fingerprint must FINGERPRINT every document —
+    a zero-token doc (empty/whitespace text) has no simhash row, but
+    the left join keeps its md5 fingerprint with a NULL simhash
+    (code-review r10: an inner join silently dropped those docs on
+    both engines, so oracle parity could never catch it — and an
+    exact-dup pass that loses blank docs never collapses them)."""
+    from dns_log_transformer_spark.queries import llm_ops
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(llm_ops, "table", lambda _s, _sf, name: df)
+    rows = {
+        r["doc_id"]: (r["fingerprint"] is not None, r["simhash"])
+        for r in llm_ops.text_fingerprint(spark, "unused").collect()
+    }
+    assert set(rows) == {1, 2, 3}, f"docs dropped: {sorted(rows)}"
+    assert rows[1][0] and rows[1][1] is not None
+    assert rows[2][0] and rows[2][1] is None
+    assert rows[3][0] and rows[3][1] is None
+    # the two blank docs share a fingerprint? No — '' vs '   ' both
+    # normalize to '' so they MUST collapse to the same exact-dup key
+    fps = {
+        r["doc_id"]: r["fingerprint"]
+        for r in llm_ops.text_fingerprint(spark, "unused").collect()
+    }
+    assert fps[2] == fps[3], "normalized-empty docs must share a fingerprint"
