@@ -52,8 +52,9 @@ def _in_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
-# Quality-score recipe shared by text_quality / text_quality_deciles /
-# corpus_token_budget (mirrors operators/text.py with_quality_score) —
+# Quality-score recipe shared by text_quality (which since r10 also
+# carries the decile/classifier columns) and corpus_token_budget
+# (mirrors operators/text.py with_quality_score) —
 # ONE definition so a blend tweak cannot drift a subset of oracles.
 # Both fragments are .format()-ed into oracles at module import.
 _QUALITY_RAW_SQL = rf"""

@@ -125,6 +125,8 @@ def test_ledger_reads_history():
     assert current >= 5
     # spot-pin: queries green in r5's window per CORRECTNESS_r05.json
     assert latest.get("q_full_outer_yearly", 0) >= 5
+    # emb_pq_codes was retired into emb_vector_codes in r10; the ledger
+    # is history-keyed, so its old green rows remain readable
     assert latest.get("emb_pq_codes", 0) >= 5
 
 
