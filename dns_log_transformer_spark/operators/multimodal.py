@@ -783,20 +783,37 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     # ISO-BMFF top-level box walk: _bp{k} = byte position of box k's
-    # size field; a box is valid while its position fits the payload
-    # and its size is >= 8 (no 64-bit largesize in this census).
+    # size field. Spec-true size handling (ISO 14496-12 §4.2):
+    # size >= 8 is the compact form; size == 1 means a 64-bit largesize
+    # follows the fourcc (the >4 GB mdat every real video corpus
+    # carries — high dword read but clamped, since the payload itself
+    # bounds the walk); size == 0 means the box extends to EOF (valid
+    # only for the last box — counted, then the walk stops).
     cur = cur.withColumn("_bp0", F.lit(1).cast("long"))
     for k in range(MP4_WALK_STEPS):
         p = F.col(f"_bp{k}")
-        sz = _hx_be32(hx, p)
-        ok = (p + 7 <= n_bytes) & (sz >= 8)
+        sz32 = _hx_be32(hx, p)
+        # 64-bit largesize: clamp the high dword's contribution — any
+        # nonzero high half already exceeds every payload, and the
+        # F.least below needs overflow-free arithmetic
+        large = F.least(
+            _hx_be32(hx, p + 8) * 4294967296 + _hx_be32(hx, p + 12),
+            n_bytes + 8,
+        )
+        sz = (
+            F.when(sz32 == 0, n_bytes - p + 1)  # to-EOF box
+            .when(sz32 == 1, large)
+            .otherwise(sz32)
+        )
+        min_sz = F.when(sz32 == 1, F.lit(16)).otherwise(F.lit(8))
+        ok = (p + 7 <= n_bytes) & (sz >= min_sz)
         cur = cur.withColumn(f"_bok{k}", ok)
         cur = cur.withColumn(
             f"_bty{k}", F.when(ok, _hx_str4(hx, p + 4))
         )
         if k + 1 < MP4_WALK_STEPS:
-            # same clamp as the WAV walk: a garbage be32 "size" of up
-            # to 2^32-1 must not push the position past int range
+            # same clamp as the WAV walk: a garbage size of up to
+            # 2^32-1 must not push the position past int range
             cur = cur.withColumn(
                 f"_bp{k + 1}",
                 F.when(ok, F.least(p + sz, n_bytes + 8)).otherwise(

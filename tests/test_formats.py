@@ -210,7 +210,12 @@ def test_sniff_container_meta_on_real_world_headers(spark):
         data = b"data" + struct.pack("<I", 4) + b"\x00" * 4
         body = b"WAVE"
         if junk:
-            body += b"JUNK" + struct.pack("<I", junk) + b"\x00" * junk
+            # RIFF pads odd chunk bodies with one byte; the size field
+            # records the UNPADDED length
+            body += (
+                b"JUNK" + struct.pack("<I", junk)
+                + b"\x00" * (junk + junk % 2)
+            )
         body += fmt + data
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -249,6 +254,25 @@ def test_sniff_container_meta_on_real_world_headers(spark):
     # null-dims row instead
     vp8x_cut = b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
 
+    # spec corners of the ISO-BMFF size field (ISO 14496-12 §4.2):
+    # size == 1 -> 64-bit largesize follows the fourcc (every > 4 GB
+    # mdat in a real video corpus), size == 0 -> box extends to EOF
+    body = b"\x00" * 16
+    mdat_large = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(body))
+        + body
+    )
+    mp4_largesize = (
+        box(b"ftyp", b"isom\x00\x00\x00\x00")
+        + box(b"moov", b"\x00" * 8)
+        + mdat_large
+    )
+    mp4_to_eof = (
+        box(b"ftyp", b"isom\x00\x00\x00\x00")
+        + box(b"moov", b"\x00" * 8)
+        + struct.pack(">I", 0) + b"mdat" + body  # size 0: to EOF
+    )
+
     rows = [
         (1, wav(44100, 2, junk=12)),
         (2, webp(vp8)),
@@ -258,6 +282,11 @@ def test_sniff_container_meta_on_real_world_headers(spark):
         (6, mp4_truncated),
         (7, b"not a container at all"),
         (8, webp(vp8x_cut)),
+        (9, mp4_largesize),
+        (10, mp4_to_eof),
+        # odd-size RIFF chunk: bodies pad to even, so the walk must
+        # advance size + size%2 to land on 'fmt '
+        (11, wav(22050, 1, junk=11)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     got = {
@@ -273,4 +302,7 @@ def test_sniff_container_meta_on_real_world_headers(spark):
         6: ("mp4", 2, 0, True),
         7: ("unknown", None, None, False),
         8: ("webp", None, None, False),
+        9: ("mp4", 3, 1, True),
+        10: ("mp4", 3, 1, True),
+        11: ("wav", 22050, 1, True),
     }
