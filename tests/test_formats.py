@@ -306,3 +306,73 @@ def test_sniff_container_meta_on_real_world_headers(spark):
         10: ("mp4", 3, 1, True),
         11: ("wav", 22050, 1, True),
     }
+
+
+def test_container_walks_handle_random_layouts(spark):
+    """Seeded fuzz for the two container walks (the JPEG-walk fuzz
+    discipline): random RIFF preface chunks (odd and even bodies,
+    arbitrary fourccs) before 'fmt ', and random ISO-BMFF top-level
+    boxes (free/skip/uuid types, compact and 64-bit largesize forms)
+    around moov/mdat — built as real spec bytes, never via the synth
+    fixture."""
+    import random
+    import struct
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        MP4_WALK_STEPS,
+        WAV_WALK_STEPS,
+        sniff_container_meta,
+    )
+
+    rng = random.Random(0xCAFE)
+    rows, want = [], {}
+    doc = 0
+    # --- WAV: up to WAV_WALK_STEPS-1 preface chunks, odd sizes included
+    for _ in range(60):
+        n_pre = rng.randrange(0, WAV_WALK_STEPS)
+        rate = rng.randrange(8000, 192001)
+        ch = rng.randrange(1, 9)
+        body = b"WAVE"
+        for _ in range(n_pre):
+            ln = rng.randrange(0, 41)  # odd sizes exercise the pad rule
+            fourcc = rng.choice([b"JUNK", b"LIST", b"bext", b"PAD "])
+            body += fourcc + struct.pack("<I", ln)
+            body += bytes(rng.randrange(256) for _ in range(ln + ln % 2))
+        body += b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+        )
+        body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        rows.append((doc, b"RIFF" + struct.pack("<I", len(body)) + body))
+        want[doc] = ("wav", rate, ch, True)
+        doc += 1
+    # --- MP4: random box runs; moov+mdat present iff placed in-walk
+    for _ in range(60):
+        n_mid = rng.randrange(0, MP4_WALK_STEPS - 3)
+        buf = struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x00\x00"
+        n_boxes = 1
+        for _ in range(n_mid):
+            ln = rng.randrange(0, 33)
+            fourcc = rng.choice([b"free", b"skip", b"uuid", b"meta"])
+            if rng.random() < 0.3:  # 64-bit largesize form
+                buf += (
+                    struct.pack(">I", 1) + fourcc
+                    + struct.pack(">Q", 16 + ln) + bytes(ln)
+                )
+            else:
+                buf += struct.pack(">I", 8 + ln) + fourcc + bytes(ln)
+            n_boxes += 1
+        buf += struct.pack(">I", 16) + b"moov" + b"\x00" * 8
+        if rng.random() < 0.5:  # mdat as a to-EOF box half the time
+            buf += struct.pack(">I", 0) + b"mdat" + bytes(8)
+        else:
+            buf += struct.pack(">I", 16) + b"mdat" + b"\x00" * 8
+        n_boxes += 2
+        rows.append((doc, buf))
+        want[doc] = ("mp4", n_boxes, 1, True)
+        doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        r["doc_id"]: (r["container"], r["d1"], r["d2"], r["parsed"])
+        for r in sniff_container_meta(df).collect()
+    }
+    assert got == want
