@@ -69,6 +69,7 @@ REPRESENTATIVE = [
     "corpus_snapshot_diff",
     "text_trigram_familiarity",
     "mm_phash_pairs",
+    "mm_container_census",  # byte-census family exemplar (r10)
     "dedup_keep_best",
     "corpus_observed_ingest",
     # round-6 families
