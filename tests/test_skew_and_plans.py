@@ -425,3 +425,29 @@ def test_scale_lint_bnlj_gated_by_allowlist(spark):
     df = a.crossJoin(F.broadcast(b))
     assert any("BroadcastNestedLoopJoin" in x for x in plans.scale_lint(df))
     assert plans.scale_lint(df, allow_bnlj=True) == []
+
+
+def test_merged_home_plan_claims(spark):
+    """The r10 consolidation docstrings make explicit plan claims —
+    pin them: emb_vector_codes chains its three encoders over ONE scan
+    (zero joins, zero exchanges — the oracle joins CTEs, the engine
+    must not); the merged mm_image_meta decodes ONCE (a single
+    MapInPandas, no join between meta and aHash halves); the container
+    census aggregates without any join before its 4-key groupBy."""
+    from dns_log_transformer_spark.plans import physical_plan
+    from dns_log_transformer_spark.queries import ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+
+    def counts(name, *tokens):
+        plan = physical_plan(ALL_QUERIES[name].fn(spark, SF_SMOKE), "simple")
+        return {t: plan.count(t) for t in tokens}
+
+    assert counts("emb_vector_codes", "Join", "Exchange") == {
+        "Join": 0,
+        "Exchange": 0,
+    }
+    assert counts("mm_image_meta", "Join", "MapInPandas") == {
+        "Join": 0,
+        "MapInPandas": 1,
+    }
+    assert counts("mm_container_census", "Join") == {"Join": 0}
