@@ -662,9 +662,17 @@ def synth_image_blob(
 # ISO-BMFF box walk (the JPEG-marker-walk pattern generalized).
 
 #: RIFF chunk-walk depth for WAV: 'fmt ' is usually the first chunk but
-#: JUNK/LIST/bext prefaces are common in broadcast WAVs; 4 unrolled
-#: steps cover 3 preface chunks.
-WAV_WALK_STEPS = 4
+#: JUNK/LIST/bext prefaces are common in broadcast WAVs; 6 unrolled
+#: steps cover 4 preface chunks AND still reach the 'data' chunk after
+#: 'fmt ' (the r11 descent reads the data-chunk size for duration, so
+#: the walk no longer freezes at 'fmt ').
+WAV_WALK_STEPS = 6
+
+#: moov child-box walk depth: mvhd is universally muxed first, then
+#: trak (video) / trak (audio) / udta — 4 steps cover the layouts the
+#: census descends into. Like every walk here, exhaustion is LOUD:
+#: duration/dims stay NULL, never a guess.
+MOOV_WALK_STEPS = 4
 
 #: Top-level ISO-BMFF box-walk depth: ftyp + a handful of free/skip/
 #: meta boxes before moov/mdat in real muxers; 8 covers 7 intermediate
@@ -679,13 +687,29 @@ def _hx_str4(hx, pos):
     return F.substring(hx, pos * 2 - 1, F.lit(8))
 
 
+def _idiv(num, den):
+    """Exact nonnegative-long integer division as columns: num - num%den
+    is an exact multiple of den, and an IEEE double division whose
+    operands and quotient are all exactly-representable integers
+    (< 2^53 here: num <= 2^32 * 10^6 ~ 4.3e15) returns the quotient
+    EXACTLY, so the cast back to long is lossless — unlike
+    floor(num/den), whose 0.5-ulp rounding at ~1e15 magnitudes can
+    cross an integer boundary on hostile header values."""
+    return ((num - num % den) / den).cast("long")
+
+
 def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, container, d1, d2, parsed, n_bytes) from raw payload bytes —
-    magic-number sniff + per-container header parse, no media library:
+    """(id, container, d1, d2, parsed, n_bytes, dur_us, v_w, v_h) from
+    raw payload bytes — magic-number sniff + per-container header
+    parse, no media library:
 
     - wav: 'RIFF' + 'WAVE', then a RIFF chunk walk (id/size/body, sizes
-      little-endian, bodies even-padded) to the 'fmt ' chunk;
-      d1 = sample rate (le32 at fmt+12), d2 = channels (le16 at fmt+10).
+      little-endian, bodies even-padded) to the 'fmt ' chunk (gated on
+      the full 16-byte PCM body fitting — a payload truncated inside
+      fmt stays the loud null row, ADVICE r10) and ON to the 'data'
+      chunk; d1 = sample rate (le32 at fmt+12), d2 = channels (le16 at
+      fmt+10), dur_us = declared data size * 1e6 / byte rate (le32 at
+      fmt+16).
     - webp: 'RIFF' + 'WEBP', then the variant fourcc — the three
       bitstream flavors encode dimensions three different ways:
       'VP8 ' (lossy: 14-bit le dims after the 9D012A sync code),
@@ -696,8 +720,17 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
       box) — a top-level box walk counts boxes and checks structural
       completeness; d1 = boxes seen within the walk, d2 = 1 iff BOTH
       'moov' and 'mdat' were seen (a truncated upload misses one — the
-      quiet-data-loss class the census exists to surface).
+      quiet-data-loss class the census exists to surface). One level
+      DOWN (VERDICT r10 #5), a moov-child walk reads mvhd (v0/v1) for
+      dur_us = duration * 1e6 / timescale and each trak's leading tkhd
+      (v0/v1) for v_w/v_h — the 16.16 fixed-point canvas dims, MAX
+      across traks (the audio trak reports zeros).
     - anything else: container 'unknown', null d1/d2.
+
+    dur_us/v_w/v_h are NULL wherever the container doesn't carry them
+    (webp/unknown; wav dims) or the walk missed them — ``parsed``
+    deliberately keeps its original d1/d2-only meaning so the census's
+    coverage metric is stable across rounds.
 
     ``parsed`` mirrors sniff_image_meta's dims_parsed: false whenever
     either metric is null, so the census reports coverage instead of
@@ -721,13 +754,23 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     cur = cur.withColumn("_ctr", container)
 
     # WAV RIFF chunk walk: _wp{k} = byte position of the k-th chunk id
-    # (chunks start at 13); _wfmt{k} = that chunk is 'fmt '. Bodies are
-    # even-padded per spec (odd sizes advance one extra byte).
+    # (chunks start at 13); _wfmt{k} = that chunk is 'fmt ' AND its full
+    # 16-byte PCM body fits (bytes p+8..p+23 — rate, channels AND byte
+    # rate are read from it; without the fit gate a payload truncated
+    # inside fmt parses past-end lpad-zero bytes as rate=0/channels=0
+    # with parsed=true, the confidently-wrong class, ADVICE r10).
+    # Bodies are even-padded per spec (odd sizes advance one extra
+    # byte); the walk does NOT freeze at 'fmt ' — it continues to the
+    # 'data' chunk, whose declared size gives the duration.
     cur = cur.withColumn("_wp0", F.lit(13).cast("long"))
     for k in range(WAV_WALK_STEPS):
         p = F.col(f"_wp{k}")
         cur = cur.withColumn(
-            f"_wfmt{k}", _hx_str4(hx, p) == "666D7420"  # 'fmt '
+            f"_wfmt{k}",
+            (_hx_str4(hx, p) == "666D7420") & (p + 23 <= n_bytes),  # 'fmt '
+        )
+        cur = cur.withColumn(
+            f"_wdat{k}", _hx_str4(hx, p) == "64617461"  # 'data'
         )
         if k + 1 < WAV_WALK_STEPS:
             sz = _hx_le32(hx, p + 4)
@@ -737,9 +780,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             # positions all behave identically (lpad-guarded zero reads)
             cur = cur.withColumn(
                 f"_wp{k + 1}",
-                F.when(F.col(f"_wfmt{k}"), p).otherwise(
-                    F.least(p + 8 + sz + sz % 2, n_bytes + 8)
-                ),
+                F.least(p + 8 + sz + sz % 2, n_bytes + 8),
             )
     wav_rate = F.coalesce(
         *[
@@ -752,6 +793,25 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.when(F.col(f"_wfmt{k}"), _hx_le16(hx, F.col(f"_wp{k}") + 10))
             for k in range(WAV_WALK_STEPS)
         ]
+    )
+    # fmt body offset 8 = average byte rate (le32); 'data' declared
+    # size / byte rate = the header-declared duration (a truncated
+    # upload keeps its declared duration — the DECLARED-vs-present gap
+    # is mdat/moov-style structural checking, not duration parsing)
+    wav_byte_rate = F.coalesce(
+        *[
+            F.when(F.col(f"_wfmt{k}"), _hx_le32(hx, F.col(f"_wp{k}") + 16))
+            for k in range(WAV_WALK_STEPS)
+        ]
+    )
+    wav_data = F.coalesce(
+        *[
+            F.when(F.col(f"_wdat{k}"), _hx_le32(hx, F.col(f"_wp{k}") + 4))
+            for k in range(WAV_WALK_STEPS)
+        ]
+    )
+    wav_dur_us = F.when(
+        wav_byte_rate > 0, _idiv(wav_data * 1000000, wav_byte_rate)
     )
 
     # WebP variant dims (chunk fourcc at 13, body at 21). Every branch
@@ -793,12 +853,14 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     for k in range(MP4_WALK_STEPS):
         p = F.col(f"_bp{k}")
         sz32 = _hx_be32(hx, p)
-        # 64-bit largesize: clamp the high dword's contribution — any
-        # nonzero high half already exceeds every payload, and the
-        # F.least below needs overflow-free arithmetic
-        large = F.least(
-            _hx_be32(hx, p + 8) * 4294967296 + _hx_be32(hx, p + 12),
-            n_bytes + 8,
+        # 64-bit largesize: gate the high dword BEFORE any arithmetic —
+        # any nonzero high half already exceeds every payload, and
+        # multiplying it by 2^32 first overflows long under ANSI for
+        # high >= 2^31 (a crafted mdat kills the whole census job,
+        # ADVICE r10); the clamp value n_bytes + 8 keeps the box
+        # counted and ends the walk, same as every other oversize
+        large = F.when(_hx_be32(hx, p + 8) > 0, n_bytes + 8).otherwise(
+            F.least(_hx_be32(hx, p + 12), n_bytes + 8)
         )
         sz = (
             F.when(sz32 == 0, n_bytes - p + 1)  # to-EOF box
@@ -811,6 +873,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         cur = cur.withColumn(
             f"_bty{k}", F.when(ok, _hx_str4(hx, p + 4))
         )
+        cur = cur.withColumn(f"_bsz{k}", F.when(ok, sz))
         if k + 1 < MP4_WALK_STEPS:
             # same clamp as the WAV walk: a garbage size of up to
             # 2^32-1 must not push the position past int range
@@ -841,6 +904,86 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         > 0
     )
 
+    # --- moov descent (VERDICT r10 #5): one level down. The top-level
+    # walk hands over moov's position and size; a second unrolled walk
+    # over moov's CHILD boxes finds mvhd (movie timescale + duration,
+    # version 0 be32 fields / version 1 with 64-bit times — the high
+    # duration dword is gated, not multiplied) and each trak's leading
+    # tkhd (width/height as 16.16 fixed point — the integer part is
+    # the leading be16 of each dword; the video trak carries real dims,
+    # the audio trak zeros, so MAX across traks is the canvas). Every
+    # miss is LOUD: no mvhd in the walk, a non-tkhd-first trak, or a
+    # 64-bit duration with a nonzero high dword all leave NULLs.
+    mpos = F.coalesce(
+        *[
+            F.when(F.col(f"_bty{k}") == "6D6F6F76", F.col(f"_bp{k}"))
+            for k in range(MP4_WALK_STEPS)
+        ]
+    )
+    msz = F.coalesce(
+        *[
+            F.when(F.col(f"_bty{k}") == "6D6F6F76", F.col(f"_bsz{k}"))
+            for k in range(MP4_WALK_STEPS)
+        ]
+    )
+    cur = cur.withColumn("_mend", F.least(mpos + msz - 1, n_bytes))
+    cur = cur.withColumn("_cp0", mpos + 8)
+    for k in range(MOOV_WALK_STEPS):
+        cq = F.col(f"_cp{k}")
+        csz = _hx_be32(hx, cq)
+        # children never use largesize/to-EOF forms in practice; a
+        # compact size < 8 or a header past moov's end stops the walk
+        cok = (cq + 7 <= F.col("_mend")) & (csz >= 8)
+        cur = cur.withColumn(f"_cok{k}", cok)
+        cur = cur.withColumn(f"_cty{k}", F.when(cok, _hx_str4(hx, cq + 4)))
+        if k + 1 < MOOV_WALK_STEPS:
+            cur = cur.withColumn(
+                f"_cp{k + 1}",
+                F.when(cok, F.least(cq + csz, n_bytes + 8)).otherwise(
+                    n_bytes + 8
+                ),
+            )
+    mvq = F.coalesce(
+        *[
+            F.when(F.col(f"_cty{k}") == "6D766864", F.col(f"_cp{k}"))  # mvhd
+            for k in range(MOOV_WALK_STEPS)
+        ]
+    )
+    mv_v1 = _hx_byte(hx, mvq + 8) == 1
+    mp4_timescale = F.when(mv_v1, _hx_be32(hx, mvq + 28)).otherwise(
+        _hx_be32(hx, mvq + 20)
+    )
+    mp4_duration = F.when(
+        mv_v1,
+        # 64-bit duration: read the low dword only when the high dword
+        # is zero — same no-multiply overflow discipline as largesize
+        F.when(_hx_be32(hx, mvq + 32) == 0, _hx_be32(hx, mvq + 36)),
+    ).otherwise(_hx_be32(hx, mvq + 24))
+    mp4_dur_us = F.when(
+        mp4_timescale > 0, _idiv(mp4_duration * 1000000, mp4_timescale)
+    )
+    # tkhd integer dims per trak child whose FIRST grandchild is tkhd
+    # (universal muxer layout; anything else stays NULL):
+    # v0 width at tkhd body offset 76, v1 at 88 (+12 for 64-bit times)
+    tk_dims = []
+    for k in range(MOOV_WALK_STEPS):
+        tq = F.col(f"_cp{k}") + 8  # candidate tkhd box position
+        is_tk = (
+            F.col(f"_cok{k}")
+            & (F.col(f"_cty{k}") == "7472616B")  # trak
+            & (_hx_str4(hx, tq + 4) == "746B6864")  # tkhd
+        )
+        tk_v1 = _hx_byte(hx, tq + 8) == 1
+        woff = F.when(tk_v1, F.lit(96)).otherwise(F.lit(84))
+        tk_dims.append(
+            (
+                F.when(is_tk, _hx_be16(hx, tq + woff)),
+                F.when(is_tk, _hx_be16(hx, tq + woff + 4)),
+            )
+        )
+    mp4_vw = F.greatest(*[w for w, _ in tk_dims])
+    mp4_vh = F.greatest(*[h for _, h in tk_dims])
+
     d1 = (
         F.when(F.col("_ctr") == "wav", wav_rate)
         .when(F.col("_ctr") == "webp", webp_w)
@@ -853,6 +996,13 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     d1_i = d1.try_cast("long")
     d2_i = d2.try_cast("long")
+    dur_us = (
+        F.when(F.col("_ctr") == "wav", wav_dur_us)
+        .when(F.col("_ctr") == "mp4", mp4_dur_us)
+        .try_cast("long")
+    )
+    v_w = F.when(F.col("_ctr") == "mp4", mp4_vw).try_cast("long")
+    v_h = F.when(F.col("_ctr") == "mp4", mp4_vh).try_cast("long")
     return cur.select(
         F.col(id_col),
         F.col("_ctr").alias("container"),
@@ -860,6 +1010,9 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         d2_i.alias("d2"),
         (d1_i.isNotNull() & d2_i.isNotNull()).alias("parsed"),
         n_bytes.cast("long").alias("n_bytes"),
+        dur_us.alias("dur_us"),
+        v_w.alias("v_w"),
+        v_h.alias("v_h"),
     )
 
 
@@ -907,9 +1060,15 @@ def synth_container_blob(
       VP8L (25 + payload), VP8X (30 + payload) — all three dimension
       encodings attested.
     - mp4 (id%4=2): 'ftyp' (16 + 4*(id%3) bytes: id%3 compatible
-      brands) + id%4' = (id//4)%4 'free' boxes of 8 + 2*(id%5) bytes +
-      'moov' (16) + 'mdat' (8 + payload); boxes = 3 + (id//4)%4,
-      structurally complete (d2 = 1).
+      brands) + (id//4)%4 'free' boxes of 8 + 2*(id%5) bytes +
+      'moov' + 'mdat' (8 + payload); boxes = 3 + (id//4)%4,
+      structurally complete (d2 = 1). moov holds REAL children
+      (r11 descent): mvhd with timescale = 600*(1 + (id//4)%4) and
+      duration = timescale*(1 + id%7) + (id//4)%600 (version 1 when
+      (id//4)%3 == 0, else 0 — both decode paths), and one trak whose
+      tkhd (version 1 when id%3 == 0) carries width = 320 + (id%64)*4,
+      height = 180 + ((id//4)%64)*4; moov size = 16 + mvhd
+      (120 v1 / 108 v0) + tkhd (104 v1 / 92 v0).
     - unknown (id%4=3): zero bytes, n_bytes = 26 + payload — the
       unparsed row the census must count, not drop.
     """
@@ -1005,9 +1164,85 @@ def synth_container_blob(
         _hex_be32(free_size), F.lit("66726565"),  # 'free'
         F.repeat(F.lit("00"), (free_size - 8).cast("int")),
     )
+    # moov with real children (VERDICT r10 #5): mvhd (movie timescale +
+    # duration; version 1 with 64-bit times on the (id//4)%3 == 0
+    # lattice so BOTH mvhd decode paths attest) and one trak whose
+    # leading tkhd carries the canvas dims as 16.16 fixed point
+    # (version 1 on id%3 == 0 — id%2/id%4 are degenerate on the mp4
+    # lattice, the wav-fixture lesson). All variation runs on moduli
+    # that actually vary for id % 4 == 2.
+    matrix = (
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3
+        + "40000000"
+    )  # identity 3x3 fixed-point transform, spec's default
+    ts = (F.lit(600) * (1 + q4 % 4)).cast("long")
+    mdur = (ts * (1 + i % 7) + q4 % 600).cast("long")
+    mvhd_v1 = q4 % 3 == 0
+    mvhd = F.when(
+        mvhd_v1,
+        F.concat(
+            _hex_be32(F.lit(120).cast("long")), F.lit("6D766864"),
+            F.lit("01000000"),  # version 1 + flags
+            F.repeat(F.lit("00"), 16),  # 64-bit ctime + mtime
+            _hex_be32(ts),
+            F.lit("00000000"), _hex_be32(mdur),  # 64-bit duration
+            F.lit("00010000" + "0100" + "00" * 10),  # rate, volume, reserved
+            F.lit(matrix),
+            F.repeat(F.lit("00"), 24),  # pre_defined
+            F.lit("00000002"),  # next_track_ID
+        ),
+    ).otherwise(
+        F.concat(
+            _hex_be32(F.lit(108).cast("long")), F.lit("6D766864"),
+            F.lit("00000000"),  # version 0 + flags
+            F.repeat(F.lit("00"), 8),  # 32-bit ctime + mtime
+            _hex_be32(ts),
+            _hex_be32(mdur),
+            F.lit("00010000" + "0100" + "00" * 10),
+            F.lit(matrix),
+            F.repeat(F.lit("00"), 24),
+            F.lit("00000002"),
+        ),
+    )
+    mvhd_size = F.when(mvhd_v1, F.lit(120)).otherwise(F.lit(108)).cast("long")
+    vw = (F.lit(320) + (i % 64) * 4).cast("long")
+    vh = (F.lit(180) + (q4 % 64) * 4).cast("long")
+    tkhd_v1 = i % 3 == 0
+    tkhd = F.when(
+        tkhd_v1,
+        F.concat(
+            _hex_be32(F.lit(104).cast("long")), F.lit("746B6864"),
+            F.lit("01000007"),  # version 1 + enabled/in-movie/in-preview
+            F.repeat(F.lit("00"), 16),  # 64-bit ctime + mtime
+            F.lit("00000001" + "00000000"),  # track_ID, reserved
+            F.lit("00000000"), _hex_be32(mdur),  # 64-bit duration
+            F.repeat(F.lit("00"), 8),  # reserved
+            F.lit("0000" * 4),  # layer, alternate_group, volume, reserved
+            F.lit(matrix),
+            _hex_be16(vw), F.lit("0000"),  # width  16.16
+            _hex_be16(vh), F.lit("0000"),  # height 16.16
+        ),
+    ).otherwise(
+        F.concat(
+            _hex_be32(F.lit(92).cast("long")), F.lit("746B6864"),
+            F.lit("00000007"),
+            F.repeat(F.lit("00"), 8),
+            F.lit("00000001" + "00000000"),
+            _hex_be32(mdur),
+            F.repeat(F.lit("00"), 8),
+            F.lit("0000" * 4),
+            F.lit(matrix),
+            _hex_be16(vw), F.lit("0000"),
+            _hex_be16(vh), F.lit("0000"),
+        ),
+    )
+    tkhd_size = F.when(tkhd_v1, F.lit(104)).otherwise(F.lit(92)).cast("long")
+    trak = F.concat(
+        _hex_be32(tkhd_size + 8), F.lit("7472616B"), tkhd
+    )
     moov = F.concat(
-        _hex_be32(F.lit(16).cast("long")), F.lit("6D6F6F76"),
-        F.repeat(F.lit("00"), 8),
+        _hex_be32(mvhd_size + tkhd_size + 16), F.lit("6D6F6F76"),
+        mvhd, trak,
     )
     mdat = F.concat(
         _hex_be32(F.lit(8).cast("long") + pl), F.lit("6D646174"), filler

@@ -442,9 +442,10 @@ def _vector_codes_oracle() -> str:
         _PQ_CODES,
     )
 
-    pqc = _PQ_CODES.replace("codes AS (", "pqc AS (", 1).replace(
-        "FROM codes", "FROM pqc"
-    )
+    pqc = _PQ_CODES.replace("codes AS (", "pqc AS (", 1)
+    # the rename must actually take, or a future _PQ_CODES edit would
+    # silently collide with the int8 recipe's 'codes' CTE (ADVICE r10)
+    assert "codes AS (" not in pqc, "_PQ_CODES no longer opens 'codes AS ('"
     return f"""
     WITH {_INT8_CODE_SQL},
     i8 AS (

@@ -46,9 +46,25 @@ from dns_log_transformer_spark.queries.registry import register, table
                                 ELSE 30 END + pl
                WHEN 'mp4'  THEN 16 + 4 * (doc_id % 3)
                     + ((doc_id // 4) % 4) * (8 + 2 * (doc_id % 5))
-                    + 16 + 8 + pl
+                    + 16
+                    + CASE WHEN (doc_id // 4) % 3 = 0 THEN 120 ELSE 108 END
+                    + CASE WHEN doc_id % 3 = 0 THEN 104 ELSE 92 END
+                    + 8 + pl
                ELSE 26 + pl
-             END AS n_bytes
+             END AS n_bytes,
+             CASE container
+               WHEN 'wav' THEN (pl * 1000000)
+                    // ((8000 + ((doc_id // 4) % 8) * 4000)
+                        * (1 + (doc_id // 4) % 2) * 2)
+               WHEN 'mp4' THEN ((600 * (1 + (doc_id // 4) % 4))
+                                * (1 + doc_id % 7)
+                                + (doc_id // 4) % 600) * 1000000
+                    // (600 * (1 + (doc_id // 4) % 4))
+             END AS dur_us,
+             CASE container WHEN 'mp4'
+                  THEN 320 + (doc_id % 64) * 4 END AS v_w,
+             CASE container WHEN 'mp4'
+                  THEN 180 + ((doc_id // 4) % 64) * 4 END AS v_h
       FROM m)
     SELECT container,
            CAST(COUNT(*) AS BIGINT) AS n_payloads,
@@ -58,7 +74,11 @@ from dns_log_transformer_spark.queries.registry import register, table
            CAST(MIN(d1) AS BIGINT) AS min_d1,
            CAST(MAX(d1) AS BIGINT) AS max_d1,
            CAST(MIN(d2) AS BIGINT) AS min_d2,
-           CAST(MAX(d2) AS BIGINT) AS max_d2
+           CAST(MAX(d2) AS BIGINT) AS max_d2,
+           CAST(COUNT(dur_us) AS BIGINT) AS n_dur,
+           CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+           CAST(MAX(v_w) AS BIGINT) AS max_vw,
+           CAST(MAX(v_h) AS BIGINT) AS max_vh
     FROM v GROUP BY container ORDER BY container
     """,
 )
@@ -81,7 +101,12 @@ def mm_container_census(spark: SparkSession, sf: str) -> DataFrame:
     - mp4: top-level ISO-BMFF box walk (ftyp + a varying number of
       free boxes + moov + mdat); d1 = boxes seen, d2 = 1 iff BOTH moov
       and mdat present (structural completeness — a truncated upload
-      misses one);
+      misses one); one level DOWN (VERDICT r10 #5), the moov-child
+      walk reads mvhd (both versions cycle in the fixture) for the
+      movie duration and trak/tkhd (both versions) for the canvas
+      dims — censused as n_dur / sum_dur_us / max_vw / max_vh; the
+      wav rows contribute dur_us = declared data size over the fmt
+      byte rate;
     - unknown: counted loudly (n_parsed = 0), never dropped — the
       mm_format_census n_unparsed lesson.
 
@@ -104,6 +129,10 @@ def mm_container_census(spark: SparkSession, sf: str) -> DataFrame:
             F.max("d1").cast("long").alias("max_d1"),
             F.min("d2").cast("long").alias("min_d2"),
             F.max("d2").cast("long").alias("max_d2"),
+            F.count("dur_us").cast("long").alias("n_dur"),
+            F.sum("dur_us").cast("long").alias("sum_dur_us"),
+            F.max("v_w").cast("long").alias("max_vw"),
+            F.max("v_h").cast("long").alias("max_vh"),
         )
         .orderBy("container")
     )

@@ -287,6 +287,20 @@ def test_sniff_container_meta_on_real_world_headers(spark):
         # odd-size RIFF chunk: bodies pad to even, so the walk must
         # advance size + size%2 to land on 'fmt '
         (11, wav(22050, 1, junk=11)),
+        # HOSTILE largesize: size == 1 with a >= 2^31 high dword — the
+        # pre-clamp multiply by 2^32 overflowed long under ANSI and
+        # killed the whole census job (ADVICE r10); the gated read must
+        # clamp it to payload size, count the box, and end the walk
+        (12, box(b"ftyp", b"isom\x00\x00\x00\x00")
+             + box(b"moov", b"\x00" * 8)
+             + struct.pack(">I", 1) + b"mdat"
+             + struct.pack(">II", 0x80000000, 24) + b"\x00" * 16),
+        # WAV truncated INSIDE its fmt chunk: the lpad guard reads
+        # past-end bytes as 0, so without the body-fit gate this parsed
+        # as a confidently-wrong rate=0/channels=0 with parsed=true
+        # (ADVICE r10) — it must surface as the loud null row
+        (13, b"RIFF" + struct.pack("<I", 14) + b"WAVEfmt "
+             + struct.pack("<IHH", 16, 1, 2)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     got = {
@@ -305,16 +319,109 @@ def test_sniff_container_meta_on_real_world_headers(spark):
         9: ("mp4", 3, 1, True),
         10: ("mp4", 3, 1, True),
         11: ("wav", 22050, 1, True),
+        12: ("mp4", 3, 1, True),
+        13: ("wav", None, None, False),
+    }
+
+
+def test_container_descent_on_real_world_headers(spark):
+    """One level down (VERDICT r10 #5): the moov-child walk must read
+    mvhd's timescale/duration (BOTH versions — v1 carries 64-bit times)
+    and trak/tkhd's 16.16 canvas dims (both versions; the audio trak's
+    zero dims must lose the cross-trak MAX to the video trak's), and
+    the WAV path must turn the declared data size + fmt byte rate into
+    a duration; every miss (opaque moov, 64-bit duration with a
+    nonzero high dword) stays a loud NULL."""
+    import struct
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        sniff_container_meta,
+    )
+
+    def box(fourcc, body=b""):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+
+    def mvhd(ts, dur, v=0):
+        if v:
+            body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                    + struct.pack(">IQ", ts, dur))
+        else:
+            body = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                    + struct.pack(">II", ts, dur))
+        body += (struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+                 + b"\x00" * 10 + matrix + b"\x00" * 24
+                 + struct.pack(">I", 2))
+        return box(b"mvhd", body)
+
+    def tkhd(w, h, dur, v=0):
+        if v:
+            body = (b"\x01\x00\x00\x07" + b"\x00" * 16
+                    + struct.pack(">II", 1, 0) + struct.pack(">Q", dur))
+        else:
+            body = (b"\x00\x00\x00\x07" + b"\x00" * 8
+                    + struct.pack(">II", 1, 0) + struct.pack(">I", dur))
+        body += (b"\x00" * 8 + b"\x00" * 8 + matrix
+                 + struct.pack(">II", w << 16, h << 16))
+        return box(b"tkhd", body)
+
+    def mp4(children, mdat=b"\x00" * 16):
+        return (box(b"ftyp", b"isom\x00\x00\x00\x00")
+                + box(b"moov", children) + box(b"mdat", mdat))
+
+    def wav(rate, ch, data_sz):
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                    rate * ch * 2, ch * 2, 16)
+        body = b"WAVE" + fmt + b"data" + struct.pack("<I", data_sz) \
+            + b"\x00" * data_sz
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [
+        # v0 everywhere: 90 s at timescale 600, 640x360 video trak
+        (1, mp4(mvhd(600, 54000) + box(b"trak", tkhd(640, 360, 54000)))),
+        # v1 mvhd + v1 tkhd; audio trak (0x0 dims) FIRST, video second —
+        # the MAX across traks must pick the video dims
+        (2, mp4(mvhd(90000, 123456, v=1)
+                + box(b"trak", tkhd(0, 0, 123456, v=1))
+                + box(b"trak", tkhd(1920, 800, 123456, v=1)))),
+        # opaque legacy moov: no mvhd/tkhd in the children — loud NULLs
+        (3, mp4(b"\x00" * 8)),
+        # v1 mvhd whose 64-bit duration has a NONZERO high dword: the
+        # no-multiply gate must leave duration (hence dur_us) NULL
+        (4, mp4(mvhd(600, (1 << 32) + 5, v=1)
+                + box(b"trak", tkhd(320, 240, 7, v=0)))),
+        # WAV: 2 s of 8 kHz mono 16-bit = 32000 data bytes / 16000 Bps
+        (5, wav(8000, 1, 32000)),
+        # WAV with a data size that does NOT divide evenly: floor
+        (6, wav(44100, 2, 100000)),  # 100000*1e6 // 176400 = 566893
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        r["doc_id"]: (r["dur_us"], r["v_w"], r["v_h"])
+        for r in sniff_container_meta(df).collect()
+    }
+    assert got == {
+        1: (90_000_000, 640, 360),
+        2: (123456 * 1000000 // 90000, 1920, 800),
+        3: (None, None, None),
+        4: (None, 320, 240),
+        5: (2_000_000, None, None),
+        6: (100000 * 1000000 // 176400, None, None),
     }
 
 
 def test_container_walks_handle_random_layouts(spark):
-    """Seeded fuzz for the two container walks (the JPEG-walk fuzz
+    """Seeded fuzz for the container walks (the JPEG-walk fuzz
     discipline): random RIFF preface chunks (odd and even bodies,
-    arbitrary fourccs) before 'fmt ', and random ISO-BMFF top-level
-    boxes (free/skip/uuid types, compact and 64-bit largesize forms)
-    around moov/mdat — built as real spec bytes, never via the synth
-    fixture."""
+    arbitrary fourccs) before 'fmt ' — with the 'data' chunk landing
+    in- or out-of-walk so BOTH duration regimes attest — and random
+    ISO-BMFF top-level boxes (free/skip/uuid types, compact and 64-bit
+    largesize forms) around moov/mdat, where moov randomly carries real
+    mvhd + trak/tkhd children (random versions, random timescale/
+    duration/dims) or a legacy opaque body (loud NULL descent) — built
+    as real spec bytes, never via the synth fixture."""
     import random
     import struct
 
@@ -332,6 +439,7 @@ def test_container_walks_handle_random_layouts(spark):
         n_pre = rng.randrange(0, WAV_WALK_STEPS)
         rate = rng.randrange(8000, 192001)
         ch = rng.randrange(1, 9)
+        data_sz = rng.randrange(0, 1 << 20)  # declared, body stays tiny
         body = b"WAVE"
         for _ in range(n_pre):
             ln = rng.randrange(0, 41)  # odd sizes exercise the pad rule
@@ -341,10 +449,44 @@ def test_container_walks_handle_random_layouts(spark):
         body += b"fmt " + struct.pack(
             "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
         )
-        body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        body += b"data" + struct.pack("<I", data_sz) + b"\x00" * 4
         rows.append((doc, b"RIFF" + struct.pack("<I", len(body)) + body))
-        want[doc] = ("wav", rate, ch, True)
+        # fmt sits at walk step n_pre, data one step later: the
+        # duration is read iff data is still inside the walk
+        dur = (
+            data_sz * 1000000 // (rate * ch * 2)
+            if n_pre + 1 < WAV_WALK_STEPS else None
+        )
+        want[doc] = ("wav", rate, ch, True, dur, None, None)
         doc += 1
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+
+    def box(fourcc, payload=b""):
+        return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    def mvhd(ts, dur, v):
+        head = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(">IQ", ts, dur)
+            if v else
+            b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", ts, dur)
+        )
+        return box(b"mvhd", head + struct.pack(">I", 0x10000)
+                   + struct.pack(">H", 0x100) + b"\x00" * 10 + matrix
+                   + b"\x00" * 24 + struct.pack(">I", 2))
+
+    def tkhd(w, h, dur, v):
+        head = (
+            b"\x01\x00\x00\x07" + b"\x00" * 16
+            + struct.pack(">IIQ", 1, 0, dur)
+            if v else
+            b"\x00\x00\x00\x07" + b"\x00" * 8
+            + struct.pack(">III", 1, 0, dur)
+        )
+        return box(b"tkhd", head + b"\x00" * 16 + matrix
+                   + struct.pack(">II", w << 16, h << 16))
+
     # --- MP4: random box runs; moov+mdat present iff placed in-walk
     for _ in range(60):
         n_mid = rng.randrange(0, MP4_WALK_STEPS - 3)
@@ -361,18 +503,29 @@ def test_container_walks_handle_random_layouts(spark):
             else:
                 buf += struct.pack(">I", 8 + ln) + fourcc + bytes(ln)
             n_boxes += 1
-        buf += struct.pack(">I", 16) + b"moov" + b"\x00" * 8
+        if rng.random() < 0.7:  # real moov children
+            ts = rng.randrange(1, 1 << 20)
+            mdur = rng.randrange(0, 1 << 31)
+            w, h = rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16)
+            children = (mvhd(ts, mdur, rng.random() < 0.5)
+                        + box(b"trak", tkhd(w, h, mdur, rng.random() < 0.5)))
+            dvals = (mdur * 1000000 // ts, w, h)
+        else:  # legacy opaque moov: descent stays NULL
+            children = b"\x00" * 8
+            dvals = (None, None, None)
+        buf += box(b"moov", children)
         if rng.random() < 0.5:  # mdat as a to-EOF box half the time
             buf += struct.pack(">I", 0) + b"mdat" + bytes(8)
         else:
             buf += struct.pack(">I", 16) + b"mdat" + b"\x00" * 8
         n_boxes += 2
         rows.append((doc, buf))
-        want[doc] = ("mp4", n_boxes, 1, True)
+        want[doc] = ("mp4", n_boxes, 1, True) + dvals
         doc += 1
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     got = {
-        r["doc_id"]: (r["container"], r["d1"], r["d2"], r["parsed"])
+        r["doc_id"]: (r["container"], r["d1"], r["d2"], r["parsed"],
+                      r["dur_us"], r["v_w"], r["v_h"])
         for r in sniff_container_meta(df).collect()
     }
     assert got == want
