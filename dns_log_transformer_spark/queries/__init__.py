@@ -42,9 +42,15 @@ from dns_log_transformer_spark.queries import round10  # noqa: E402,F401
 
 
 def _reorder() -> None:
-    from dns_log_transformer_spark.ledger import pack_window
+    from dns_log_transformer_spark.ledger import current_source_hashes, pack_window
 
-    window = pack_window(list(ALL_QUERIES))
+    # source hashes make attestation freshness content-keyed: a query
+    # whose code/oracle changed since its last green driver row packs
+    # first, as if never attested (VERDICT r10 #2 — 9 of 12 r10-merged
+    # homes kept pre-merge green rows and missed re-attestation)
+    window = pack_window(
+        list(ALL_QUERIES), source_hashes=current_source_hashes(ALL_QUERIES)
+    )
     assert len(window) == 50, f"driver window must be exactly 50, got {len(window)}"
     ordered = {n: ALL_QUERIES[n] for n in window}
     ordered.update({n: q for n, q in ALL_QUERIES.items() if n not in ordered})

@@ -14,14 +14,17 @@ from __future__ import annotations
 
 import pytest
 
+from dns_log_transformer_spark.ledger import current_source_hashes
 from dns_log_transformer_spark.queries import ALL_QUERIES
 from tools.ledger import FRESHNESS_ROUNDS, WINDOW_SIZE, audit, load_ledger, pack_window
 
 
 def test_every_query_fresh_or_scheduled():
-    report = audit(list(ALL_QUERIES))
+    report = audit(
+        list(ALL_QUERIES), source_hashes=current_source_hashes(ALL_QUERIES)
+    )
     assert not report["violations"], (
-        "stale/never-attested queries outside the driver window — "
+        "stale/changed/never-attested queries outside the driver window — "
         f"rotate them in: {report['violations']}"
     )
 
@@ -44,7 +47,9 @@ def test_registry_order_is_packer_output():
     what the packer computes from the checked-in CORRECTNESS files
     (round-6 VERDICT task 2)."""
     registered = list(ALL_QUERIES)
-    packed = pack_window(registered)
+    packed = pack_window(
+        registered, source_hashes=current_source_hashes(ALL_QUERIES)
+    )
     # pack_window is order-stable, so re-packing the already-packed
     # registry must return its own prefix
     assert registered[:WINDOW_SIZE] == packed
@@ -106,6 +111,50 @@ def test_window_self_rotates_at_round_boundary(tmp_path):
     # the next-stalest cohort
     assert len(registered) >= 2 * WINDOW_SIZE
     assert not set(repacked) & set(registered[:WINDOW_SIZE])
+
+
+def test_source_changed_query_preempts_stale_green(tmp_path):
+    """VERDICT r10 #2: attestation freshness is keyed on CODE, not just
+    time. A query whose source hash no longer matches its ATTEST_HASHES
+    snapshot must pack FIRST (never-attested tier) even when its green
+    driver row is the freshest on file — the row attests code that no
+    longer exists — preempting merely time-stale green queries."""
+    import json
+
+    stale = [f"q_stale_{i}" for i in range(WINDOW_SIZE + 10)]
+    registered = ["q_changed", *stale]
+    with open(tmp_path / "CORRECTNESS_r01.json", "w") as f:
+        json.dump({n: {"rows_match": True, "schema_match": True,
+                       "hash_match": True, "err": None} for n in stale}, f)
+    with open(tmp_path / "CORRECTNESS_r03.json", "w") as f:
+        json.dump({"q_changed": {"rows_match": True, "schema_match": True,
+                                 "hash_match": True, "err": None}}, f)
+    hashes = {n: f"h_{n}" for n in registered}
+    with open(tmp_path / "ATTEST_HASHES.json", "w") as f:
+        json.dump(
+            {n: {"round": 3 if n == "q_changed" else 1, "hash": h}
+             for n, h in hashes.items()}, f)
+
+    # unchanged code: q_changed is the freshest green -> NOT in window
+    packed = pack_window(registered, repo_root=str(tmp_path),
+                         source_hashes=dict(hashes))
+    assert "q_changed" not in packed
+
+    # its source changes: it must take the FIRST slot, ahead of every
+    # stale-green query, despite holding the freshest green row
+    hashes["q_changed"] = "h_edited"
+    packed = pack_window(registered, repo_root=str(tmp_path),
+                         source_hashes=hashes)
+    assert packed[0] == "q_changed"
+
+    # and the audit mirrors it: outside the window it is a violation,
+    # not fresh, even though its green row is current-round
+    reordered = packed + [n for n in registered if n not in set(packed)]
+    report = audit(reordered, repo_root=str(tmp_path), source_hashes=hashes)
+    assert "q_changed" in report["scheduled"]
+    demoted = audit(registered[::-1], repo_root=str(tmp_path),
+                    source_hashes=hashes)
+    assert "q_changed" in demoted["violations"]
 
 
 def test_packer_degrades_without_correctness_files(tmp_path):

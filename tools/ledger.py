@@ -21,10 +21,14 @@ from dns_log_transformer_spark.ledger import (  # noqa: E402,F401
     FRESHNESS_ROUNDS,
     WINDOW_SIZE,
     audit,
+    current_source_hashes,
     is_green,
+    load_attested_hashes,
     load_ledger,
     main,
     pack_window,
+    snapshot_hashes,
+    source_hash,
 )
 
 if __name__ == "__main__":
