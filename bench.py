@@ -18,7 +18,10 @@ Rows-out comes from a DataFrame ``observe()`` metric, so a run reports
 per-query output cardinality without a second pass over the data.
 
 Variance control (round-5): each query is timed ``SPARK_GRAFT_BENCH_PASSES``
-times (default 2) and the detail line's per-query map reports the MIN.
+times (default 3 since r11 — min-of-2 still let one contended pass pair
+inflate a row, VERDICT r10 #4) and the detail line's per-query map
+reports the MIN. The detail JSON also records loadavg at start/end so a
+headline delta can be adjudicated against machine contention.
 Since round 7 the headline ``value`` is the SUM OF PER-QUERY MINS —
 the pass-1 sum swung 104.9-147.2 s (+-29%) across same-code round-6
 runs while the min map stayed stable, making round-over-round headline
@@ -52,13 +55,18 @@ from dns_log_transformer_spark.operators.caching import release_all  # noqa: E40
 from dns_log_transformer_spark.queries import ALL_QUERIES  # noqa: E402
 from dns_log_transformer_spark.session import get_spark  # noqa: E402
 
-METRIC = "sum of per-query min wall time (2 passes), all registered queries, noop sink"
+METRIC = "sum of per-query min wall time (3 passes), all registered queries, noop sink"
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # machine-contention evidence (VERDICT r10 #4): same-code headlines
+    # spanned ~30% across six r10 runs; recording the 1/5/15-min load
+    # averages at start AND end lets a later reader adjudicate whether a
+    # delta was the code or the machine
+    load_start = os.getloadavg()
     spark = get_spark("bench")
 
     only = [s for s in os.environ.get("SPARK_GRAFT_BENCH_FILTER", "").split(",") if s]
@@ -87,7 +95,9 @@ def main() -> None:
             ).save()
             release_all()
 
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # default 3 passes since r11: the r10 same-code band showed min-of-2
+    # still lets one contended pass pair inflate a row (VERDICT r10 #4)
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
     pass1: dict[str, float] = {}
     rows_out: dict[str, int] = {}
@@ -120,6 +130,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "pass1_total": pass1_total,
+        "passes": passes,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "n_cpus": os.cpu_count(),
         "queries": timings,
         "rows": rows_out,
         "sf": sf,

@@ -435,7 +435,9 @@ def _hx_le32(hx, pos):
     return _hx_le16(hx, pos) + _hx_le16(hx, pos + 2) * 65536
 
 
-def sniff_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def sniff_image_meta(
+    df: DataFrame, id_col: str = "doc_id", jpeg_steps: int = JPEG_WALK_STEPS
+) -> DataFrame:
     """(id, format, width, height, n_bytes) from raw payload bytes by
     magic-number sniff + per-format header parse — no image library:
 
@@ -482,14 +484,14 @@ def sniff_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # the k-th marker, _sof{k} whether it is a frame header. Non-JPEG
     # rows compute harmless garbage that the final CASE never reads.
     cur = cur.withColumn("_p0", F.lit(3).cast("long"))
-    for k in range(JPEG_WALK_STEPS):
+    for k in range(jpeg_steps):
         p = F.col(f"_p{k}")
         b1 = _hx_byte(hx, p + 1)
         cur = cur.withColumn(
             f"_sof{k}",
             (_hx_byte(hx, p) == 255) & (b1 >= 192) & (b1 <= 195),
         )
-        if k + 1 < JPEG_WALK_STEPS:
+        if k + 1 < jpeg_steps:
             cur = cur.withColumn(
                 f"_p{k + 1}",
                 F.when(F.col(f"_sof{k}"), p).otherwise(
@@ -499,13 +501,13 @@ def sniff_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     jpeg_h = F.coalesce(
         *[
             F.when(F.col(f"_sof{k}"), _hx_be16(hx, F.col(f"_p{k}") + 5))
-            for k in range(JPEG_WALK_STEPS)
+            for k in range(jpeg_steps)
         ]
     )
     jpeg_w = F.coalesce(
         *[
             F.when(F.col(f"_sof{k}"), _hx_be16(hx, F.col(f"_p{k}") + 7))
-            for k in range(JPEG_WALK_STEPS)
+            for k in range(jpeg_steps)
         ]
     )
 
@@ -554,8 +556,14 @@ def _hex_le16(c):
 
 
 def _hex_le32(c):
-    # fixture dims are < 2^16, so the two high bytes are zero
-    return F.concat(_hex_le16(c), F.lit("0000"))
+    # FULL 4-byte writer since the r11 constants audit (VERDICT r10 #8):
+    # the old "<2^16 dims" two-high-bytes-zero shortcut silently
+    # truncated larger values — the exact trap that corrupted the first
+    # cut of the r10 container fixture — and the full form writes
+    # identical bytes for everything the image fixture produces, so
+    # there is no truncating writer left for a future fixture edit to
+    # trip on
+    return F.concat(_hex_le16(c % 65536), _hex_le16(F.floor(c / 65536)))
 
 
 def synth_image_blob(
@@ -698,7 +706,13 @@ def _idiv(num, den):
     return ((num - num % den) / den).cast("long")
 
 
-def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def sniff_container_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    wav_steps: int = WAV_WALK_STEPS,
+    mp4_steps: int = MP4_WALK_STEPS,
+    moov_steps: int = MOOV_WALK_STEPS,
+) -> DataFrame:
     """(id, container, d1, d2, parsed, n_bytes, dur_us, v_w, v_h) from
     raw payload bytes — magic-number sniff + per-container header
     parse, no media library:
@@ -763,7 +777,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # byte); the walk does NOT freeze at 'fmt ' — it continues to the
     # 'data' chunk, whose declared size gives the duration.
     cur = cur.withColumn("_wp0", F.lit(13).cast("long"))
-    for k in range(WAV_WALK_STEPS):
+    for k in range(wav_steps):
         p = F.col(f"_wp{k}")
         cur = cur.withColumn(
             f"_wfmt{k}",
@@ -772,7 +786,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         cur = cur.withColumn(
             f"_wdat{k}", _hx_str4(hx, p) == "64617461"  # 'data'
         )
-        if k + 1 < WAV_WALK_STEPS:
+        if k + 1 < wav_steps:
             sz = _hx_le32(hx, p + 4)
             # clamp: on non-RIFF bytes the le32 "size" is garbage up to
             # 2^32-1, and an unclamped position overflows substring's
@@ -785,13 +799,13 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     wav_rate = F.coalesce(
         *[
             F.when(F.col(f"_wfmt{k}"), _hx_le32(hx, F.col(f"_wp{k}") + 12))
-            for k in range(WAV_WALK_STEPS)
+            for k in range(wav_steps)
         ]
     )
     wav_ch = F.coalesce(
         *[
             F.when(F.col(f"_wfmt{k}"), _hx_le16(hx, F.col(f"_wp{k}") + 10))
-            for k in range(WAV_WALK_STEPS)
+            for k in range(wav_steps)
         ]
     )
     # fmt body offset 8 = average byte rate (le32); 'data' declared
@@ -801,13 +815,13 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     wav_byte_rate = F.coalesce(
         *[
             F.when(F.col(f"_wfmt{k}"), _hx_le32(hx, F.col(f"_wp{k}") + 16))
-            for k in range(WAV_WALK_STEPS)
+            for k in range(wav_steps)
         ]
     )
     wav_data = F.coalesce(
         *[
             F.when(F.col(f"_wdat{k}"), _hx_le32(hx, F.col(f"_wp{k}") + 4))
-            for k in range(WAV_WALK_STEPS)
+            for k in range(wav_steps)
         ]
     )
     wav_dur_us = F.when(
@@ -850,7 +864,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # bounds the walk); size == 0 means the box extends to EOF (valid
     # only for the last box — counted, then the walk stops).
     cur = cur.withColumn("_bp0", F.lit(1).cast("long"))
-    for k in range(MP4_WALK_STEPS):
+    for k in range(mp4_steps):
         p = F.col(f"_bp{k}")
         sz32 = _hx_be32(hx, p)
         # 64-bit largesize: gate the high dword BEFORE any arithmetic —
@@ -874,7 +888,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             f"_bty{k}", F.when(ok, _hx_str4(hx, p + 4))
         )
         cur = cur.withColumn(f"_bsz{k}", F.when(ok, sz))
-        if k + 1 < MP4_WALK_STEPS:
+        if k + 1 < mp4_steps:
             # same clamp as the WAV walk: a garbage size of up to
             # 2^32-1 must not push the position past int range
             cur = cur.withColumn(
@@ -884,7 +898,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ),
             )
     mp4_boxes = sum(
-        F.col(f"_bok{k}").cast("long") for k in range(MP4_WALK_STEPS)
+        F.col(f"_bok{k}").cast("long") for k in range(mp4_steps)
     )
     # each term coalesces through when/otherwise: _bty{k} is NULL past
     # the last valid box, and a bare (NULL == 'moov') would poison the
@@ -893,13 +907,13 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     mp4_complete = (
         sum(
             F.when(F.col(f"_bty{k}") == "6D6F6F76", 1).otherwise(0)  # 'moov'
-            for k in range(MP4_WALK_STEPS)
+            for k in range(mp4_steps)
         )
         > 0
     ) & (
         sum(
             F.when(F.col(f"_bty{k}") == "6D646174", 1).otherwise(0)  # 'mdat'
-            for k in range(MP4_WALK_STEPS)
+            for k in range(mp4_steps)
         )
         > 0
     )
@@ -917,18 +931,18 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     mpos = F.coalesce(
         *[
             F.when(F.col(f"_bty{k}") == "6D6F6F76", F.col(f"_bp{k}"))
-            for k in range(MP4_WALK_STEPS)
+            for k in range(mp4_steps)
         ]
     )
     msz = F.coalesce(
         *[
             F.when(F.col(f"_bty{k}") == "6D6F6F76", F.col(f"_bsz{k}"))
-            for k in range(MP4_WALK_STEPS)
+            for k in range(mp4_steps)
         ]
     )
     cur = cur.withColumn("_mend", F.least(mpos + msz - 1, n_bytes))
     cur = cur.withColumn("_cp0", mpos + 8)
-    for k in range(MOOV_WALK_STEPS):
+    for k in range(moov_steps):
         cq = F.col(f"_cp{k}")
         csz = _hx_be32(hx, cq)
         # children never use largesize/to-EOF forms in practice; a
@@ -936,7 +950,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         cok = (cq + 7 <= F.col("_mend")) & (csz >= 8)
         cur = cur.withColumn(f"_cok{k}", cok)
         cur = cur.withColumn(f"_cty{k}", F.when(cok, _hx_str4(hx, cq + 4)))
-        if k + 1 < MOOV_WALK_STEPS:
+        if k + 1 < moov_steps:
             cur = cur.withColumn(
                 f"_cp{k + 1}",
                 F.when(cok, F.least(cq + csz, n_bytes + 8)).otherwise(
@@ -946,7 +960,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     mvq = F.coalesce(
         *[
             F.when(F.col(f"_cty{k}") == "6D766864", F.col(f"_cp{k}"))  # mvhd
-            for k in range(MOOV_WALK_STEPS)
+            for k in range(moov_steps)
         ]
     )
     mv_v1 = _hx_byte(hx, mvq + 8) == 1
@@ -966,7 +980,7 @@ def sniff_container_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # (universal muxer layout; anything else stays NULL):
     # v0 width at tkhd body offset 76, v1 at 88 (+12 for 64-bit times)
     tk_dims = []
-    for k in range(MOOV_WALK_STEPS):
+    for k in range(moov_steps):
         tq = F.col(f"_cp{k}") + 8  # candidate tkhd box position
         is_tk = (
             F.col(f"_cok{k}")
@@ -1022,12 +1036,11 @@ def _hex_le24(c):
 
 
 def _hex_le32f(c):
-    """FULL 4-byte little-endian writer — unlike the image fixture's
-    _hex_le32 (dims < 2^16 by construction there), container fields
-    (RIFF sizes, byte rates, VP8L bit-packs) exceed 2^16, and lpad's
-    silent truncation above that corrupted the first cut of this
-    fixture."""
-    return F.concat(_hex_le24(c), _hex2(F.floor(c / 16777216) % 256))
+    """Alias of :func:`_hex_le32`, retained from r10 when the image
+    writer truncated values >= 2^16 and containers needed a separate
+    full writer; since the r11 constants audit BOTH are the same full
+    4-byte little-endian writer (VERDICT r10 #8)."""
+    return _hex_le32(c)
 
 
 def synth_container_blob(

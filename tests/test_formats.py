@@ -412,6 +412,61 @@ def test_container_descent_on_real_world_headers(spark):
     }
 
 
+def test_moov_walk_depth_boundary_and_override(spark):
+    """Constants audit (VERDICT r10 #8): the moov-child walk depth is
+    pinned from BOTH sides — a trak at child index MOOV_WALK_STEPS - 1
+    parses dims, one past it stays loud-NULL — and the depth is a real
+    parameter: re-sniffing the too-deep layout with moov_steps + 1
+    parses it, so a future corpus with deeper moovs has a knob, not a
+    code change."""
+    import struct
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        MOOV_WALK_STEPS,
+        sniff_container_meta,
+    )
+
+    def box(fourcc, body=b""):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 600, 1200)
+               + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+               + b"\x00" * 10 + matrix + b"\x00" * 24
+               + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 8
+               + struct.pack(">III", 1, 0, 1200) + b"\x00" * 16 + matrix
+               + struct.pack(">II", 640 << 16, 480 << 16))
+    trak = box(b"trak", tkhd)
+
+    def mp4(n_fillers):
+        children = mvhd + box(b"udta", b"\x00" * 4) * n_fillers + trak
+        return (box(b"ftyp", b"isom\x00\x00\x00\x00")
+                + box(b"moov", children) + box(b"mdat", b"\x00" * 8))
+
+    # trak at child index MOOV_WALK_STEPS - 1: the LAST in-walk slot
+    at_edge = mp4(MOOV_WALK_STEPS - 2)
+    # one filler more pushes trak one past the walk: loud NULL dims
+    past_edge = mp4(MOOV_WALK_STEPS - 1)
+    df = spark.createDataFrame(
+        [(1, at_edge), (2, past_edge)], "doc_id long, blob binary"
+    )
+    got = {
+        r["doc_id"]: (r["dur_us"], r["v_w"], r["v_h"])
+        for r in sniff_container_meta(df).collect()
+    }
+    assert got == {1: (2_000_000, 640, 480), 2: (2_000_000, None, None)}
+
+    deeper = {
+        r["doc_id"]: (r["v_w"], r["v_h"])
+        for r in sniff_container_meta(
+            df, moov_steps=MOOV_WALK_STEPS + 1
+        ).collect()
+    }
+    assert deeper == {1: (640, 480), 2: (640, 480)}
+
+
 def test_container_walks_handle_random_layouts(spark):
     """Seeded fuzz for the container walks (the JPEG-walk fuzz
     discipline): random RIFF preface chunks (odd and even bodies,

@@ -32,6 +32,9 @@ from tests.test_oracle_parity import (  # noqa: E402
 
 
 def main() -> int:
+    import json
+    import time
+
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("parity_sweep")
     con = duckdb.connect()
@@ -41,9 +44,12 @@ def main() -> int:
         )
     oracles = entry_mod.oracle_sql()
     bad: list[tuple[str, str]] = []
+    timings: dict[str, float] = {}  # Spark-side wall per query (VERDICT r10 #7)
     for name, fn in sorted(entry_mod.queries().items()):
         try:
+            t0 = time.perf_counter()
             spdf = fn(spark, sf).toPandas()
+            timings[name] = round(time.perf_counter() - t0, 3)
             release_all()
             driver_canon(spdf, name)
             if name in oracles:
@@ -55,6 +61,17 @@ def main() -> int:
     print(f"{sf}: mismatches {len(bad)} / {len(entry_mod.queries())}")
     for n, m in bad:
         print(f"  {n} -> {m}")
+    # per-query sweep timings, slowest first — a merged home that
+    # quietly doubled its off-gate-fixture cost shows up here without a
+    # bench run; persisted so the round-end record can cite it
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    print("slowest sweep queries (spark wall, sec): "
+          + ", ".join(f"{n}={s}" for n, s in top))
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    with open(f"/root/repo/scratch/sweep_timings_{tag}.json", "w") as f:
+        json.dump({"sf_dir": sf, "total": round(sum(timings.values()), 3),
+                   "timings": timings}, f, indent=1, sort_keys=True)
+        f.write("\n")
     return 1 if bad else 0
 
 
