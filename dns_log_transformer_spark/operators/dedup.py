@@ -140,6 +140,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: pairs where the smaller doc's
+    shingle set is >= threshold contained in the other's —
+    containment = |A∩B| / min(|A|, |B|). This is the subset-duplication
+    detector symmetric Jaccard structurally misses: a verbatim quote,
+    a wrapped repost, or boilerplate-plus-payload keeps containment at
+    ~1.0 while J = I/(a+b-I) shrinks toward min/max with the size gap
+    (a doc fully inside one 4x its size has J ~ 0.25 — far below any
+    sane Jaccard threshold). Training-data pipelines run BOTH: Jaccard
+    for near-identical pages, containment for engulfed ones.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: inverted shingle
+    index (one shuffle on shingle, one on the pair key) with the
+    df_cap skew guard; the cap drops corpus-hot shingles from the
+    intersection count on BOTH engines identically, so containment is
+    a deterministic lower bound, never an engine-divergent one.
+
+    Output: (doc_a, doc_b, n_common, containment, jaccard) with
+    containment >= threshold; jaccard rides along so the
+    Jaccard-missed subset is visible per pair.
+    """
+    sh = with_shingles(df, id_col, text_col, n)
+    posting = sh.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
+    posting = persist_tracked(posting)  # two consumers: df-cap agg + pair join
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    posting = posting.join(rare, "shingle")
+    a = posting.select(
+        F.col("shingle"),
+        F.col(id_col).alias("doc_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = posting.select(
+        F.col("shingle"),
+        F.col(id_col).alias("doc_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    contained = F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a")).otherwise(
+        F.col("doc_b")
+    )
+    return (
+        common.withColumn("containment", F.round(cont, 4))
+        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("contained_doc", contained)  # the curation drop-side
+        .filter(cont >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_common", "containment", "jaccard",
+            "contained_doc",
+        )
+    )
+
+
 def boilerplate_scores(
     df: DataFrame,
     id_col: str = "doc_id",

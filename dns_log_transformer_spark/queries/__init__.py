@@ -22,6 +22,7 @@ from dns_log_transformer_spark.queries import round7  # noqa: E402,F401
 from dns_log_transformer_spark.queries import round8  # noqa: E402,F401
 from dns_log_transformer_spark.queries import round9  # noqa: E402,F401
 from dns_log_transformer_spark.queries import round10  # noqa: E402,F401
+from dns_log_transformer_spark.queries import round11  # noqa: E402,F401
 
 # The external correctness harness checks the first 50 registered
 # queries in iteration order. Since round 7 that window is DERIVED, not

@@ -163,3 +163,37 @@ def test_fingerprint_keeps_zero_token_docs(spark, monkeypatch):
         for r in llm_ops.text_fingerprint(spark, "unused").collect()
     }
     assert fps[2] == fps[3], "normalized-empty docs must share a fingerprint"
+
+
+def test_containment_catches_engulfed_doc_jaccard_misses(spark):
+    """The asymmetric regime the fixture corpus never produces (its
+    dups are near-identical, so every containment pair there is also
+    high-Jaccard): a small doc embedded VERBATIM inside one ~5x its
+    size must surface with containment 1.0 while its Jaccard sits far
+    below the 0.6 dedup_ngram_jaccard threshold — and the contained_doc
+    column must name the engulfed (smaller) side."""
+    from dns_log_transformer_spark.operators import dedup
+
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    host = (
+        "zulu yankee xray whiskey victor uniform tango sierra "
+        + quote
+        + " romeo quebec papa oscar november mike lima kilo juliett "
+        "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk lll mmm nnn "
+        "ooo ppp qqq rrr sss ttt uuu vvv www one two three four five"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, "totally unrelated words here only")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["containment"], r["jaccard"], r["contained_doc"]
+        )
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    cont, jac, contained = got[(1, 2)]
+    assert cont == 1.0
+    assert jac < 0.6  # the Jaccard detector would have MISSED this pair
+    assert contained == 1
