@@ -1071,3 +1071,93 @@ def bpe_apply_stats(
         )
         out = out.withColumn("merges_csv", F.lit(csv))
     return out
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+    max_words: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k RAKE keyphrases (Rose et al. 2010): candidate
+    phrases are maximal runs of non-stopword tokens (gaps-and-islands
+    on token position), each word scores degree/frequency over the
+    corpus-wide candidate occurrences (degree = sum of host-phrase
+    lengths), and a phrase scores the sum of its words' scores.
+
+    Determinism discipline: the word score is kept in the INTEGER
+    domain — wscore_milli = (1000 * degree) div freq, computed as
+    (a - a % b) / b (exact at any magnitude, where floor(a/b) on
+    doubles can cross an integer boundary) — so the phrase score is an
+    order-independent integer sum and the oracle hash cannot drift on
+    float fold order. Ties in the top-k window break on phrase text.
+
+    Shape at scale: posexplode rides the scan; ONE shuffle on the doc
+    id serves the islands window AND both per-(doc, run) aggregations
+    (hash partitioning on a prefix of the grouping key satisfies the
+    clustered distribution); word stats are one vocabulary-keyed
+    aggregation joined back on the word (vocabulary-sized dimension,
+    shuffle join — at corpus scale the candidate vocabulary outgrows
+    any broadcast). Phrases longer than ``max_words`` are dropped (the
+    standard RAKE guard against run-on garbage; stopword-free walls of
+    text are quality problems, not keyphrases).
+
+    Output: (id_col, phrase, n_words, score_milli, rk), rk 1..k.
+    """
+    toks = (
+        rebalance_for_fanout(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    rn = Window.partitionBy(id_col).orderBy("pos")
+    ns = toks.filter(~F.col("w").isin(*stopwords)).withColumn(
+        "grp", F.col("pos") - F.row_number().over(rn)
+    )
+    ph = (
+        ns.groupBy(id_col, "grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ).alias("ws"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_words)
+        .withColumn("phrase", F.array_join("ws", " "))
+    )
+    ph = persist_tracked(ph)  # two consumers: occurrence rows + text join
+    occ = ph.select(id_col, "grp", "n_words", F.explode("ws").alias("w"))
+    occ = persist_tracked(occ)  # two consumers: word stats + phrase score
+    deg1000 = F.sum("n_words") * 1000
+    wsc = occ.groupBy("w").agg(
+        (
+            (deg1000 - deg1000 % F.count(F.lit(1))) / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("wscore")
+    )
+    psc = (
+        occ.join(wsc, "w")
+        .groupBy(id_col, "grp")
+        .agg(F.sum("wscore").cast("long").alias("score_milli"))
+    )
+    pp = (
+        ph.join(psc, [id_col, "grp"])
+        .select(id_col, "phrase", "n_words", "score_milli")
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_milli"), F.asc("phrase")
+    )
+    return (
+        pp.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "phrase", "n_words", "score_milli", "rk")
+    )

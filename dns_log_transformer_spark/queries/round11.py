@@ -58,3 +58,67 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = table(spark, sf, "documents")
     return dedup.containment_pairs(docs, threshold=0.8, df_cap=100)
+
+
+def _rake_oracle() -> str:
+    from dns_log_transformer_spark.operators.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE trim(text) IS NOT NULL AND trim(text) <> ''),
+    toks AS (
+      SELECT doc_id, u.p[2] AS w, CAST(u.p[1] AS BIGINT) AS pos
+      FROM (SELECT doc_id, unnest(list_zip(range(1, len(ws) + 1), ws)) AS p
+            FROM base) u
+      WHERE u.p[2] <> ''),
+    ns AS (
+      SELECT doc_id, w, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM toks WHERE w NOT IN ({sw})),
+    ph AS (
+      SELECT doc_id, grp, list(w ORDER BY pos) AS ws2,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM ns GROUP BY 1, 2),
+    phf AS (
+      SELECT doc_id, grp, array_to_string(ws2, ' ') AS phrase, n_words, ws2
+      FROM ph WHERE n_words <= 8),
+    occ AS (SELECT doc_id, grp, n_words, unnest(ws2) AS w FROM phf),
+    wstat AS (
+      SELECT w, COUNT(*) AS freq, SUM(n_words) AS degree FROM occ GROUP BY 1),
+    wsc AS (SELECT w, (1000 * degree) // freq AS wscore FROM wstat),
+    psc AS (
+      SELECT o.doc_id, o.grp, CAST(SUM(wscore) AS BIGINT) AS score_milli
+      FROM occ o JOIN wsc USING (w) GROUP BY 1, 2),
+    pp AS (
+      SELECT DISTINCT p.doc_id, p.phrase, p.n_words, s.score_milli
+      FROM phf p JOIN psc s ON s.doc_id = p.doc_id AND s.grp = p.grp),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score_milli DESC, phrase) AS BIGINT) AS rk
+      FROM pp)
+    SELECT doc_id, phrase, n_words, score_milli, rk
+    FROM ranked WHERE rk <= 3
+    """
+
+
+@register("text_rake_keyphrases", oracle=_rake_oracle())
+def text_rake_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 RAKE keyphrases per document — the classic unsupervised
+    keyphrase extractor (candidate phrases = maximal non-stopword runs;
+    word score = corpus degree/frequency; phrase score = sum of member
+    word scores), complementing tf-idf's single-term salience with
+    multi-word phrases. Scores live in the integer-milli domain
+    ((1000 * degree) div freq per word) so the cross-engine hash cannot
+    drift on float fold order; ties break on phrase text.
+
+    Scale shape (operators/text.py rake_keyphrases): one doc-id shuffle
+    shared by the islands window and both per-run aggregations, one
+    vocabulary-keyed word-stats aggregation joined back on the word,
+    top-k window partitioned by doc id.
+    """
+    from dns_log_transformer_spark.operators import text
+
+    docs = table(spark, sf, "documents")
+    return text.rake_keyphrases(docs, max_words=8, k=3)

@@ -197,3 +197,34 @@ def test_containment_catches_engulfed_doc_jaccard_misses(spark):
     assert cont == 1.0
     assert jac < 0.6  # the Jaccard detector would have MISSED this pair
     assert contained == 1
+
+
+def test_rake_scores_are_exact_on_known_corpus(spark):
+    """RAKE arithmetic pinned end-to-end on a hand-computed corpus:
+    phrases split at stopwords, word score = (1000 * degree) div freq
+    over corpus-wide candidate occurrences (degree counts the host
+    phrase's length per occurrence), phrase score = integer sum of
+    member word scores. freq: quick=3 brown=2 fox=2 lazy=1 dog=1;
+    degree: quick=7 brown=6 fox=6 lazy=2 dog=2."""
+    from dns_log_transformer_spark.operators.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and lazy dog"),
+            (2, "quick brown fox is quick"),
+            (3, "the and of"),  # all stopwords: no candidate phrases
+            (4, None),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rk"]): (r["phrase"], r["n_words"], r["score_milli"])
+        for r in rake_keyphrases(df).collect()
+    }
+    assert got == {
+        (1, 1): ("quick brown fox", 3, 2333 + 3000 + 3000),
+        (1, 2): ("lazy dog", 2, 2000 + 2000),
+        (2, 1): ("quick brown fox", 3, 8333),
+        (2, 2): ("quick", 1, 2333),
+    }
