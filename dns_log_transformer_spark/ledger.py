@@ -231,17 +231,22 @@ def audit(
     return out
 
 
-def snapshot_hashes(repo_root: str = REPO_ROOT) -> list[str]:
+def snapshot_hashes(
+    repo_root: str = REPO_ROOT, queries: dict | None = None
+) -> list[str]:
     """Refresh ATTEST_HASHES.json from the latest driver round — run at
     ROUND START, before touching any query code, so the hashes recorded
     are exactly the source the just-landed CORRECTNESS file attested.
     For every query green in the LATEST round, the snapshot entry is
     advanced to (that round, current source hash); other entries are
-    left as they were. Returns the names whose entry was updated."""
-    from dns_log_transformer_spark.queries import ALL_QUERIES
+    left as they were. Idempotent: a re-run in the same round is a
+    no-op. Returns the names whose entry was updated."""
+    if queries is None:
+        from dns_log_transformer_spark.queries import ALL_QUERIES
 
+        queries = ALL_QUERIES
     latest, current = load_ledger(repo_root)
-    cur = current_source_hashes(ALL_QUERIES)
+    cur = current_source_hashes(queries)
     path = os.path.join(repo_root, HASH_FILE)
     data: dict[str, dict] = {}
     if os.path.exists(path):

@@ -192,3 +192,50 @@ def test_attest_report_builds():
     # never-attested queries must all sit inside the window (the other
     # ledger test's rule, restated through the report)
     assert all(r["window"] for r in rows if not r["latest_green"])
+
+
+def test_snapshot_hashes_advances_only_latest_round_greens(tmp_path):
+    """The round-start snapshot flow: only queries green in the LATEST
+    driver round advance to (that round, current hash); older entries
+    and never-green queries are untouched; a re-run is a no-op."""
+    import json
+
+    from dataclasses import dataclass
+
+    from dns_log_transformer_spark.ledger import (
+        load_attested_hashes,
+        snapshot_hashes,
+        source_hash,
+    )
+
+    @dataclass(frozen=True)
+    class Q:
+        fn: object
+        oracle: str | None
+
+    def f_a(spark, sf):  # pragma: no cover - hashed, never run
+        return 1
+
+    def f_b(spark, sf):  # pragma: no cover
+        return 2
+
+    queries = {"q_a": Q(fn=f_a, oracle="SELECT 1"),
+               "q_b": Q(fn=f_b, oracle=None)}
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    with open(tmp_path / "CORRECTNESS_r01.json", "w") as f:
+        json.dump({"q_b": green}, f)
+    with open(tmp_path / "CORRECTNESS_r02.json", "w") as f:
+        json.dump({"q_a": green}, f)
+    # pre-existing snapshot entry for q_b from its r01 attestation
+    with open(tmp_path / "ATTEST_HASHES.json", "w") as f:
+        json.dump({"q_b": {"round": 1, "hash": "old-b-hash"}}, f)
+
+    updated = snapshot_hashes(repo_root=str(tmp_path), queries=queries)
+    assert updated == ["q_a"]  # green in r02 (latest); q_b stays r01
+    snap = load_attested_hashes(str(tmp_path))
+    assert snap["q_a"] == source_hash(queries["q_a"])
+    assert snap["q_b"] == "old-b-hash"  # NOT silently refreshed
+
+    # idempotent within the round
+    assert snapshot_hashes(repo_root=str(tmp_path), queries=queries) == []
