@@ -158,7 +158,11 @@ def test_bench_harness_smoke(spark):
     detail = json.loads(lines[-2])
     assert set(detail) == {
         "metric", "value", "unit", "pass1_total", "queries", "rows", "sf",
+        # r11 contention-adjudication fields (VERDICT r10 #4)
+        "passes", "loadavg_start", "loadavg_end", "n_cpus",
     }
+    assert len(detail["loadavg_start"]) == 3
+    assert len(detail["loadavg_end"]) == 3
     assert set(detail["queries"]) == {"q1_pricing_summary", "dedup_exact"}
     assert detail["value"] == summary["value"]
     # headline = min-of-passes sum; pass-1 sum rides along for cold cost
