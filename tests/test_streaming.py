@@ -2115,3 +2115,77 @@ def test_neardup_occupancy_survives_replayed_bucket_rows(spark, tmp_path):
         for r in read_pairs_reconciled(spark, table, bucket_cap=4).collect()
     }
     assert recon2 == expect, f"in-flight replay broke the index: {recon2}"
+
+
+def test_compact_store_preserves_content_and_fence(spark, tmp_path):
+    """Offline small-file compaction (streaming/compact.py) — the
+    measured mitigation for the sinks' only per-batch growth term
+    (file accumulation in touched partitions, PLANS.md r11 curve):
+    after compacting a multi-batch winnow store every partition holds
+    ONE file and read_spans is row-identical; on an mv store the
+    _FENCE json and _base fold dir survive the swap and read_mv is
+    unchanged; a leftover .old from a crashed compaction refuses
+    loudly instead of guessing."""
+    import glob
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from dns_log_transformer_spark.streaming.compact import (
+        compact_partitioned_table,
+        compact_store,
+    )
+    from dns_log_transformer_spark.streaming.mv_sink import (
+        compact_mv,
+        merge_epoch,
+        read_mv,
+    )
+    from dns_log_transformer_spark.streaming.winnow_index import (
+        merge_docs_batch,
+        read_spans,
+    )
+
+    # --- winnow store over 3 batches (shared text so spans exist)
+    wtab = str(tmp_path / "winnow")
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    for b in range(3):
+        rows = [
+            (b * 10 + i, f"doc {b} {i} prefix {boiler} suffix {b}-{i}")
+            for i in range(5)
+        ]
+        merge_docs_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), wtab
+        )
+    pre = sorted(tuple(r) for r in read_spans(spark, wtab).collect())
+    assert pre, "fixture produced no shared spans"
+    res = compact_store(spark, wtab)
+    assert set(res) == {"anchors", "fpagg", "spans"}
+    post = sorted(tuple(r) for r in read_spans(spark, wtab).collect())
+    assert post == pre
+    for sub in res:
+        for part in glob.glob(f"{wtab}/{sub}/*=*"):
+            assert len(glob.glob(f"{part}/*.parquet")) == 1
+
+    # --- mv store: fold, then one live epoch, then file-compaction
+    mtab = str(tmp_path / "mv")
+    facts = spark.createDataFrame(
+        [(k % 7, k) for k in range(100)], "k long, v long"
+    )
+    for e in range(3):
+        merge_epoch(facts, e, mtab, "k", "v")
+    compact_mv(spark, mtab)  # creates _FENCE + _base_e2
+    merge_epoch(facts, 3, mtab, "k", "v")  # live partial above the fence
+    pre_mv = sorted(tuple(r) for r in read_mv(spark, mtab).collect())
+    assert compact_partitioned_table(spark, mtab) == 1  # _epoch=3
+    assert os.path.exists(os.path.join(mtab, "_FENCE"))
+    with open(os.path.join(mtab, "_FENCE")) as f:
+        base = json.load(f)["base"]
+    assert os.path.isdir(os.path.join(mtab, base))
+    post_mv = sorted(tuple(r) for r in read_mv(spark, mtab).collect())
+    assert post_mv == pre_mv
+
+    # --- crashed-compaction leftover refuses
+    os.mkdir(mtab + ".old")
+    with _pytest.raises(AssertionError, match="crashed compaction"):
+        compact_partitioned_table(spark, mtab)
