@@ -52,7 +52,12 @@ HASH_FILE = "ATTEST_HASHES.json"
 
 def source_hash(q) -> str:
     """sha256 over the query fn's source + its oracle SQL. Conservative
-    by design: comment/docstring edits re-trigger attestation too."""
+    by design: comment/docstring edits re-trigger attestation too.
+    Known limit: the hash does NOT cover the transitive closure — an
+    operator edited under an unchanged query fn slips through, so a
+    round that touches operators/ must sentinel the queries built on
+    them (the r11 bootstrap did this for the census homes); the pytest
+    parity suite remains the backstop that sees every operator change."""
     try:
         src = inspect.getsource(q.fn)
     except (OSError, TypeError):  # builtins/interactive defs: no source
