@@ -584,3 +584,59 @@ def test_container_walks_handle_random_layouts(spark):
         for r in sniff_container_meta(df).collect()
     }
     assert got == want
+
+
+def test_hex_readers_match_struct_semantics(spark):
+    """The r11 one-conv readers (be16/be32/le16/le32) must be
+    bit-equal to Python int.from_bytes over random payloads at random
+    positions INCLUDING reads that run past the payload end, where the
+    contract is zero-fill at the TAIL (a missing trailing byte reads as
+    0) — the lpad-guard semantics every walk clamp and truncation test
+    was built on. Guards the reader-rewrite class: a future 'faster
+    read' that flips to head-fill would corrupt every truncation
+    regime at once."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        _hx_be16,
+        _hx_be32,
+        _hx_le16,
+        _hx_le32,
+    )
+
+    rng = random.Random(0x5EED)
+    rows = []
+    for i in range(40):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 24)))
+        pos = rng.randrange(1, 28)  # 1-indexed, may run past the end
+        rows.append((i, blob, pos))
+
+    def py_read(blob, pos, n, order):
+        # tail-zero-fill: take what exists from pos, pad with zeros
+        chunk = blob[pos - 1 : pos - 1 + n]
+        chunk = chunk + b"\x00" * (n - len(chunk))
+        return int.from_bytes(chunk, order)
+
+    df = spark.createDataFrame(rows, "i long, blob binary, pos int").select(
+        "i", "pos", F.hex("blob").alias("hx")
+    )
+    got = {
+        r["i"]: (r["b16"], r["b32"], r["l16"], r["l32"])
+        for r in df.select(
+            "i",
+            _hx_be16(F.col("hx"), F.col("pos")).alias("b16"),
+            _hx_be32(F.col("hx"), F.col("pos")).alias("b32"),
+            _hx_le16(F.col("hx"), F.col("pos")).alias("l16"),
+            _hx_le32(F.col("hx"), F.col("pos")).alias("l32"),
+        ).collect()
+    }
+    for i, blob, pos in rows:
+        want = (
+            py_read(blob, pos, 2, "big"),
+            py_read(blob, pos, 4, "big"),
+            py_read(blob, pos, 2, "little"),
+            py_read(blob, pos, 4, "little"),
+        )
+        assert got[i] == want, (i, blob.hex(), pos, got[i], want)
