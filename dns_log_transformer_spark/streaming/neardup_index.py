@@ -51,7 +51,10 @@ Same honesty caveat as cdc_sink: parquet appends are not transactional
 across the three tables; a transactional format is the production
 wrapper. Sizing: ``n_buckets`` bounds the partition fan-out — size it
 so a typical batch touches a small fraction (thousands at 100 TB;
-the default 16 is fixture-scaled).
+the default 16 is fixture-scaled). The residual drift from parquet
+file accumulation inside touched partitions is reset offline by
+``streaming.compact.compact_store`` (measured on the winnow twin:
+4759 -> 48 files, probe 14.2 -> 1.8 s — PLANS.md r11).
 """
 
 from __future__ import annotations

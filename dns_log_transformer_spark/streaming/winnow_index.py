@@ -55,7 +55,13 @@ transactional; a transactional table format is the production wrapper.
 Sizing: ``n_buckets`` bounds the partition fan-out of all three tables
 — size it so a typical batch touches a small fraction (thousands at
 100 TB; the default 16 is fixture-scaled, same note as the near-dup
-sink).
+sink). The only per-batch cost that grows with store age is parquet
+FILE accumulation inside touched partitions (measured: an identical
+500-doc probe drifted 9.4 -> 14.2 s over ~11 batches to a 50k-doc
+index, and a 4x-bucket control made it slower still — files, not
+rows); ``streaming.compact.compact_store`` resets it offline
+(4759 -> 48 files, probe back to ~1.8 s, spans row-identical —
+PLANS.md r11).
 """
 
 from __future__ import annotations

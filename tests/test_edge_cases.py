@@ -24,6 +24,13 @@ def test_dedup_ops_on_empty_input(spark):
     assert dedup.minhash_lsh_pairs(empty).count() == 0
     assert dedup.simhash_pairs(empty).count() == 0
     assert dedup.exact_dup_groups(empty).count() == 0
+    assert dedup.containment_pairs(empty).count() == 0
+
+
+def test_rake_on_empty_input(spark):
+    from dns_log_transformer_spark.operators.text import rake_keyphrases
+
+    assert rake_keyphrases(_empty_docs(spark)).count() == 0
 
 
 def test_kmeans_more_cells_than_rows(spark):
