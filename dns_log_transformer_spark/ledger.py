@@ -218,7 +218,15 @@ def audit(
     latest, current = load_ledger(repo_root)
     snapshot = load_attested_hashes(repo_root) if source_hashes else {}
     if source_hashes is not None and not snapshot:
-        source_hashes = None  # same degrade as pack_window
+        # same degrade as pack_window — and the same WARNING (ADVICE r11):
+        # an operator auditing a partial checkout must see that
+        # content-keyed freshness was silently disabled
+        warnings.warn(
+            f"no {HASH_FILE} snapshot under {repo_root}; "
+            "auditing with time-only attestation freshness",
+            stacklevel=2,
+        )
+        source_hashes = None
     window = set(registered[:WINDOW_SIZE])
     out: dict[str, list[str]] = {"fresh": [], "scheduled": [], "violations": []}
     floor = current - FRESHNESS_ROUNDS + 1

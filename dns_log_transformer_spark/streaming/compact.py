@@ -62,10 +62,14 @@ def compact_partitioned_table(spark: SparkSession, table_path: str) -> int:
     if col is None:
         return 0
     old = table_path.rstrip("/") + ".old"
-    assert not os.path.exists(old), (
-        f"leftover {old} from a crashed compaction — recover it "
-        "(rename back or delete) before compacting again"
-    )
+    if os.path.exists(old):
+        # explicit raise, not assert: an assert is compiled out under
+        # `python -O`, silently re-running compaction next to a crashed
+        # one — the exact guessing this guard exists to refuse (ADVICE r11)
+        raise FileExistsError(
+            f"leftover {old} from a crashed compaction — recover it "
+            "(rename back or delete) before compacting again"
+        )
     tmp = table_path.rstrip("/") + ".compact"
     shutil.rmtree(tmp, ignore_errors=True)
     df = spark.read.parquet(table_path)
@@ -83,11 +87,23 @@ def compact_partitioned_table(spark: SparkSession, table_path: str) -> int:
     # sink's _FENCE json and _base_eN fold dirs live NEXT to its
     # _epoch= partials; Spark's read ignores underscore entries, so the
     # rewrite above does not contain them and a bare swap would drop
-    # them)
+    # them). COPY into tmp BEFORE the swap (ADVICE r11): the old
+    # rename-out-of-live order opened a window where a crash left the
+    # LIVE store fence-less with no `.old` marker — outside both the
+    # one-rename recovery story and the leftover-.old refusal guard.
+    # With copy-then-swap, every crash point keeps a complete store: a
+    # crash mid-copy leaves the live store untouched (rerun compacts
+    # afresh; tmp is cleared on entry), and a crash between the renames
+    # leaves `.old` complete — recovery stays one rename.
     for e in os.listdir(table_path):
         if e.startswith(f"{col}=") or e == "_SUCCESS" or e.endswith(".crc"):
             continue
-        os.rename(os.path.join(table_path, e), os.path.join(tmp, e))
+        src = os.path.join(table_path, e)
+        dst = os.path.join(tmp, e)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy2(src, dst)
     os.rename(table_path, old)
     os.rename(tmp, table_path)  # crash between these: recover from .old
     shutil.rmtree(old, ignore_errors=True)

@@ -2185,7 +2185,8 @@ def test_compact_store_preserves_content_and_fence(spark, tmp_path):
     post_mv = sorted(tuple(r) for r in read_mv(spark, mtab).collect())
     assert post_mv == pre_mv
 
-    # --- crashed-compaction leftover refuses
+    # --- crashed-compaction leftover refuses — as a REAL exception, not
+    # an assert (which `python -O` compiles out; ADVICE r11)
     os.mkdir(mtab + ".old")
-    with _pytest.raises(AssertionError, match="crashed compaction"):
+    with _pytest.raises(FileExistsError, match="crashed compaction"):
         compact_partitioned_table(spark, mtab)
