@@ -57,6 +57,84 @@ def assert_filter_pushed(df: DataFrame, fragment: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Codegen compile check (VERDICT r11 #1)
+# ---------------------------------------------------------------------------
+
+
+def codegen_stats(df: DataFrame) -> list[tuple[str, int, int, int]]:
+    """Per-WholeStageCodegen-subtree bytecode stats, compiled NOW:
+    ``[(subtree header, max_method_bytecode, max_constant_pool,
+    n_inner_classes)]``.
+
+    Backed by Spark's own ``QueryExecution.debug.codegenToSeq`` (the
+    `debugCodegen` machinery), which runs every subtree of the current
+    physical plan — AQE-aware, final plan after execution — through the
+    SAME ``CodeGenerator.compile`` the executor uses, returning
+    ``ByteCodeStats.UNAVAILABLE`` (all ``-1``) when Janino refuses the
+    source. Cheap on an already-executed DataFrame: successful compiles
+    are served from the codegen cache; only failures recompile.
+    """
+    seq = df._jdf.queryExecution().debug().codegenToSeq()
+    out = []
+    for i in range(seq.size()):
+        t = seq.apply(i)
+        stats = t._3()
+        out.append(
+            (
+                t._1().splitlines()[0][:120],
+                stats.maxMethodCodeSize(),
+                stats.maxConstPoolSize(),
+                stats.numInnerClasses(),
+            )
+        )
+    return out
+
+
+def codegen_lint(df: DataFrame) -> list[str]:
+    """Violations for the SILENT interpreted-codegen fallback class.
+
+    The r11 container census pushed one generated ``doConsume`` past
+    Janino's 64 KB method limit; ``WholeStageCodegenExec.doExecute``
+    caught the compile failure and fell back to interpreted execution
+    (~10x slower) with nothing but an executor-log ``ERROR
+    CodeGenerator`` — invisible to the bench's min-of-passes, to
+    pytest, and to :func:`scale_lint` (which inspects plan *shape*,
+    not whether the generated code compiled). This check makes the
+    class mechanical: it fails when any WholeStageCodegen subtree
+
+    - does not compile at all (``maxMethodCodeSize == -1`` — the exact
+      runtime-fallback condition), or
+    - compiles with a method larger than ``spark.sql.codegen.
+      hugeMethodLimit`` (the OTHER runtime-fallback branch in
+      ``doExecute``: Spark discards the compiled stage and runs the
+      child interpreted when the biggest method exceeds the limit).
+
+    Empty list = every generated stage actually executes compiled.
+
+    Call AFTER executing the DataFrame: under AQE the codegen-wrapped
+    subtrees exist only on materialized query stages, so an unexecuted
+    shuffle-bearing plan reports no subtrees (vacuously clean).
+    """
+    limit = int(
+        df.sparkSession.conf.get("spark.sql.codegen.hugeMethodLimit", "65535")
+    )
+    out: list[str] = []
+    for header, max_method, _pool, _inner in codegen_stats(df):
+        if max_method < 0:
+            out.append(
+                "WholeStageCodegen subtree does not compile (Janino "
+                f"refused — runtime falls back to INTERPRETED): {header!r}"
+            )
+        elif max_method > limit:
+            out.append(
+                f"WholeStageCodegen method of {max_method} bytecodes "
+                f"exceeds hugeMethodLimit {limit} (runtime discards the "
+                f"compiled stage): {header!r}"
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Registry-wide scale lint
 # ---------------------------------------------------------------------------
 

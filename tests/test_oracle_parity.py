@@ -151,6 +151,12 @@ def test_query_parity(spark, duck, name):
         allow_row_python=name in ROW_PYTHON_DOCUMENTED,
     )
     assert not violations, f"{name}: scale lint: {violations}"
+    # codegen compile lint (VERDICT r11 #1): the silent interpreted
+    # fallback (Janino 64 KB / hugeMethodLimit) fails LOUDLY here for
+    # every registered query — post-execution the plan is AQE-final and
+    # successful compiles are codegen-cache hits, so this is ~free
+    cg = plans.codegen_lint(sdf)
+    assert not cg, f"{name}: codegen lint: {cg}"
     if name not in ORACLES:
         # rows-only contract: runs and yields a stable schema
         assert spark_pdf is not None

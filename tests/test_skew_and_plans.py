@@ -431,6 +431,54 @@ def test_scale_lint_bnlj_gated_by_allowlist(spark):
     assert plans.scale_lint(df, allow_bnlj=True) == []
 
 
+def test_codegen_lint_flags_janino_blowout(spark):
+    """THE r11 failure class, reproduced deliberately (VERDICT r11 #1):
+    an overwide single projection — a coalesce over 1500 conditional
+    byte reads, the container-census shape — generates a doConsume past
+    Janino's 64 KB method limit. Spark runs it anyway (interpreted
+    fallback, ~10x, nothing but an executor-log ERROR CodeGenerator);
+    the lint must flag it mechanically."""
+    df = spark.range(50).select(F.md5(F.col("id").cast("string")).alias("hx"))
+    terms = [
+        F.when(
+            F.substring("hx", i % 16 + 1, 2) == format(i % 256, "02x"),
+            F.conv(F.substring("hx", i % 20 + 1, 4), 16, 10).cast("long"),
+        )
+        for i in range(1500)
+    ]
+    wide = df.select(F.coalesce(*terms).alias("v"))
+    # the fallback is SILENT: the query still runs and returns rows
+    assert wide.count() == 50
+    v = plans.codegen_lint(wide)
+    assert v and "INTERPRETED" in v[0], v
+    stats = plans.codegen_stats(wide)
+    assert any(m == -1 for _, m, _, _ in stats), stats
+
+
+def test_codegen_lint_clean_on_compiled_plan(spark):
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    df.collect()
+    assert plans.codegen_lint(df) == []
+    stats = plans.codegen_stats(df)
+    assert stats and all(m > 0 for _, m, _, _ in stats), stats
+
+
+def test_codegen_lint_flags_huge_method_limit(spark):
+    """The OTHER runtime-fallback branch: a stage that compiles but
+    whose biggest method exceeds spark.sql.codegen.hugeMethodLimit is
+    discarded at runtime. Pin by lowering the limit under a plan whose
+    method sizes are known-small."""
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    df.collect()  # AQE: codegen subtrees exist only on the executed plan
+    old = spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535")
+    try:
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "50")
+        v = plans.codegen_lint(df)
+        assert v and "hugeMethodLimit" in v[0], v
+    finally:
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", old)
+
+
 def test_merged_home_plan_claims(spark):
     """The r10 consolidation docstrings make explicit plan claims —
     pin them: emb_vector_codes chains its three encoders over ONE scan
