@@ -88,20 +88,25 @@ def with_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def shingle_pair_counts(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    threshold: float = 0.6,
     df_cap: int = 100,
 ) -> DataFrame:
-    """Exact Jaccard >= threshold pairs via inverted index:
+    """The shared inverted-index stage of every set-overlap dedup here
+    (VERDICT r11 #4 — was duplicated across the Jaccard and containment
+    operators): (doc_a, doc_b, n_a, n_b, n_common) for every unordered
+    pair sharing at least one sufficiently-rare shingle.
 
     shingle-explode -> document-frequency cap (drop shingles in > df_cap
-    docs: they contribute little to Jaccard but dominate join fan-out —
-    the skew guard) -> self-join on shingle -> count common -> Jaccard
-    from |A|,|B|,|A∩B|. One shuffle on shingle, one on the pair key.
+    docs: they contribute little to any overlap metric but dominate join
+    fan-out — the skew guard; fan-out per surviving shingle is bounded
+    at df_cap^2) -> self-join on shingle -> count common. One shuffle on
+    the shingle key, one on the pair key. Every overlap metric —
+    Jaccard I/(a+b-I), containment I/min(a,b), dice 2I/(a+b) — is a
+    post-hoc projection over this frame.
     """
     sh = with_shingles(df, id_col, text_col, n)
     posting = sh.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
@@ -126,12 +131,25 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_b"),
         F.col("n_shingles").alias("n_b"),
     )
-    common = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs over the shared inverted-index
+    stage (:func:`shingle_pair_counts`): Jaccard from |A|,|B|,|A∩B|."""
+    common = shingle_pair_counts(df, id_col, text_col, n, df_cap)
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         common.withColumn("jaccard", F.round(jac, 4))
@@ -158,9 +176,10 @@ def containment_pairs(
     sane Jaccard threshold). Training-data pipelines run BOTH: Jaccard
     for near-identical pages, containment for engulfed ones.
 
-    Same scale shape as :func:`ngram_jaccard_pairs`: inverted shingle
-    index (one shuffle on shingle, one on the pair key) with the
-    df_cap skew guard; the cap drops corpus-hot shingles from the
+    Same scale shape as :func:`ngram_jaccard_pairs` — since r12 they
+    share the stage itself (:func:`shingle_pair_counts`): inverted
+    shingle index (one shuffle on shingle, one on the pair key) with
+    the df_cap skew guard; the cap drops corpus-hot shingles from the
     intersection count on BOTH engines identically, so containment is
     a deterministic lower bound, never an engine-divergent one.
 
@@ -168,32 +187,7 @@ def containment_pairs(
     containment >= threshold; jaccard rides along so the
     Jaccard-missed subset is visible per pair.
     """
-    sh = with_shingles(df, id_col, text_col, n)
-    posting = sh.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
-    posting = persist_tracked(posting)  # two consumers: df-cap agg + pair join
-    rare = (
-        posting.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("shingle")
-    )
-    posting = posting.join(rare, "shingle")
-    a = posting.select(
-        F.col("shingle"),
-        F.col(id_col).alias("doc_a"),
-        F.col("n_shingles").alias("n_a"),
-    )
-    b = posting.select(
-        F.col("shingle"),
-        F.col(id_col).alias("doc_b"),
-        F.col("n_shingles").alias("n_b"),
-    )
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    common = shingle_pair_counts(df, id_col, text_col, n, df_cap)
     cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     contained = F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a")).otherwise(
