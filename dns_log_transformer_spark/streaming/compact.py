@@ -110,6 +110,80 @@ def compact_partitioned_table(spark: SparkSession, table_path: str) -> int:
     return n
 
 
+def max_files_per_partition(table_path: str) -> int:
+    """The worst partition's data-file count in one partitioned table
+    (0 when missing/unpartitioned). Pure listdir arithmetic — the
+    trigger check must stay cheap enough to run every batch."""
+    col = _partition_col(table_path)
+    if col is None:
+        return 0
+    worst = 0
+    for e in os.listdir(table_path):
+        part = os.path.join(table_path, e)
+        if not (e.startswith(f"{col}=") and os.path.isdir(part)):
+            continue
+        n = sum(
+            1
+            for f in os.listdir(part)
+            if f.endswith(".parquet") or f.endswith(".snappy.parquet")
+        )
+        worst = max(worst, n)
+    return worst
+
+
+def compaction_due(table_path: str, max_files: int = 16) -> list[str]:
+    """Sub-tables (relative path; '.' = the root itself) whose worst
+    partition accumulated MORE than ``max_files`` data files — the
+    trigger predicate of :func:`maybe_compact`, exposed separately so
+    an ops runbook can monitor drift without compacting."""
+    if _partition_col(table_path) is not None:
+        return ["."] if max_files_per_partition(table_path) > max_files else []
+    out = []
+    for e in sorted(os.listdir(table_path)) if os.path.isdir(table_path) else []:
+        sub = os.path.join(table_path, e)
+        if os.path.isdir(sub) and max_files_per_partition(sub) > max_files:
+            out.append(e)
+    return out
+
+
+def maybe_compact(
+    spark: SparkSession, table_path: str, max_files: int = 16
+) -> dict[str, int]:
+    """The compaction TRIGGER policy (VERDICT r11 #3): compact exactly
+    the sub-tables whose per-partition file count crossed ``max_files``;
+    a cheap listdir no-op otherwise. Returns {sub-table: partitions
+    compacted} ({} = nothing was due).
+
+    Why a file-count threshold: the r11 two-decade curves proved file
+    ACCUMULATION is these sinks' only per-batch growth term (an
+    identical winnow probe drifted 9.44 -> 14.21 s as ~11 batches
+    accumulated ~25 files/partition; compacting back to 1 file/
+    partition returned it to 1.83 s), so the drift is bounded by
+    max_files directly: steady-state probe cost ~ the 1-file cost
+    times a small constant, and compaction amortizes to one rewrite
+    every ~max_files batches per touched partition.
+
+    WHERE to call it — the safety contract is the caller's:
+    - end of the sink's ``foreachBatch`` callback (after its merge
+      lands): safe from the writer side — foreachBatch serializes
+      batches, so the sink is quiesced by construction between its own
+      batches. Concurrent READERS still see the store briefly missing
+      during the swap (module docstring); hold live readers off or
+      accept a retry, exactly as for offline compaction.
+    - or an ops cadence: monitor :func:`compaction_due` and run
+      :func:`compact_store` at a quiesce window; max_files then acts
+      as the probe-drift SLO knob.
+    """
+    due = compaction_due(table_path, max_files)
+    if not due:
+        return {}
+    out: dict[str, int] = {}
+    for rel in due:
+        sub = table_path if rel == "." else os.path.join(table_path, rel)
+        out[rel] = compact_partitioned_table(spark, sub)
+    return out
+
+
 def compact_store(spark: SparkSession, table_path: str) -> dict[str, int]:
     """Compact every partitioned sub-table under a sink's store root
     (e.g. the winnow sink's anchors/ + fpagg/ + spans/, or the near-dup

@@ -2117,6 +2117,62 @@ def test_neardup_occupancy_survives_replayed_bucket_rows(spark, tmp_path):
     assert recon2 == expect, f"in-flight replay broke the index: {recon2}"
 
 
+def test_maybe_compact_trigger_policy(spark, tmp_path):
+    """The compaction TRIGGER (VERDICT r11 #3): maybe_compact is a
+    cheap no-op below the file-count threshold, fires on exactly the
+    sub-tables whose worst partition crossed it, preserves content,
+    and the sink keeps merging correctly afterwards (the foreachBatch
+    quiesce point is safe by construction: batches serialize)."""
+    import glob
+
+    from dns_log_transformer_spark.streaming.compact import (
+        compaction_due,
+        max_files_per_partition,
+        maybe_compact,
+    )
+    from dns_log_transformer_spark.streaming.winnow_index import (
+        merge_docs_batch,
+        read_spans,
+    )
+
+    wtab = str(tmp_path / "winnow")
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+
+    def batch(b):
+        rows = [
+            (b * 10 + i, f"doc {b} {i} prefix {boiler} suffix {b}-{i}")
+            for i in range(5)
+        ]
+        merge_docs_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), wtab
+        )
+
+    for b in range(3):
+        batch(b)
+        # the per-batch call pattern: generous threshold stays a no-op
+        assert maybe_compact(spark, wtab, max_files=999) == {}
+
+    pre = sorted(tuple(r) for r in read_spans(spark, wtab).collect())
+    assert pre, "fixture produced no shared spans"
+    due = compaction_due(wtab, max_files=1)
+    assert due, "3 batches over shared spans must exceed 1 file somewhere"
+    res = maybe_compact(spark, wtab, max_files=1)
+    assert sorted(res) == sorted(due)
+    post = sorted(tuple(r) for r in read_spans(spark, wtab).collect())
+    assert post == pre
+    for sub in res:
+        assert max_files_per_partition(f"{wtab}/{sub}") == 1
+        for part in glob.glob(f"{wtab}/{sub}/*=*"):
+            assert len(glob.glob(f"{part}/*.parquet")) == 1
+    # freshly compacted: the same threshold is a no-op again
+    assert compaction_due(wtab, max_files=1) == []
+    # the NEXT batch still lands normally on the swapped-in store
+    batch(3)
+    after = read_spans(spark, wtab).collect()
+    assert {r["doc_id"] for r in after} >= {r[0] for r in pre}
+    assert any(r["doc_id"] >= 30 for r in after), "batch 3 spans missing"
+
+
 def test_compact_store_preserves_content_and_fence(spark, tmp_path):
     """Offline small-file compaction (streaming/compact.py) — the
     measured mitigation for the sinks' only per-batch growth term
