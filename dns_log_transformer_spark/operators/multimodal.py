@@ -715,6 +715,19 @@ MOOV_WALK_STEPS = 4
 #: moov and mdat were seen inside it.
 MP4_WALK_STEPS = 8
 
+#: Codec-descent walk depths (VERDICT r11 #6), one per level of the
+#: trak -> mdia -> minf -> stbl -> stsd chain. Real muxer layouts:
+#: trak children are tkhd [tref/edts] mdia (mdia at index <= 2);
+#: mdia children are mdhd hdlr minf (minf at index 2 exactly);
+#: minf children are vmhd/smhd [dinf] stbl (stbl at index <= 2);
+#: stsd is stbl's FIRST child universally (2 gives one slot of slack).
+#: All four are real parameters of sniff_container_meta — a deeper
+#: corpus gets a knob, not a code change (the moov_steps discipline).
+TRAK_WALK_STEPS = 3
+MDIA_WALK_STEPS = 3
+MINF_WALK_STEPS = 3
+STBL_WALK_STEPS = 2
+
 
 def _hx_str4(hx, pos):
     """Hex of the 4 bytes at 1-indexed byte position ``pos``."""
@@ -731,8 +744,15 @@ def _codegen_barrier(df: DataFrame, tag: str) -> DataFrame:
     keeps every generated method small enough to compile. Each stage's
     walk positions/flags are already materialized as columns, so
     nothing is recomputed across the barrier, and the Generate itself
-    is whole-stage-codegen'd and row-neutral."""
-    return df.withColumn(tag, F.explode(F.array(F.lit(1)))).drop(tag)
+    is whole-stage-codegen'd and row-neutral.
+
+    The int-1 ``tag`` column is deliberately KEPT (r12): every Dataset
+    transformation triggers an eager analyzer pass over the whole
+    accumulated plan, so the old ``.drop(tag)`` doubled the barrier's
+    DRIVER-side cost on the deep census plans (~80 ms per op at 60+
+    ops) for zero benefit — callers end in an explicit select that
+    never carries the tags."""
+    return df.withColumn(tag, F.explode(F.array(F.lit(1))))
 
 
 def _idiv(num, den):
@@ -746,16 +766,77 @@ def _idiv(num, den):
     return ((num - num % den) / den).cast("long")
 
 
+def _box_child_walk(cur, hx, n_bytes, prefix, parent_pos, parent_size, steps):
+    """Unrolled walk over the CHILD boxes of a parent at 1-indexed byte
+    position ``parent_pos`` with resolved byte size ``parent_size``:
+    materializes ``_<prefix>p{k}`` (child box position),
+    ``_<prefix>ok{k}`` (header fits inside the parent, sane size) and
+    ``_<prefix>ty{k}`` (child fourcc hex) as top-level columns.
+
+    Children use the compact size form only (``size >= 8``) — neither
+    largesize nor to-EOF occurs below top level in the layouts the
+    census descends (the moov-walk contract since r11); anything else
+    stops the walk and downstream reads stay loud-NULL. A NULL parent
+    (not found upstream) walks NULL positions into NULL types. Clamps
+    mirror the top-level walk: a garbage child size cannot push a
+    position past ``n_bytes + 8`` (substring int-overflow guard), and
+    an intra-walk ``_codegen_barrier`` every 2 steps keeps each
+    generated method under Janino's 64 KB limit (CLAUDE.md rule 10)."""
+    # ONE withColumns projection per walk step (r12): a withColumn
+    # CHAIN makes the analyzer re-walk the whole accumulated plan per
+    # call — at ~90 projections the census paid ~10 s of DRIVER time
+    # per plan build. cok is inlined into the next-position expression
+    # (cheap comparisons; the expensive conv(substring) reads stay
+    # top-level aliases for codegen subexpression elimination).
+    cur = cur.withColumns(
+        {
+            f"_{prefix}end": F.least(parent_pos + parent_size - 1, n_bytes),
+            f"_{prefix}p0": parent_pos + 8,
+        }
+    )
+    for k in range(steps):
+        p = F.col(f"_{prefix}p{k}")
+        csz = _hx_be32(hx, p)
+        cok = (p + 7 <= F.col(f"_{prefix}end")) & (csz >= 8)
+        cols = {
+            f"_{prefix}ok{k}": cok,
+            f"_{prefix}ty{k}": F.when(cok, _hx_str4(hx, p + 4)),
+        }
+        if k + 1 < steps:
+            cols[f"_{prefix}p{k + 1}"] = F.when(
+                cok, F.least(p + csz, n_bytes + 8)
+            ).otherwise(n_bytes + 8)
+        cur = cur.withColumns(cols)
+        if k % 2 == 1:  # intra-walk barrier: ~2 steps per codegen method
+            cur = _codegen_barrier(cur, f"_{prefix}bar{k}")
+    return cur
+
+
+def _box_child_found(prefix: str, steps: int, fourcc_hex: str):
+    """Position of the first walked child whose fourcc matches (NULL =
+    not found within the walk — exhaustion stays loud)."""
+    return F.coalesce(
+        *[
+            F.when(F.col(f"_{prefix}ty{k}") == fourcc_hex, F.col(f"_{prefix}p{k}"))
+            for k in range(steps)
+        ]
+    )
+
+
 def sniff_container_meta(
     df: DataFrame,
     id_col: str = "doc_id",
     wav_steps: int = WAV_WALK_STEPS,
     mp4_steps: int = MP4_WALK_STEPS,
     moov_steps: int = MOOV_WALK_STEPS,
+    trak_steps: int = TRAK_WALK_STEPS,
+    mdia_steps: int = MDIA_WALK_STEPS,
+    minf_steps: int = MINF_WALK_STEPS,
+    stbl_steps: int = STBL_WALK_STEPS,
 ) -> DataFrame:
-    """(id, container, d1, d2, parsed, n_bytes, dur_us, v_w, v_h) from
-    raw payload bytes — magic-number sniff + per-container header
-    parse, no media library:
+    """(id, container, d1, d2, parsed, n_bytes, dur_us, v_w, v_h,
+    codec) from raw payload bytes — magic-number sniff + per-container
+    header parse, no media library:
 
     - wav: 'RIFF' + 'WAVE', then a RIFF chunk walk (id/size/body, sizes
       little-endian, bodies even-padded) to the 'fmt ' chunk (gated on
@@ -778,7 +859,12 @@ def sniff_container_meta(
       DOWN (VERDICT r10 #5), a moov-child walk reads mvhd (v0/v1) for
       dur_us = duration * 1e6 / timescale and each trak's leading tkhd
       (v0/v1) for v_w/v_h — the 16.16 fixed-point canvas dims, MAX
-      across traks (the audio trak reports zeros).
+      across traks (the audio trak reports zeros). FOUR levels further
+      (VERDICT r11 #6), the codec descent walks the first trak's
+      mdia -> minf -> stbl -> stsd chain and decodes the leading
+      sample-entry format fourcc as ``codec`` (avc1/hvc1/mp4a/av01/…),
+      gated on entry_count >= 1, a sample-entry-sized first entry, and
+      a printable fourcc.
     - anything else: container 'unknown', null d1/d2.
 
     dur_us/v_w/v_h are NULL wherever the container doesn't carry them
@@ -816,26 +902,32 @@ def sniff_container_meta(
     # Bodies are even-padded per spec (odd sizes advance one extra
     # byte); the walk does NOT freeze at 'fmt ' — it continues to the
     # 'data' chunk, whose declared size gives the duration.
-    cur = cur.withColumn("_wp0", F.lit(13).cast("long"))
+    # start position GATED on the container (r12): a NULL start
+    # short-circuits every downstream read in codegen (null-check
+    # before the substring/conv work), so the wav walk costs nothing
+    # on the ~3/4 of rows that aren't wav — same outputs (the final
+    # CASE never reads wav columns elsewhere), ~free rows elsewhere
+    cur = cur.withColumn(
+        "_wp0", F.when(F.col("_ctr") == "wav", F.lit(13)).cast("long")
+    )
     for k in range(wav_steps):
         p = F.col(f"_wp{k}")
-        cur = cur.withColumn(
-            f"_wfmt{k}",
-            (_hx_str4(hx, p) == "666D7420") & (p + 23 <= n_bytes),  # 'fmt '
-        )
-        cur = cur.withColumn(
-            f"_wdat{k}", _hx_str4(hx, p) == "64617461"  # 'data'
-        )
+        cols = {
+            f"_wfmt{k}": (_hx_str4(hx, p) == "666D7420")  # 'fmt '
+            & (p + 23 <= n_bytes),
+            f"_wdat{k}": _hx_str4(hx, p) == "64617461",  # 'data'
+        }
         if k + 1 < wav_steps:
             sz = _hx_le32(hx, p + 4)
             # clamp: on non-RIFF bytes the le32 "size" is garbage up to
             # 2^32-1, and an unclamped position overflows substring's
             # int argument (ANSI CAST_OVERFLOW kills the job); past-end
             # positions all behave identically (lpad-guarded zero reads)
-            cur = cur.withColumn(
-                f"_wp{k + 1}",
-                F.least(p + 8 + sz + sz % 2, n_bytes + 8),
-            )
+            cols[f"_wp{k + 1}"] = F.least(p + 8 + sz + sz % 2, n_bytes + 8)
+        # one projection per step (not one per column): the analyzer
+        # re-walks the accumulated plan on every transformation, so
+        # withColumn chains cost quadratic DRIVER time on deep walks
+        cur = cur.withColumns(cols)
         if k % 2 == 1:  # intra-walk barrier: ~2 steps per codegen method
             cur = _codegen_barrier(cur, f"_wbar{k}")
     wav_rate = F.coalesce(
@@ -873,10 +965,8 @@ def sniff_container_meta(
     # final select assembles small columns instead of re-inlining every
     # coalesce chain into one method (the 64 KB trap, see
     # _codegen_barrier)
-    cur = (
-        cur.withColumn("_wav_rate", wav_rate)
-        .withColumn("_wav_ch", wav_ch)
-        .withColumn("_wav_dur", wav_dur_us)
+    cur = cur.withColumns(
+        {"_wav_rate": wav_rate, "_wav_ch": wav_ch, "_wav_dur": wav_dur_us}
     )
 
     # stage barrier: the WAV walk's columns compile as their own method
@@ -909,7 +999,7 @@ def sniff_container_meta(
         .when((variant == "5650384C") & vp8l_sig, vp8l_h)
         .when((variant == "56503858") & vp8x_ok, vp8x_h)
     )
-    cur = cur.withColumn("_webp_w", webp_w).withColumn("_webp_h", webp_h)
+    cur = cur.withColumns({"_webp_w": webp_w, "_webp_h": webp_h})
 
     # ISO-BMFF top-level box walk: _bp{k} = byte position of box k's
     # size field. Spec-true size handling (ISO 14496-12 §4.2):
@@ -918,7 +1008,11 @@ def sniff_container_meta(
     # carries — high dword read but clamped, since the payload itself
     # bounds the walk); size == 0 means the box extends to EOF (valid
     # only for the last box — counted, then the walk stops).
-    cur = cur.withColumn("_bp0", F.lit(1).cast("long"))
+    # same container gate as the wav walk: NULL start = free non-mp4
+    # rows (the descent below then short-circuits through NULL moov)
+    cur = cur.withColumn(
+        "_bp0", F.when(F.col("_ctr") == "mp4", F.lit(1)).cast("long")
+    )
     for k in range(mp4_steps):
         p = F.col(f"_bp{k}")
         sz32 = _hx_be32(hx, p)
@@ -938,20 +1032,18 @@ def sniff_container_meta(
         )
         min_sz = F.when(sz32 == 1, F.lit(16)).otherwise(F.lit(8))
         ok = (p + 7 <= n_bytes) & (sz >= min_sz)
-        cur = cur.withColumn(f"_bok{k}", ok)
-        cur = cur.withColumn(
-            f"_bty{k}", F.when(ok, _hx_str4(hx, p + 4))
-        )
-        cur = cur.withColumn(f"_bsz{k}", F.when(ok, sz))
+        cols = {
+            f"_bok{k}": ok,
+            f"_bty{k}": F.when(ok, _hx_str4(hx, p + 4)),
+            f"_bsz{k}": F.when(ok, sz),
+        }
         if k + 1 < mp4_steps:
             # same clamp as the WAV walk: a garbage size of up to
             # 2^32-1 must not push the position past int range
-            cur = cur.withColumn(
-                f"_bp{k + 1}",
-                F.when(ok, F.least(p + sz, n_bytes + 8)).otherwise(
-                    n_bytes + 8
-                ),
-            )
+            cols[f"_bp{k + 1}"] = F.when(
+                ok, F.least(p + sz, n_bytes + 8)
+            ).otherwise(n_bytes + 8)
+        cur = cur.withColumns(cols)  # one projection per step (driver cost)
         if k % 2 == 1:  # intra-walk barrier: ~2 steps per codegen method
             cur = _codegen_barrier(cur, f"_bbar{k}")
     mp4_boxes = sum(
@@ -975,8 +1067,8 @@ def sniff_container_meta(
         > 0
     )
 
-    cur = cur.withColumn("_mp4_boxes", mp4_boxes).withColumn(
-        "_mp4_complete", mp4_complete
+    cur = cur.withColumns(
+        {"_mp4_boxes": mp4_boxes, "_mp4_complete": mp4_complete}
     )
 
     # stage barrier: the top-level box walk compiles as its own method
@@ -1004,34 +1096,14 @@ def sniff_container_meta(
             for k in range(mp4_steps)
         ]
     )
-    cur = cur.withColumn("_mend", F.least(mpos + msz - 1, n_bytes))
-    cur = cur.withColumn("_cp0", mpos + 8)
-    for k in range(moov_steps):
-        cq = F.col(f"_cp{k}")
-        csz = _hx_be32(hx, cq)
-        # children never use largesize/to-EOF forms in practice; a
-        # compact size < 8 or a header past moov's end stops the walk
-        cok = (cq + 7 <= F.col("_mend")) & (csz >= 8)
-        cur = cur.withColumn(f"_cok{k}", cok)
-        cur = cur.withColumn(f"_cty{k}", F.when(cok, _hx_str4(hx, cq + 4)))
-        if k + 1 < moov_steps:
-            cur = cur.withColumn(
-                f"_cp{k + 1}",
-                F.when(cok, F.least(cq + csz, n_bytes + 8)).otherwise(
-                    n_bytes + 8
-                ),
-            )
-        if k % 2 == 1:  # intra-walk barrier: ~2 steps per codegen method
-            cur = _codegen_barrier(cur, f"_cbar{k}")
+    # child walk over moov (the _box_child_walk helper since r12 — the
+    # same unrolled machinery now also drives the codec descent below);
+    # msz is the top-level walk's RESOLVED size (largesize handled)
+    cur = _box_child_walk(cur, hx, n_bytes, "c", mpos, msz, moov_steps)
     # stage barrier: the moov child walk compiles as its own method
     cur = _codegen_barrier(cur, "_stage_moov")
 
-    mvq = F.coalesce(
-        *[
-            F.when(F.col(f"_cty{k}") == "6D766864", F.col(f"_cp{k}"))  # mvhd
-            for k in range(moov_steps)
-        ]
-    )
+    mvq = _box_child_found("c", moov_steps, "6D766864")  # mvhd
     mv_v1 = _hx_byte(hx, mvq + 8) == 1
     mp4_timescale = F.when(mv_v1, _hx_be32(hx, mvq + 28)).otherwise(
         _hx_be32(hx, mvq + 20)
@@ -1066,14 +1138,70 @@ def sniff_container_meta(
         )
     mp4_vw = F.greatest(*[w for w, _ in tk_dims])
     mp4_vh = F.greatest(*[h for _, h in tk_dims])
-    cur = (
-        cur.withColumn("_mp4_dur", mp4_dur_us)
-        .withColumn("_mp4_vw", mp4_vw)
-        .withColumn("_mp4_vh", mp4_vh)
+    cur = cur.withColumns(
+        {"_mp4_dur": mp4_dur_us, "_mp4_vw": mp4_vw, "_mp4_vh": mp4_vh}
     )
     # stage barrier: the mvhd/tkhd reads compile as their own method,
     # leaving the final select a CASE over ~10 materialized columns
     cur = _codegen_barrier(cur, "_stage_tk")
+
+    # --- codec descent (VERDICT r11 #6): trak -> mdia -> minf -> stbl
+    # -> stsd, each level one _box_child_walk over the previous level's
+    # found box; the leading sample-entry fourcc of the FIRST trak's
+    # stsd answers the "what codec is this corpus" curation question
+    # the duration/dims columns stop short of. Every miss in the chain
+    # (no trak, trak without mdia in-walk, opaque stbl, zero entries,
+    # an undersized sample entry, or a non-printable fourcc) stays a
+    # loud NULL — never a guess.
+    # Each level: materialize the found-child position, then walk its
+    # children. No per-level stage barriers (r12): the walks' own
+    # intra-walk barriers already bound every generated method at ~2
+    # steps, and each Dataset op costs an eager analyzer pass over the
+    # whole accumulated plan — the deep census pays real driver time
+    # per op, so ops are budgeted.
+    cur = cur.withColumn(
+        "_trakq", _box_child_found("c", moov_steps, "7472616B")  # trak
+    )
+    tq0 = F.col("_trakq")
+    cur = _box_child_walk(
+        cur, hx, n_bytes, "t", tq0, _hx_be32(hx, tq0), trak_steps
+    )
+    cur = cur.withColumn("_mdq", _box_child_found("t", trak_steps, "6D646961"))
+    dq0 = F.col("_mdq")
+    cur = _box_child_walk(
+        cur, hx, n_bytes, "d", dq0, _hx_be32(hx, dq0), mdia_steps
+    )
+    cur = cur.withColumn("_mfq", _box_child_found("d", mdia_steps, "6D696E66"))
+    fq0 = F.col("_mfq")
+    cur = _box_child_walk(
+        cur, hx, n_bytes, "f", fq0, _hx_be32(hx, fq0), minf_steps
+    )
+    cur = cur.withColumn("_sbq", _box_child_found("f", minf_steps, "7374626C"))
+    sq0 = F.col("_sbq")
+    cur = _box_child_walk(
+        cur, hx, n_bytes, "s", sq0, _hx_be32(hx, sq0), stbl_steps
+    )
+    cur = cur.withColumn("_sdq", _box_child_found("s", stbl_steps, "73747364"))
+    # stsd layout (ISO 14496-12 §8.5.2): verflags at +8, entry_count
+    # (be32) at +12, first sample entry's size at +16 and its format
+    # fourcc at +20. Gates: at least one entry declared, the entry at
+    # least sample-entry-header-sized (16), the fourcc bytes in-payload,
+    # and the decoded fourcc printable (registered formats are
+    # alphanumerics plus ' ', '.', '-': avc1/hvc1/mp4a/av01/ac-3/
+    # .mp3/raw ) — junk bytes would otherwise decode into confidently-
+    # wrong mojibake, the quiet-data-loss class the census surfaces.
+    sdq = F.col("_sdq")
+    stsd_fourcc = F.decode(F.unhex(_hx_str4(hx, sdq + 20)), "UTF-8")
+    codec = F.when(
+        (_hx_be32(hx, sdq + 12) >= 1)
+        & (_hx_be32(hx, sdq + 16) >= 16)
+        & (sdq + 23 <= n_bytes)
+        & stsd_fourcc.rlike("^[0-9A-Za-z .-]{4}$"),
+        stsd_fourcc,
+    )
+    cur = cur.withColumn("_mp4_codec", codec)
+    # stage barrier: the stsd reads compile as their own method
+    cur = _codegen_barrier(cur, "_stage_stsd")
 
     d1 = (
         F.when(F.col("_ctr") == "wav", F.col("_wav_rate"))
@@ -1094,6 +1222,7 @@ def sniff_container_meta(
     )
     v_w = F.when(F.col("_ctr") == "mp4", F.col("_mp4_vw")).try_cast("long")
     v_h = F.when(F.col("_ctr") == "mp4", F.col("_mp4_vh")).try_cast("long")
+    codec_out = F.when(F.col("_ctr") == "mp4", F.col("_mp4_codec"))
     return cur.select(
         F.col(id_col),
         F.col("_ctr").alias("container"),
@@ -1104,6 +1233,7 @@ def sniff_container_meta(
         dur_us.alias("dur_us"),
         v_w.alias("v_w"),
         v_h.alias("v_h"),
+        codec_out.alias("codec"),
     )
 
 
@@ -1157,8 +1287,13 @@ def synth_container_blob(
       duration = timescale*(1 + id%7) + (id//4)%600 (version 1 when
       (id//4)%3 == 0, else 0 — both decode paths), and one trak whose
       tkhd (version 1 when id%3 == 0) carries width = 320 + (id%64)*4,
-      height = 180 + ((id//4)%64)*4; moov size = 16 + mvhd
-      (120 v1 / 108 v0) + tkhd (104 v1 / 92 v0).
+      height = 180 + ((id//4)%64)*4. The trak continues (r12 codec
+      descent) with an optional edts (present when (id//4)%2 == 1,
+      size 8 + 4*((id//4)%3)) and a full mdia(mdhd hdlr minf(vmhd
+      stbl(stsd))) chain of fixed size 141 whose leading sample-entry
+      fourcc cycles (id//4)%5 over avc1/hvc1/mp4a/av01/vp09; moov
+      size = 16 + mvhd (120 v1 / 108 v0) + tkhd (104 v1 / 92 v0)
+      + edts + 141.
     - unknown (id%4=3): zero bytes, n_bytes = 26 + payload — the
       unparsed row the census must count, not drop.
     """
@@ -1327,11 +1462,76 @@ def synth_container_blob(
         ),
     )
     tkhd_size = F.when(tkhd_v1, F.lit(104)).otherwise(F.lit(92)).cast("long")
+    # codec descent chain (r12): tkhd [edts] mdia(mdhd hdlr minf(vmhd
+    # stbl(stsd(entry)))). Codec cycles on the q4 % 5 lattice (fresh —
+    # unused by any other mp4 field) over the five formats a video
+    # corpus actually carries; edts (body 4*(q4%3), present on
+    # q4%2 == 1) exercises the trak child walk the way wav's JUNK
+    # chunk exercises the RIFF walk. Fixed sizes: mdhd 32 (v0), hdlr
+    # 33 ('vide' + empty null-terminated name), vmhd 20, stsd 32
+    # (verflags + entry_count=1 + one minimal 16-byte sample entry),
+    # stbl = 8 + stsd = 40, minf = 8 + vmhd + stbl = 68,
+    # mdia = 8 + mdhd + hdlr + minf = 141.
+    codec_hex = (
+        F.when(q4 % 5 == 0, F.lit("61766331"))   # avc1
+        .when(q4 % 5 == 1, F.lit("68766331"))    # hvc1
+        .when(q4 % 5 == 2, F.lit("6D703461"))    # mp4a
+        .when(q4 % 5 == 3, F.lit("61763031"))    # av01
+        .otherwise(F.lit("76703039"))            # vp09
+    )
+    stsd = F.concat(
+        _hex_be32(F.lit(32).cast("long")), F.lit("73747364"),
+        F.lit("00000000"),  # version 0 + flags
+        F.lit("00000001"),  # entry_count
+        _hex_be32(F.lit(16).cast("long")), codec_hex,  # sample entry
+        F.repeat(F.lit("00"), 8),  # 6 reserved bytes + data_ref_index
+    )
+    stbl = F.concat(_hex_be32(F.lit(40).cast("long")), F.lit("7374626C"), stsd)
+    vmhd = F.concat(
+        _hex_be32(F.lit(20).cast("long")), F.lit("766D6864"),
+        F.lit("00000001"),  # version 0 + flags = 1 (spec)
+        F.repeat(F.lit("00"), 8),  # graphicsmode + opcolor
+    )
+    minf = F.concat(
+        _hex_be32(F.lit(68).cast("long")), F.lit("6D696E66"), vmhd, stbl
+    )
+    mdhd = F.concat(
+        _hex_be32(F.lit(32).cast("long")), F.lit("6D646864"),
+        F.lit("00000000"),  # version 0 + flags
+        F.repeat(F.lit("00"), 8),  # ctime + mtime
+        _hex_be32(ts),
+        F.lit("00000000"),  # duration (unread by the walk)
+        F.lit("55C40000"),  # language 'und' + pre_defined
+    )
+    hdlr = F.concat(
+        _hex_be32(F.lit(33).cast("long")), F.lit("68646C72"),
+        F.lit("00000000"),  # version 0 + flags
+        F.lit("00000000"),  # pre_defined
+        F.lit("76696465"),  # handler_type 'vide'
+        F.repeat(F.lit("00"), 12),  # reserved
+        F.lit("00"),  # empty null-terminated name
+    )
+    mdia = F.concat(
+        _hex_be32(F.lit(141).cast("long")), F.lit("6D646961"),
+        mdhd, hdlr, minf,
+    )
+    edts_body = (4 * (q4 % 3)).cast("long")
+    has_edts = q4 % 2 == 1
+    edts = F.when(
+        has_edts,
+        F.concat(
+            _hex_be32(edts_body + 8), F.lit("65647473"),
+            F.repeat(F.lit("00"), edts_body.cast("int")),
+        ),
+    ).otherwise(F.lit(""))
+    edts_size = F.when(has_edts, edts_body + 8).otherwise(F.lit(0)).cast("long")
     trak = F.concat(
-        _hex_be32(tkhd_size + 8), F.lit("7472616B"), tkhd
+        _hex_be32(tkhd_size + edts_size + 141 + 8), F.lit("7472616B"),
+        tkhd, edts, mdia,
     )
     moov = F.concat(
-        _hex_be32(mvhd_size + tkhd_size + 16), F.lit("6D6F6F76"),
+        _hex_be32(mvhd_size + tkhd_size + edts_size + 141 + 16),
+        F.lit("6D6F6F76"),
         mvhd, trak,
     )
     mdat = F.concat(

@@ -49,6 +49,9 @@ from dns_log_transformer_spark.queries.registry import register, table
                     + 16
                     + CASE WHEN (doc_id // 4) % 3 = 0 THEN 120 ELSE 108 END
                     + CASE WHEN doc_id % 3 = 0 THEN 104 ELSE 92 END
+                    + CASE WHEN (doc_id // 4) % 2 = 1
+                           THEN 8 + 4 * ((doc_id // 4) % 3) ELSE 0 END
+                    + 141
                     + 8 + pl
                ELSE 26 + pl
              END AS n_bytes,
@@ -64,7 +67,13 @@ from dns_log_transformer_spark.queries.registry import register, table
              CASE container WHEN 'mp4'
                   THEN 320 + (doc_id % 64) * 4 END AS v_w,
              CASE container WHEN 'mp4'
-                  THEN 180 + ((doc_id // 4) % 64) * 4 END AS v_h
+                  THEN 180 + ((doc_id // 4) % 64) * 4 END AS v_h,
+             CASE container WHEN 'mp4' THEN
+                  CASE (doc_id // 4) % 5
+                    WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                    WHEN 2 THEN 'mp4a' WHEN 3 THEN 'av01'
+                    ELSE 'vp09' END
+             END AS codec
       FROM m)
     SELECT container,
            CAST(COUNT(*) AS BIGINT) AS n_payloads,
@@ -78,7 +87,11 @@ from dns_log_transformer_spark.queries.registry import register, table
            CAST(COUNT(dur_us) AS BIGINT) AS n_dur,
            CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
            CAST(MAX(v_w) AS BIGINT) AS max_vw,
-           CAST(MAX(v_h) AS BIGINT) AS max_vh
+           CAST(MAX(v_h) AS BIGINT) AS max_vh,
+           CAST(COUNT(codec) AS BIGINT) AS n_codec,
+           NULLIF(array_to_string(
+             list_sort(list(DISTINCT codec) FILTER (WHERE codec IS NOT NULL)),
+             ','), '') AS codecs
     FROM v GROUP BY container ORDER BY container
     """,
 )
@@ -106,7 +119,12 @@ def mm_container_census(spark: SparkSession, sf: str) -> DataFrame:
       movie duration and trak/tkhd (both versions) for the canvas
       dims — censused as n_dur / sum_dur_us / max_vw / max_vh; the
       wav rows contribute dur_us = declared data size over the fmt
-      byte rate;
+      byte rate; FOUR levels further (r12), the codec descent walks
+      trak -> mdia -> minf -> stbl -> stsd (an optional edts box
+      exercises the trak child walk) and reads the leading
+      sample-entry fourcc — five codecs cycle in the fixture and the
+      census reports n_codec + the sorted distinct `codecs` roster,
+      the "what codec is this corpus" curation answer;
     - unknown: counted loudly (n_parsed = 0), never dropped — the
       mm_format_census n_unparsed lesson.
 
@@ -133,6 +151,11 @@ def mm_container_census(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("dur_us").cast("long").alias("sum_dur_us"),
             F.max("v_w").cast("long").alias("max_vw"),
             F.max("v_h").cast("long").alias("max_vh"),
+            F.count("codec").cast("long").alias("n_codec"),
+            F.nullif(
+                F.array_join(F.array_sort(F.collect_set("codec")), ","),
+                F.lit(""),
+            ).alias("codecs"),
         )
         .orderBy("container")
     )

@@ -43,6 +43,13 @@ def get_spark(
         # reader rejects; read as long and convert (read_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4's per-function call-site capture (error-message
+        # context) costs 2-3 EXTRA py4j roundtrips on every F.* call —
+        # profiled at ~5 s of the container census's ~7 s plan build
+        # (thousands of Column ops) and a tax on every deep plan here.
+        # This engine's failures are caught by its own oracle/test
+        # harness, so the call-site decoration is pure overhead.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -412,6 +412,142 @@ def test_container_descent_on_real_world_headers(spark):
     }
 
 
+def test_codec_descent_on_real_world_headers(spark):
+    """Four levels below moov (VERDICT r11 #6): the codec descent must
+    walk trak -> mdia -> minf -> stbl -> stsd on real spec bytes and
+    decode the FIRST trak's leading sample-entry fourcc; every break in
+    the chain — no mdia, zero sample entries, an undersized entry, a
+    non-printable fourcc — stays a loud NULL, and registered fourccs
+    with '-'/'.'/' ' (ac-3) decode."""
+    import struct
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        sniff_container_meta,
+    )
+
+    def box(fourcc, body=b""):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 600, 1200)
+               + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+               + b"\x00" * 10 + matrix + b"\x00" * 24
+               + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 8
+               + struct.pack(">III", 1, 0, 1200) + b"\x00" * 16 + matrix
+               + struct.pack(">II", 640 << 16, 360 << 16))
+
+    def stsd(fourcc, n_entries=1, entry_size=16):
+        entry = struct.pack(">I", entry_size) + fourcc + b"\x00" * 8
+        return box(b"stsd", b"\x00" * 4 + struct.pack(">I", n_entries)
+                   + entry)
+
+    def chain(codec_fourcc, head=b"vmhd", mid=b"", **stsd_kw):
+        """mdia(mdhd hdlr minf(head [mid] stbl(stsd)))"""
+        mdhd = box(b"mdhd", b"\x00" * 12 + struct.pack(">II", 600, 0)
+                   + b"\x55\xC4\x00\x00")
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+        minf = box(b"minf", box(head, b"\x00" * 12)
+                   + (box(b"dinf", b"\x00" * 8) if mid else b"")
+                   + box(b"stbl", stsd(codec_fourcc, **stsd_kw)))
+        return box(b"mdia", mdhd + hdlr + minf)
+
+    def mp4(children):
+        return (box(b"ftyp", b"isom\x00\x00\x00\x00")
+                + box(b"moov", children) + box(b"mdat", b"\x00" * 8))
+
+    rows = [
+        # plain video chain
+        (1, mp4(mvhd + box(b"trak", tkhd + chain(b"avc1")))),
+        # edts between tkhd and mdia (real muxers); dinf inside minf
+        (2, mp4(mvhd + box(b"trak", tkhd + box(b"edts", b"\x00" * 4)
+                           + chain(b"hvc1", mid=b"dinf")))),
+        # audio chain: smhd media header, dashed fourcc
+        (3, mp4(mvhd + box(b"trak", tkhd + chain(b"ac-3", head=b"smhd")))),
+        # FIRST trak wins: audio (mp4a) first, video (avc1) second
+        (4, mp4(mvhd + box(b"trak", tkhd + chain(b"mp4a", head=b"smhd"))
+                + box(b"trak", tkhd + chain(b"avc1")))),
+        # tkhd-only trak (the r11 fixture shape): loud NULL codec
+        (5, mp4(mvhd + box(b"trak", tkhd))),
+        # zero sample entries declared
+        (6, mp4(mvhd + box(b"trak", tkhd + chain(b"avc1", n_entries=0)))),
+        # undersized first entry (< 16-byte sample-entry header)
+        (7, mp4(mvhd + box(b"trak", tkhd + chain(b"avc1", entry_size=8)))),
+        # non-printable fourcc bytes: gated, not mojibake
+        (8, mp4(mvhd + box(b"trak", tkhd + chain(b"\x01\x02\x03\x04")))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r["codec"] for r in sniff_container_meta(df).collect()}
+    assert got == {
+        1: "avc1", 2: "hvc1", 3: "ac-3", 4: "mp4a",
+        5: None, 6: None, 7: None, 8: None,
+    }
+    # the gated misses must not disturb the r11 columns
+    dims = {
+        r["doc_id"]: (r["dur_us"], r["v_w"], r["v_h"], r["d2"])
+        for r in sniff_container_meta(df).collect()
+    }
+    assert all(v == (2_000_000, 640, 360, 1) for v in dims.values()), dims
+
+
+def test_trak_walk_depth_boundary_and_override(spark):
+    """The trak-child walk depth is pinned from both sides like the
+    moov walk (VERDICT r10 #8 discipline): mdia at child index
+    TRAK_WALK_STEPS - 1 parses a codec, one past it stays loud-NULL,
+    and trak_steps is a real knob that recovers the deeper layout.
+    The deeper mdia/minf/stbl walks ride the same _box_child_walk
+    machinery, so one boundary pin covers the class."""
+    import struct
+
+    from dns_log_transformer_spark.operators.multimodal import (
+        TRAK_WALK_STEPS,
+        sniff_container_meta,
+    )
+
+    def box(fourcc, body=b""):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 600, 1200)
+               + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+               + b"\x00" * 10 + matrix + b"\x00" * 24
+               + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 8
+               + struct.pack(">III", 1, 0, 1200) + b"\x00" * 16 + matrix
+               + struct.pack(">II", 320 << 16, 240 << 16))
+    mdhd = box(b"mdhd", b"\x00" * 12 + struct.pack(">II", 600, 0)
+               + b"\x55\xC4\x00\x00")
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+    entry = struct.pack(">I", 16) + b"avc1" + b"\x00" * 8
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    mdia = box(b"mdia", mdhd + hdlr
+               + box(b"minf", box(b"vmhd", b"\x00" * 12)
+                     + box(b"stbl", stsd)))
+
+    def mp4(n_fillers):
+        trak = box(b"trak", tkhd
+                   + box(b"edts", b"\x00" * 4) * n_fillers + mdia)
+        return (box(b"ftyp", b"isom\x00\x00\x00\x00")
+                + box(b"moov", mvhd + trak) + box(b"mdat", b"\x00" * 8))
+
+    at_edge = mp4(TRAK_WALK_STEPS - 2)   # mdia at index TRAK_WALK_STEPS-1
+    past_edge = mp4(TRAK_WALK_STEPS - 1)  # one past: loud NULL
+    df = spark.createDataFrame(
+        [(1, at_edge), (2, past_edge)], "doc_id long, blob binary"
+    )
+    got = {r["doc_id"]: r["codec"] for r in sniff_container_meta(df).collect()}
+    assert got == {1: "avc1", 2: None}
+    deeper = {
+        r["doc_id"]: r["codec"]
+        for r in sniff_container_meta(
+            df, trak_steps=TRAK_WALK_STEPS + 1
+        ).collect()
+    }
+    assert deeper == {1: "avc1", 2: "avc1"}
+
+
 def test_moov_walk_depth_boundary_and_override(spark):
     """Constants audit (VERDICT r10 #8): the moov-child walk depth is
     pinned from BOTH sides — a trak at child index MOOV_WALK_STEPS - 1
@@ -476,7 +612,10 @@ def test_container_walks_handle_random_layouts(spark):
     largesize forms) around moov/mdat, where moov randomly carries real
     mvhd + trak/tkhd children (random versions, random timescale/
     duration/dims) or a legacy opaque body (loud NULL descent) — built
-    as real spec bytes, never via the synth fixture."""
+    as real spec bytes, never via the synth fixture. Since r12 the
+    fuzz traks randomly grow a full codec chain (random fourcc incl.
+    dashed/space forms, optional edts and dinf detours) or stay
+    tkhd-only (loud NULL codec)."""
     import random
     import struct
 
@@ -512,7 +651,7 @@ def test_container_walks_handle_random_layouts(spark):
             data_sz * 1000000 // (rate * ch * 2)
             if n_pre + 1 < WAV_WALK_STEPS else None
         )
-        want[doc] = ("wav", rate, ch, True, dur, None, None)
+        want[doc] = ("wav", rate, ch, True, dur, None, None, None)
         doc += 1
 
     matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
@@ -562,12 +701,34 @@ def test_container_walks_handle_random_layouts(spark):
             ts = rng.randrange(1, 1 << 20)
             mdur = rng.randrange(0, 1 << 31)
             w, h = rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16)
+            trak_body = tkhd(w, h, mdur, rng.random() < 0.5)
+            codec = None
+            if rng.random() < 0.6:  # r12 codec chain, random shape
+                fourcc = rng.choice(
+                    [b"avc1", b"hvc1", b"mp4a", b"av01", b"ac-3", b"raw "]
+                )
+                if rng.random() < 0.4:  # edts between tkhd and mdia
+                    trak_body += box(b"edts", bytes(rng.randrange(0, 17)))
+                mdhd = box(b"mdhd", b"\x00" * 12
+                           + struct.pack(">II", ts, 0) + b"\x55\xC4\x00\x00")
+                hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+                entry = struct.pack(">I", 16) + fourcc + b"\x00" * 8
+                stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1)
+                           + entry)
+                minf_body = box(rng.choice([b"vmhd", b"smhd"]),
+                                b"\x00" * 12)
+                if rng.random() < 0.4:  # dinf between vmhd/smhd and stbl
+                    minf_body += box(b"dinf", bytes(rng.randrange(0, 17)))
+                minf_body += box(b"stbl", stsd)
+                trak_body += box(b"mdia", mdhd + hdlr + box(b"minf",
+                                                            minf_body))
+                codec = fourcc.decode()
             children = (mvhd(ts, mdur, rng.random() < 0.5)
-                        + box(b"trak", tkhd(w, h, mdur, rng.random() < 0.5)))
-            dvals = (mdur * 1000000 // ts, w, h)
+                        + box(b"trak", trak_body))
+            dvals = (mdur * 1000000 // ts, w, h, codec)
         else:  # legacy opaque moov: descent stays NULL
             children = b"\x00" * 8
-            dvals = (None, None, None)
+            dvals = (None, None, None, None)
         buf += box(b"moov", children)
         if rng.random() < 0.5:  # mdat as a to-EOF box half the time
             buf += struct.pack(">I", 0) + b"mdat" + bytes(8)
@@ -580,7 +741,7 @@ def test_container_walks_handle_random_layouts(spark):
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     got = {
         r["doc_id"]: (r["container"], r["d1"], r["d2"], r["parsed"],
-                      r["dur_us"], r["v_w"], r["v_h"])
+                      r["dur_us"], r["v_w"], r["v_h"], r["codec"])
         for r in sniff_container_meta(df).collect()
     }
     assert got == want

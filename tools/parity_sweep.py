@@ -76,9 +76,15 @@ def main() -> int:
     top = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
     print("slowest sweep queries (spark wall, sec): "
           + ", ".join(f"{n}={s}" for n, s in top))
+    # CHECKED-IN sweep detail (VERDICT r11 #8): the full per-query
+    # timing table lands beside BENCH_DETAIL_latest.json so
+    # round-over-round sweep-time diffs are mechanical, not a
+    # read-the-log exercise (the sweep is the codegen sentinel's
+    # timing backstop)
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
-    with open(f"/root/repo/scratch/sweep_timings_{tag}.json", "w") as f:
+    with open(f"/root/repo/SWEEP_DETAIL_{tag}.json", "w") as f:
         json.dump({"sf_dir": sf, "total": round(sum(timings.values()), 3),
+                   "mismatches": len(bad),
                    "timings": timings}, f, indent=1, sort_keys=True)
         f.write("\n")
     return 1 if bad else 0
