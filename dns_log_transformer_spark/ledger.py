@@ -139,11 +139,15 @@ def pack_window(
        freshness floor claim the remaining slots.
     """
     capacity = (FRESHNESS_ROUNDS + 1) * window_size
-    assert len(registered) <= capacity, (
-        f"{len(registered)} registered queries exceed the rotation "
-        f"capacity ceiling {capacity} (= ({FRESHNESS_ROUNDS}+1) windows); "
-        "retire/merge queries before registering more"
-    )
+    if len(registered) > capacity:
+        # real exception, not assert: python -O strips asserts, and an
+        # overfull registry silently rotating past freshness is exactly
+        # the policy breach this guard exists to refuse (ADVICE r11 class)
+        raise RuntimeError(
+            f"{len(registered)} registered queries exceed the rotation "
+            f"capacity ceiling {capacity} (= ({FRESHNESS_ROUNDS}+1) windows); "
+            "retire/merge queries before registering more"
+        )
     if len(registered) > capacity - 15:
         warnings.warn(
             f"{len(registered)} registered queries approaching the "
@@ -186,11 +190,12 @@ def pack_window(
         return snapshot.get(n) == source_hashes.get(n)
 
     never = [n for n in registered if not attested_as_is(n)]
-    assert len(never) <= window_size, (
-        f"{len(never)} never-attested (or source-changed) queries cannot "
-        f"all fit the {window_size}-slot window; registry grew or "
-        "changed too fast this round"
-    )
+    if len(never) > window_size:
+        raise RuntimeError(  # not assert: must survive python -O
+            f"{len(never)} never-attested (or source-changed) queries cannot "
+            f"all fit the {window_size}-slot window; registry grew or "
+            "changed too fast this round"
+        )
     attested = sorted(
         (n for n in registered if attested_as_is(n)),
         key=lambda n: (latest[n], order[n]),

@@ -52,7 +52,8 @@ def _reorder() -> None:
     window = pack_window(
         list(ALL_QUERIES), source_hashes=current_source_hashes(ALL_QUERIES)
     )
-    assert len(window) == 50, f"driver window must be exactly 50, got {len(window)}"
+    if len(window) != 50:  # not assert: the driver contract must survive -O
+        raise RuntimeError(f"driver window must be exactly 50, got {len(window)}")
     ordered = {n: ALL_QUERIES[n] for n in window}
     ordered.update({n: q for n, q in ALL_QUERIES.items() if n not in ordered})
     ALL_QUERIES.clear()

@@ -445,7 +445,8 @@ def _vector_codes_oracle() -> str:
     pqc = _PQ_CODES.replace("codes AS (", "pqc AS (", 1)
     # the rename must actually take, or a future _PQ_CODES edit would
     # silently collide with the int8 recipe's 'codes' CTE (ADVICE r10)
-    assert "codes AS (" not in pqc, "_PQ_CODES no longer opens 'codes AS ('"
+    if "codes AS (" in pqc:  # not assert: oracle text guard must survive -O
+        raise RuntimeError("_PQ_CODES no longer opens 'codes AS ('")
     return f"""
     WITH {_INT8_CODE_SQL},
     i8 AS (

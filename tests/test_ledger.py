@@ -69,13 +69,14 @@ def test_packer_priority_and_capacity():
     # the capacity ceiling trips loudly instead of silently dropping
     # stale queries past the freshness floor
     too_many = [f"q_cap_{i}" for i in range((FRESHNESS_ROUNDS + 1) * WINDOW_SIZE + 1)]
-    with pytest.raises(AssertionError, match="capacity"):
+    # RuntimeError, not AssertionError: the guard must survive -O (r12)
+    with pytest.raises(RuntimeError, match="capacity"):
         pack_window(too_many)
     # more never-attested queries than window slots = a round that
     # registered too much; the packer refuses rather than silently
     # deferring a query's mandatory birth-round attestation
     too_new = [f"q_new_{i}" for i in range(WINDOW_SIZE + 1)]
-    with pytest.raises(AssertionError, match="never-attested"):
+    with pytest.raises(RuntimeError, match="never-attested"):
         pack_window(too_new)
 
 
