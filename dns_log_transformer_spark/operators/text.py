@@ -1161,3 +1161,89 @@ def rake_keyphrases(
         .filter(F.col("rk") <= k)
         .select(id_col, "phrase", "n_words", "score_milli", "rk")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-level collocation extraction: per headword, the top-k
+    adjacent-bigram partners by pointwise mutual information. PMI =
+    log( P(xy) / (P(x)P(y)) ) — but log is monotone, so the RANKING by
+    PMI equals the ranking by the lift ratio N*c(xy) / (c(x)*c(y)),
+    which is exact integer arithmetic: no float log whose libm last-ulp
+    could diverge between engines. The emitted score is
+    lift_milli = (1000 * N * c_xy) div (c_x * c_y), computed in
+    DECIMAL(38,0) because the numerator product overflows int64 at
+    corpus scale (N ~ 1e12, c_xy ~ 1e9 -> 1e24); the quotient itself
+    (<= 1000 * N) always fits a BIGINT. Integer div is the exact
+    (a - a % b) / b idiom (PLANS.md; floor(a/b) on doubles can cross an
+    integer boundary).
+
+    Definitions (mirrored verbatim by the DuckDB oracle):
+    tokens = whitespace split of lower(trim(text)); bigrams = all
+    adjacent token pairs (sliding, not distinct); c_x = corpus count of
+    token occurrences; N = total bigram count. Bigrams with
+    c_xy < min_count are noise-floored out (classic collocation
+    practice: PMI over-ranks hapax pairs).
+
+    Shape at scale: one tokenize scan feeds both count aggregations
+    (persisted once); unigram counts are a vocabulary-keyed aggregation
+    joined back on the word — a shuffle join, NOT broadcast, because a
+    web-corpus vocabulary outgrows any broadcast (same call as RAKE's
+    word-stats join); N is a single-row aggregate crossJoined in
+    (1-row broadcast side); the top-k window partitions on the
+    headword, a vocabulary key, never a global order.
+
+    Output: (w1, w2, c_xy, c_x, c_y, lift_milli, rk), rk 1..k per w1,
+    ties broken on partner text.
+    """
+    from pyspark.ml.feature import NGram
+
+    toked = persist_tracked(
+        rebalance_for_fanout(df.select(F.col(text_col))).select(
+            tokens(F.lower(F.col(text_col))).alias("_toks")
+        )
+    )
+    uni = (
+        toked.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grams = NGram(n=2, inputCol="_toks", outputCol="_grams").transform(toked)
+    cxy = (
+        grams.select(F.explode("_grams").alias("g"))
+        .select(
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    # N over ALL bigrams (not just the min_count survivors): the
+    # marginal total must describe the corpus, not the filtered set.
+    n_total = grams.select(
+        F.sum(F.size("_grams")).cast("long").alias("n_bigrams")
+    )
+    scored = (
+        cxy.crossJoin(F.broadcast(n_total))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+    )
+    num = (
+        F.lit(1000).cast("decimal(38,0)")
+        * F.col("n_bigrams")
+        * F.col("c_xy")
+    )
+    den = (F.col("c_x") * F.col("c_y")).cast("decimal(38,0)")
+    lift = ((num - num % den) / den).cast("long")
+    w = Window.partitionBy("w1").orderBy(F.desc("lift_milli"), F.asc("w2"))
+    return (
+        scored.withColumn("lift_milli", lift)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_milli", "rk")
+    )

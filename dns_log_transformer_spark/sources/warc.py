@@ -1,0 +1,228 @@
+"""WARC-style record-framed archive source: pack + parse.
+
+Web-scale corpus pipelines read record-framed archive streams (Common
+Crawl's WARC: a header block terminated by CRLFCRLF carrying a
+``Content-Length``, then exactly that many payload units, then a
+CRLFCRLF record separator). The load-bearing property of the format is
+that parsing is **Content-Length-driven**: the reader takes the
+declared length and jumps — it never scans the payload for a
+delimiter, so payloads containing header-lookalike bytes (quoted WARC
+headers inside an HTML page, nested archives) cannot desynchronize it.
+A split()-on-magic parser gets exactly this wrong; the hostile-payload
+test pins the difference.
+
+This module implements the framing layer engine-side as pure codegen'd
+string expressions (the same unrolled-walk discipline as the ISO-BMFF /
+RIFF byte walks in operators/multimodal.py, in the character domain):
+
+- :func:`pack_warc_blobs` — groups documents into blobs of at most
+  ``per_blob`` records, each record ``WARC/1.0`` + ``WARC-Record-ID``
+  + ``Content-Length`` headers, CRLFCRLF, payload, CRLFCRLF.
+- :func:`parse_warc_records` — an unrolled ``max_records``-step walk:
+  each step validates the magic, finds the header terminator, reads
+  ``Content-Length``, slices exactly that many characters of payload,
+  and checks the record separator lands where declared. Malformed
+  records surface as loud ``ok = false`` rows (never silently skipped)
+  and stop the walk; ``blob_leftover`` exposes unconsumed characters
+  so an under-unrolled walk (more records than ``max_records``) is a
+  visible nonzero, not a silent truncation.
+
+Character framing, not byte framing: ``Content-Length`` here counts
+CHARACTERS (Spark ``length`` / DuckDB ``length`` agree on chars), where
+real WARC counts octets. The walk logic is identical in either domain —
+the byte-domain competence is already proven by the multimodal walks
+(conv/substring over hex); running this walk over binary means swapping
+``length`` for ``octet_length`` and slicing bytes.
+
+Reference analog: none (the reference ingests HTTP-pushed envelopes,
+/root/reference/app/app.py:60-102); this is a §2.4 new-engine source
+family for bulk-archive corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Record header terminator / record separator (WARC/1.0 framing).
+CRLF2 = "\r\n\r\n"
+MAGIC = "WARC/1.0\r\n"
+
+
+def pack_warc_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    per_blob: int = 4,
+) -> DataFrame:
+    """(blob_id, blob, n_records): documents packed into WARC-style
+    blobs of at most ``per_blob`` records, grouped by
+    ``blob_id = id div per_blob`` and concatenated in id order (a
+    deterministic grouping both engines reproduce; ids are
+    non-negative, so trunc div == floor div). NULL-text documents are
+    dropped (a record needs a payload; the corpus funnel's concern,
+    not the framer's).
+
+    One groupBy shuffle on blob_id; the sort is per-group via
+    array_sort over collected (id, record) structs — never a global
+    order.
+    """
+    rec = F.concat(
+        F.lit(MAGIC),
+        F.lit("WARC-Record-ID: <urn:doc:"),
+        F.col(id_col).cast("string"),
+        F.lit(">\r\nContent-Length: "),
+        F.length(F.col(text_col)).cast("string"),
+        F.lit(CRLF2),
+        F.col(text_col),
+        F.lit(CRLF2),
+    )
+    bid = F.col(id_col)
+    blob_id = ((bid - bid % per_blob) / per_blob).cast("long")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(blob_id.alias("blob_id"), F.col(id_col).alias("_id"), rec.alias("_rec"))
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_id", "_rec"))),
+                    lambda s: s["_rec"],
+                ),
+                "",
+            ).alias("blob"),
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+        )
+    )
+
+
+def parse_warc_records(
+    df: DataFrame,
+    blob_col: str = "blob",
+    max_records: int = 6,
+) -> DataFrame:
+    """Explode WARC-style blobs into per-record rows via an unrolled
+    Content-Length-driven walk (no payload scanning — see module doc).
+
+    Per record: (rec_idx, doc_id, content_length, ok, payload_md5,
+    blob_leftover). ``ok = false`` rows mark malformed records (bad
+    magic, missing header terminator, unparseable Content-Length,
+    declared length past the blob end, or a record separator that
+    isn't where the declared length says) — the walk stops after one,
+    so one corrupt record quarantines the blob's tail rather than
+    resynchronizing on guesswork. ``blob_leftover`` is the number of
+    unconsumed characters after the walk: 0 on a fully parsed blob,
+    nonzero when well-formed records remain past ``max_records`` (the
+    no-silent-cap guard; a malformed stop signals via ok=false instead
+    — its walk position parks past the end).
+
+    Plan shape (CLAUDE.md rule 9): absolute 1-based positions — no
+    per-step remainder copies; each step is 4 batched withColumns
+    projections materializing the O(blob) reads (header-terminator
+    locate, header slice) exactly once as top-level aliases (rule 1);
+    every read sits under when() on the walk state, so codegen
+    null-short-circuits the remaining steps once a blob is exhausted or
+    malformed; the payload md5 runs once per record. ~4 projections x
+    max_records — far under the 64 KB codegen ceiling
+    (plans.codegen_lint checks anyway).
+    """
+    from dns_log_transformer_spark.operators.multimodal import _codegen_barrier
+
+    blob = F.col(blob_col)
+    out = df.withColumn("_pos0", F.lit(1).cast("long"))
+    recs: list[Column] = []
+    for i in range(max_records):
+        # stage barrier per step (CLAUDE.md rule 10 / the census lesson):
+        # without it CollapseProject re-inlines every materialized
+        # _ha/_hdr/_clen back into each downstream reference — the
+        # substitution is exponential in walk depth (a 6-step build
+        # OOM'd the driver before this Generate split the stages)
+        out = _codegen_barrier(out, f"_wb{i}")
+        pos = F.col(f"_pos{i}")
+        started = pos <= F.length(blob)
+        magic_ok = blob.substr(pos, F.lit(len(MAGIC))) == MAGIC
+        # absolute position of the header terminator (0 = absent);
+        # locate is the step's O(blob) scan — gated and run once
+        out = out.withColumns(
+            {
+                f"_ha{i}": F.when(
+                    started & magic_ok,
+                    F.call_function("locate", F.lit(CRLF2), blob, pos),
+                ),
+            }
+        )
+        ha = F.col(f"_ha{i}")
+        out = out.withColumns(
+            {f"_hdr{i}": F.when(ha > 0, blob.substr(pos, ha - pos))}
+        )
+        hdr = F.col(f"_hdr{i}")
+        out = out.withColumns(
+            {
+                f"_clen{i}": F.nullif(
+                    F.regexp_extract(hdr, r"\r\nContent-Length: ([0-9]+)", 1),
+                    F.lit(""),
+                ).cast("long"),
+                f"_did{i}": F.nullif(
+                    F.regexp_extract(hdr, r"WARC-Record-ID: <urn:doc:([0-9]+)>", 1),
+                    F.lit(""),
+                ).cast("long"),
+            }
+        )
+        clen = F.col(f"_clen{i}")
+        pay = ha + 4  # first payload char (1-based absolute)
+        valid = (
+            clen.isNotNull()
+            & (pay + clen + 3 <= F.length(blob))
+            & (blob.substr(pay + clen, F.lit(4)) == CRLF2)
+        )
+        out = out.withColumns(
+            {
+                f"_rec{i}": F.when(
+                    started,
+                    F.struct(
+                        F.lit(i).cast("long").alias("rec_idx"),
+                        F.col(f"_did{i}").alias("doc_id"),
+                        clen.alias("content_length"),
+                        F.coalesce(valid, F.lit(False)).alias("ok"),
+                        F.when(
+                            valid,
+                            F.md5(F.encode(blob.substr(pay, clen), "UTF-8")),
+                        ).alias("payload_md5"),
+                    ),
+                ),
+                # a malformed record stops the walk: park past the end
+                f"_pos{i + 1}": F.when(valid, pay + clen + 4).otherwise(
+                    F.length(blob) + 1
+                ),
+            }
+        )
+        recs.append(F.col(f"_rec{i}"))
+    leftover = (F.length(blob) - F.col(f"_pos{max_records}") + 1).cast("long")
+    out = out.withColumns(
+        {
+            "_recs": F.array_compact(F.array(*recs)),
+            "_leftover": F.greatest(leftover, F.lit(0).cast("long")),
+        }
+    )
+    keep = [c for c in df.columns if c != blob_col]
+    # explode_OUTER, then filter the generator output: plain explode
+    # makes InferFiltersFromGenerate synthesize `size(_recs) > 0`, and
+    # predicate pushdown substitutes the ENTIRE unrolled walk into that
+    # one predicate on its way to the scan — 41 MB of optimized plan /
+    # driver OOM at 3 steps (the barriers stop CollapseProject, not
+    # pushdown). The outer variant is exempt from the rule, and the
+    # isNotNull filter references the generator output, which pushdown
+    # cannot cross.
+    return out.select(
+        *keep,
+        F.col("_leftover").alias("blob_leftover"),
+        F.explode_outer("_recs").alias("_r"),
+    ).filter(F.col("_r").isNotNull()).select(
+        *keep,
+        F.col("_r.rec_idx").alias("rec_idx"),
+        F.col("_r.doc_id").alias("doc_id"),
+        F.col("_r.content_length").alias("content_length"),
+        F.col("_r.ok").alias("ok"),
+        F.col("_r.payload_md5").alias("payload_md5"),
+        "blob_leftover",
+    )

@@ -85,6 +85,10 @@ REPRESENTATIVE = [
     "corpus_winnow_span_dedup",
     "q_regr_trends",
     "text_char_entropy",
+    # round-12 families
+    "text_pmi_collocations",  # empty corpus -> no bigrams, stable schema
+    "dedup_blocking_audit",  # 1 metrics row of zeros + NULL ratios
+    "corpus_warc_records",  # zero blobs packed -> zero records parsed
 ]
 
 # the learning ops: clear ValueError by contract

@@ -45,6 +45,8 @@ BNLJ_DOCUMENTED = {
     "corpus_prune_curve",  # 10-row threshold dim + 1-row totals scalar
     "q_concurrent_intervals",  # year-dimension triangular prefix (tens of rows)
     "q_skyline_pareto",  # <=50-point size-domain triangular frontier
+    "text_pmi_collocations",  # 1-row total-bigram-count scalar broadcast
+    "dedup_blocking_audit",  # crossJoins of four 1-row metric aggregates
 }
 
 # The single measured row-at-a-time Python exception: the sentence-split
