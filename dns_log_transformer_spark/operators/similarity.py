@@ -1336,3 +1336,103 @@ def ivfpq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "adc_score", "rnk")
     )
+
+
+def matryoshka_probe(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    d_small: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka/truncated-dimension retrieval probe: how much of the
+    full-dimension top-k survives when the index stores only the first
+    ``d_small`` dimensions? Per query: the top-k neighbor lists under
+    the full-width int8 dot product AND under the ``d_small``-prefix
+    dot product, plus their overlap — the number a deployment reads
+    before deciding the truncated (4x-smaller, 4x-faster-scan) index is
+    good enough. Matryoshka-trained embedding families order
+    information by prefix, so overlap@k IS the retained retrieval
+    quality at the memory budget.
+
+    Determinism: both rankings are exact int64 dot products over the
+    SAME int8 codes (one calibration; the prefix ranking just slices
+    the code), ties broken on neighbor id — bit-reproducible across
+    engines, no float cosine discipline needed.
+
+    Shape at scale: one broadcast-queries pair frame computes BOTH dots
+    in a single linear corpus scan (persisted: two windowed top-k
+    consumers); the top-k frames are query-count-bounded, so the
+    overlap join and CSV aggregations are dimension-sized work. Same
+    plan family as :func:`int8_topk`.
+
+    Output: (query_id, top_full_csv, top_trunc_csv, n_overlap,
+    overlap_milli), ids in rank order.
+    """
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    mns, mxs = int8_bounds(emb, vec_col)
+    c = int8_encode(emb, mns, mxs, id_col, vec_col)
+    q = int8_encode(queries, mns, mxs, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("q_code")
+    )
+    scored = persist_tracked(
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            dot_pd(F.col("code"), F.col("q_code"))
+            .cast("long")
+            .alias("dot_full"),
+            dot_pd(
+                F.slice(F.col("code"), 1, d_small),
+                F.slice(F.col("q_code"), 1, d_small),
+            )
+            .cast("long")
+            .alias("dot_trunc"),
+        )
+    )
+
+    def _topk(metric: str) -> DataFrame:
+        w = W.partitionBy("query_id").orderBy(F.desc(metric), F.asc(id_col))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", id_col, "rnk")
+        )
+
+    top_f = persist_tracked(_topk("dot_full"))
+    top_t = persist_tracked(_topk("dot_trunc"))
+
+    def _csv(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("query_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rnk", id_col))),
+                    lambda s: s[id_col].cast("string"),
+                ),
+                ",",
+            ).alias(out)
+        )
+
+    ov = (
+        top_f.join(top_t, ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    milli = ((n_ov * 1000 - (n_ov * 1000) % k) / k).cast("long")
+    return (
+        _csv(top_f, "top_full_csv")
+        .join(_csv(top_t, "top_trunc_csv"), "query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "top_full_csv",
+            "top_trunc_csv",
+            n_ov.alias("n_overlap"),
+            milli.alias("overlap_milli"),
+        )
+    )

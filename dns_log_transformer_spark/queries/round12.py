@@ -1,7 +1,7 @@
 """Round-12 additions.
 
-Three §2.4 new-engine entries (the ledger window holds the owed r08
-cohort with ~20 slots spare, so 3 new homes pack comfortably first):
+Four §2.4 new-engine entries (the ledger window holds the owed r08
+cohort with ~20 slots spare, so 4 new homes pack comfortably first):
 
 - ``text_pmi_collocations`` — PMI collocations ranked in the exact
   integer lift domain (log is monotone: ranking by PMI == ranking by
@@ -13,12 +13,15 @@ cohort with ~20 slots spare, so 3 new homes pack comfortably first):
   pack documents into Content-Length-framed blobs, parse them back with
   the unrolled Content-Length-driven walk, attest the round trip
   against first-principles expectations (the oracle never runs the
-  parser — it states what a correct parse MUST recover).
+  parser — it states what a correct parse MUST recover);
+- ``emb_matryoshka_probe`` — truncated-dimension retrieval quality:
+  overlap@5 between the full-width and 16-dim-prefix int8 top-k lists.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dns_log_transformer_spark.queries.registry import register, table
 
@@ -205,3 +208,79 @@ def corpus_warc_records(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     blobs = warc.pack_warc_blobs(docs, per_blob=4)
     return warc.parse_warc_records(blobs, max_records=6)
+
+
+def _matryoshka_oracle() -> str:
+    from dns_log_transformer_spark.queries.advanced import _INT8_CODE_SQL
+
+    return rf"""
+    WITH {_INT8_CODE_SQL},
+    q AS (SELECT vec_id AS query_id, code AS q_code FROM codes
+          WHERE vec_id % 50 = 0 AND vec_id < 2000),
+    sc AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.code, q.q_code),
+                    p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)
+               AS dot_full,
+             CAST(list_sum(list_transform(
+                    list_zip(c.code[1:16], q.q_code[1:16]),
+                    p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)
+               AS dot_trunc
+      FROM codes c, q WHERE c.vec_id <> q.query_id),
+    tf AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_full DESC, vec_id) AS rnk
+      FROM sc),
+    tff AS (SELECT * FROM tf WHERE rnk <= 5),
+    tt AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_trunc DESC, vec_id) AS rnk
+      FROM sc),
+    ttf AS (SELECT * FROM tt WHERE rnk <= 5),
+    ov AS (
+      SELECT query_id, COUNT(*)::BIGINT AS n_overlap
+      FROM tff JOIN ttf USING (query_id, vec_id) GROUP BY 1),
+    fcsv AS (
+      SELECT query_id,
+             string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rnk)
+               AS top_full_csv
+      FROM tff GROUP BY 1),
+    tcsv AS (
+      SELECT query_id,
+             string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rnk)
+               AS top_trunc_csv
+      FROM ttf GROUP BY 1)
+    SELECT f.query_id, f.top_full_csv, t.top_trunc_csv,
+           COALESCE(o.n_overlap, 0)::BIGINT AS n_overlap,
+           (1000 * COALESCE(o.n_overlap, 0)) // 5 AS overlap_milli
+    FROM fcsv f
+    JOIN tcsv t USING (query_id)
+    LEFT JOIN ov o USING (query_id)
+    """
+
+
+@register("emb_matryoshka_probe", oracle=_matryoshka_oracle())
+def emb_matryoshka_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation probe: per query, top-5 neighbors under the
+    full 64-dim int8 dot product vs under the first-16-dim prefix, and
+    their overlap — the retained-retrieval-quality number that decides
+    whether a 4x-smaller truncated index is good enough (MRL-style
+    embeddings order information by prefix; this measures it instead of
+    assuming it). Fixed query workload (vec_id % 50 == 0, < 2000), the
+    ANN-family convention.
+
+    Determinism: both rankings are exact int64 dots over the SAME int8
+    codes (prefix ranking slices the code), ties on neighbor id.
+
+    Scale shape (operators/similarity.py matryoshka_probe): ONE
+    broadcast-queries pair frame computes both dots in a single linear
+    corpus scan; top-k frames are query-bounded, so overlap/CSV work is
+    dimension-sized.
+    """
+    from dns_log_transformer_spark.operators import similarity
+
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    return similarity.matryoshka_probe(emb, queries, k=5, d_small=16)

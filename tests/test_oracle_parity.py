@@ -47,6 +47,7 @@ BNLJ_DOCUMENTED = {
     "q_skyline_pareto",  # <=50-point size-domain triangular frontier
     "text_pmi_collocations",  # 1-row total-bigram-count scalar broadcast
     "dedup_blocking_audit",  # crossJoins of four 1-row metric aggregates
+    "emb_matryoshka_probe",  # broadcast query workload scan, by contract
 }
 
 # The single measured row-at-a-time Python exception: the sentence-split

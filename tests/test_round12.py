@@ -211,3 +211,36 @@ def test_warc_pack_drops_null_text_and_orders_by_id(spark):
     # id order inside the blob regardless of input order; doc 2 dropped
     assert b.blob.index("urn:doc:1") < b.blob.index("urn:doc:3")
     assert "urn:doc:2" not in b.blob
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation probe
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_prefix_vs_full_ranking_flip(spark):
+    from dns_log_transformer_spark.operators import similarity
+
+    # dim 64; q/a agree everywhere; b matches q's PREFIX but opposes the
+    # tail; c opposes the prefix but matches the tail. With +-1 values
+    # the int8 codes are exactly +-127:
+    #   dot_full:  a = 64*127^2,  b = -32*127^2,  c = +32*127^2
+    #   dot_trunc: a = 16*127^2,  b = +16*127^2,  c = -16*127^2
+    # full top-2 = [a, c]; trunc top-2 = [a, b] (a/b tie -> id order);
+    # overlap = {a} -> 1 of 2 -> 500 milli.
+    q = [1.0] * 64
+    a = [1.0] * 64
+    b = [1.0] * 16 + [-1.0] * 48
+    c = [-1.0] * 16 + [1.0] * 48
+    emb = spark.createDataFrame(
+        [(0, q), (1, a), (2, b), (3, c)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = similarity.matryoshka_probe(emb, queries, k=2, d_small=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.top_full_csv == "1,3"
+    assert r.top_trunc_csv == "1,2"
+    assert r.n_overlap == 1
+    assert r.overlap_milli == 500
