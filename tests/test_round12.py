@@ -244,3 +244,46 @@ def test_matryoshka_prefix_vs_full_ranking_flip(spark):
     assert r.top_trunc_csv == "1,2"
     assert r.n_overlap == 1
     assert r.overlap_milli == 500
+
+
+# ---------------------------------------------------------------------------
+# WARC walk property fuzz: the round trip must hold for ARBITRARY
+# payload content — including payloads stuffed with CRLF runs, header
+# lookalikes and separator sequences — because Content-Length framing
+# never scans the payload. Position arithmetic (1-based substr, +4s)
+# is exactly the kind of code a fixed fixture under-tests.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_payload = st.lists(
+    st.sampled_from(
+        list("abc XYZ09")
+        + ["\r", "\n", "\r\n", "WARC/1.0", "Content-Length: 5", "\r\n\r\n"]
+    ),
+    min_size=0,
+    max_size=40,
+).map("".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=st.lists(_payload, min_size=1, max_size=9))
+def test_warc_round_trip_fuzz(spark, texts):
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    blobs = warc.pack_warc_blobs(docs, per_blob=4)
+    out = sorted(
+        warc.parse_warc_records(blobs, max_records=6).collect(),
+        key=lambda r: (r.blob_id, r.rec_idx),
+    )
+    assert [r.doc_id for r in out] == list(range(len(texts)))
+    for r in out:
+        assert r.ok and r.blob_leftover == 0
+        assert r.content_length == len(texts[r.doc_id])
+        assert r.payload_md5 == _md5(texts[r.doc_id])
