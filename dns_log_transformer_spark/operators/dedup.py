@@ -811,8 +811,13 @@ def blocking_audit(
         .crossJoin(cand.agg(one("n_cand")))
         .crossJoin(hit.agg(one("n_hit")))
     )
-    nd = F.col("n_docs")
-    pairs2 = nd * (nd - 1)  # always even; exact long div by 2
+    # decimal domain end to end (the _milli_ratio rationale): a long
+    # nd*(nd-1) wraps past ~3e9 docs and its long/long division goes
+    # through a double that loses exactness past 2^53; decimal keeps
+    # the count exact up to the int64 limit of the OUTPUT column
+    # (~4.3e9 docs — beyond that both engines overflow loudly).
+    nd = F.col("n_docs").cast("decimal(38,0)")
+    pairs2 = nd * (nd - 1)  # always even: exact decimal div by 2
     possible = ((pairs2 - pairs2 % 2) / 2).cast("long")
     return row.withColumn("n_possible_pairs", possible).select(
         "n_docs",

@@ -1238,7 +1238,11 @@ def pmi_collocations(
         * F.col("n_bigrams")
         * F.col("c_xy")
     )
-    den = (F.col("c_x") * F.col("c_y")).cast("decimal(38,0)")
+    # c_x enters the product ALREADY decimal: two stopword marginals
+    # (~1e10 each at web scale) overflow an int64 product before the
+    # cast could save it — the same reason the numerator leads with a
+    # decimal literal.
+    den = F.col("c_x").cast("decimal(38,0)") * F.col("c_y")
     lift = ((num - num % den) / den).cast("long")
     w = Window.partitionBy("w1").orderBy(F.desc("lift_milli"), F.asc("w2"))
     return (

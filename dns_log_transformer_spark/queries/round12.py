@@ -81,37 +81,16 @@ def text_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _blocking_audit_oracle() -> str:
-    from dns_log_transformer_spark.operators import dedup
-    from dns_log_transformer_spark.queries.llm_ops import (
-        _MH_BANDS,
-        _MH_SIGS,
-        _SQL_SHINGLES,
-    )
+    # The candidate chain (shingles -> md5-half minhash -> bands ->
+    # bucket cap -> cand) is llm_ops._MH_PAIRS_CTES verbatim — ONE
+    # definition, so a future hash-family or cap change cannot
+    # desynchronize the audit oracle from the candidate generator it
+    # grades. Its unreferenced tail CTEs (v, dup_pairs) cost nothing:
+    # DuckDB plans only referenced CTEs.
+    from dns_log_transformer_spark.queries.llm_ops import _MH_PAIRS_CTES
 
     return rf"""
-    WITH {_SQL_SHINGLES},
-    post AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
-    hashed AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)  AS h1,
-             CAST('0x' || substr(md5(x), 13, 12) AS BIGINT) AS h2
-      FROM post),
-    sig AS (
-      SELECT doc_id,
-{_MH_SIGS}
-      FROM hashed GROUP BY doc_id),
-    bands AS (
-      {_MH_BANDS}),
-    bandsc AS (
-      SELECT band, key, doc_id FROM (
-        SELECT band, key, doc_id,
-               COUNT(*) OVER (PARTITION BY band, key) AS _c
-        FROM bands)
-      WHERE _c <= {dedup.LSH_BUCKET_CAP}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bandsc a JOIN bandsc b USING (band, key)
-      WHERE a.doc_id < b.doc_id),
+    WITH {_MH_PAIRS_CTES},
     tp AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
     rare AS (SELECT shingle FROM tp GROUP BY 1 HAVING COUNT(*) <= 100),
     p AS (SELECT tp.* FROM tp JOIN rare USING (shingle)),

@@ -34,9 +34,11 @@ from tests.test_oracle_parity import (  # noqa: E402
 
 def main() -> int:
     import json
+    import os
     import time
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("parity_sweep")
     con = duckdb.connect()
     for t in TABLES:
@@ -81,10 +83,17 @@ def main() -> int:
     # round-over-round sweep-time diffs are mechanical, not a
     # read-the-log exercise (the sweep is the codegen sentinel's
     # timing backstop)
+    # loadavg bracketing (the bench's r11 contention fields, here for
+    # the same reason: the r12 sweep's cold rows read 3x on untouched
+    # queries and needed a manual bench adjudication — with the machine
+    # state recorded, a future high reading self-identifies as
+    # contention or demands investigation mechanically)
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
     with open(f"/root/repo/SWEEP_DETAIL_{tag}.json", "w") as f:
         json.dump({"sf_dir": sf, "total": round(sum(timings.values()), 3),
                    "mismatches": len(bad),
+                   "loadavg_start": load_start,
+                   "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                    "timings": timings}, f, indent=1, sort_keys=True)
         f.write("\n")
     return 1 if bad else 0

@@ -1,6 +1,7 @@
-"""10x input-scaling rows for the round-12 PLANS.md table: the three
+"""10x input-scaling rows for the round-12 PLANS.md table: the four
 new queries (text_pmi_collocations, dedup_blocking_audit,
-corpus_warc_records). Method identical to scale10_r10/r11."""
+corpus_warc_records, emb_matryoshka_probe). Method identical to
+scale10_r10/r11."""
 
 from __future__ import annotations
 
