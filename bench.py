@@ -151,9 +151,27 @@ def main() -> None:
             ),
             **detail,
         }
-        with open(os.path.join(here, "BENCH_DETAIL_latest.json"), "w") as f:
-            json.dump(stamped, f, indent=1, sort_keys=True)
-            f.write("\n")
+        # clobber guard (VERDICT r12 #8, same policy as parity_sweep):
+        # a committed, git-clean BENCH_DETAIL_latest.json is round-end
+        # evidence — an ad-hoc run only overwrites it when the caller
+        # says where to write (SPARK_GRAFT_BENCH_OUT, which may be the
+        # default path to force). bench_history.jsonl is append-only
+        # and always records the run regardless.
+        from tools.artifacts import artifact_writable
+
+        out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+        target = out or os.path.join(here, "BENCH_DETAIL_latest.json")
+        if out is None and not artifact_writable(target):
+            print(
+                f"NOT writing {target}: committed round-end record is "
+                "git-clean - set SPARK_GRAFT_BENCH_OUT to overwrite "
+                "(history still appended)",
+                file=sys.stderr,
+            )
+        else:
+            with open(target, "w") as f:
+                json.dump(stamped, f, indent=1, sort_keys=True)
+                f.write("\n")
         with open(os.path.join(here, "bench_history.jsonl"), "a") as f:
             f.write(json.dumps(stamped) + "\n")
     # compact summary LAST: a bounded tail of stdout must always contain

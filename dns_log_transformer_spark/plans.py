@@ -135,6 +135,57 @@ def codegen_lint(df: DataFrame) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# Optimized-plan size lint (VERDICT r12 #1)
+# ---------------------------------------------------------------------------
+
+
+def optimized_plan_size(df: DataFrame) -> int:
+    """Characters in ``optimizedPlan().toString()`` — the cheap proxy for
+    optimizer-side expression blowup. On an executed DataFrame the
+    optimized plan is already computed (QueryExecution caches it), so
+    this is a toString, not a re-optimization.
+    """
+    return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+
+def plan_size_lint(df: DataFrame, *, max_chars: int = 1_000_000) -> list[str]:
+    """Violations for the OPTIMIZER-side plan-blowup class (CLAUDE.md
+    rule 11), the sequel to :func:`codegen_lint` one layer up the stack.
+
+    The r12 WARC walk hit it first: a plain ``explode`` at the tail of
+    an unrolled walk lets ``InferFiltersFromGenerate`` synthesize
+    ``size(arr) > 0``, and predicate pushdown substitutes the ENTIRE
+    walk expression into that one predicate on its way to the scan —
+    the substitution is exponential in walk depth (41 MB optimized
+    plan / driver OOM at 3 steps). ``_codegen_barrier`` stops
+    CollapseProject but NOT pushdown, and :func:`codegen_lint` can't
+    see it: the blowup happens before any code is generated (and the
+    driver dies before codegen gets a chance at real depth).
+
+    This check makes the class mechanical: the optimized plan's string
+    form must stay under a generous ceiling (default 1 MB — the whole
+    registry's largest legitimate plan is ~100x smaller, while the
+    blowup class lands in the tens of MB even at toy depth). Exceeding
+    it means some rewrite rule is duplicating a deep expression tree;
+    fix the operator (rule 11: ``explode_outer`` + a filter on the
+    GENERATOR OUTPUT, which pushdown cannot cross), don't raise the
+    ceiling.
+
+    Works on analyzed-but-unexecuted frames too (optimization runs on
+    demand) — usable as a pre-flight check while authoring a walk.
+    """
+    n = optimized_plan_size(df)
+    if n > max_chars:
+        return [
+            f"optimized plan is {n:,} chars (ceiling {max_chars:,}) — "
+            "optimizer-side expression blowup (CLAUDE.md rule 11: check "
+            "for a plain explode/filter substituting an unrolled walk "
+            "into one predicate)"
+        ]
+    return []
+
+
+# ---------------------------------------------------------------------------
 # Registry-wide scale lint
 # ---------------------------------------------------------------------------
 

@@ -44,8 +44,12 @@ def _pmi_oracle() -> str:
     n AS (SELECT COALESCE(SUM(c_xy), 0)::BIGINT AS n_bigrams FROM cxy),
     sc AS (
       SELECT w1, w2, c_xy, a.c AS c_x, b.c AS c_y,
+             -- denominator enters the product HUGEINT like the Spark
+             -- side's decimal(38,0): BIGINT*BIGINT overflows loudly at
+             -- the ~1e10 stopword marginals the numerator cast was
+             -- added for (ADVICE r12)
              CAST((CAST(1000 AS HUGEINT) * n.n_bigrams * c_xy)
-                  // (a.c * b.c) AS BIGINT) AS lift_milli
+                  // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS lift_milli
       FROM cxy, n
       JOIN uni a ON a.w = w1
       JOIN uni b ON b.w = w2

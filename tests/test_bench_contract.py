@@ -40,3 +40,24 @@ def test_bench_last_line_is_compact_parseable_json():
     # the detail line (first JSON line) carries the per-query maps
     detail = json.loads(lines[-2])
     assert "queries" in detail and "rows" in detail
+
+
+def test_artifact_writable_guard():
+    """Gate-artifact clobber guard (VERDICT r12 #8): a committed,
+    git-clean round-end record refuses an implicit overwrite; absent or
+    dirty files are writable."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.artifacts import artifact_writable
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    committed = os.path.join(repo, "SWEEP_DETAIL_sf0.001.json")
+    if os.path.exists(committed):
+        clean = (
+            subprocess.run(
+                ["git", "-C", repo, "diff", "--quiet", "HEAD", "--", committed],
+                capture_output=True,
+            ).returncode
+            == 0
+        )
+        assert artifact_writable(committed) == (not clean)
+    assert artifact_writable(os.path.join(repo, "no_such_artifact.json"))

@@ -503,3 +503,98 @@ def test_merged_home_plan_claims(spark):
         "MapInPandas": 1,
     }
     assert counts("mm_container_census", "Join") == {"Join": 0}
+
+
+# ---------------------------------------------------------------------------
+# plan_size_lint self-tests (VERDICT r12 #1): the OPTIMIZER-side blowup
+# class (CLAUDE.md rule 11) must be mechanically detectable — r12's WARC
+# walk hit it (41 MB optimized plan / driver OOM) and was caught only by
+# a human driving the operator before commit
+# ---------------------------------------------------------------------------
+
+
+def _barriered_walk(spark, steps, fixed_tail):
+    """A miniature unrolled walk reproducing the rule-11 blowup shape:
+    each step's position expression references the previous step THREE
+    times (substitution grows ~3x/step), steps separated by
+    _codegen_barrier Generates (which stop CollapseProject but NOT
+    predicate pushdown), tail collected via array_compact of when()
+    structs into a MATERIALIZED column — the exact precondition for
+    InferFiltersFromGenerate (it only fires when the generator input is
+    an attribute, which is why the r12 walk's `_recs` column hit it)."""
+    from dns_log_transformer_spark.operators.multimodal import _codegen_barrier
+
+    df = spark.range(4).withColumn(
+        "blob", F.concat(F.lit("xax"), F.col("id").cast("string"))
+    )
+    out = df.withColumn("_p0", F.lit(1).cast("long"))
+    for i in range(steps):
+        out = _codegen_barrier(out, f"_b{i}")
+        prev = F.col(f"_p{i}")
+        nxt = (
+            prev
+            + F.call_function("locate", F.lit("a"), F.col("blob"), prev.cast("int"))
+            + F.length(F.substring(F.col("blob"), prev.cast("int"), 7))
+        )
+        out = out.withColumns({f"_p{i + 1}": nxt.cast("long")})
+    arr = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(f"_p{i + 1}") > 0, F.col(f"_p{i + 1}"))
+                for i in range(steps)
+            ]
+        )
+    )
+    out = out.withColumns({"_arr": arr})
+    if fixed_tail:
+        # rule-11 fix: explode_outer (exempt from InferFiltersFromGenerate)
+        # + a filter on the GENERATOR OUTPUT, which pushdown cannot cross
+        return out.select("id", F.explode_outer("_arr").alias("v")).filter(
+            F.col("v").isNotNull()
+        )
+    return out.select("id", F.explode("_arr").alias("v"))
+
+
+def test_plan_size_lint_flags_walk_blowout(spark):
+    """RED: plain explode at the tail of a barriered walk — the inferred
+    size(arr)>0 predicate is pushed through every barrier, substituting
+    the whole walk into one scan predicate, exponentially. At 8 toy
+    steps the optimized plan is already >1.5M chars (measured 2,570 →
+    20,256 → 175,933 → 1,593,049 chars at steps 2/4/6/8 — ~9x per two
+    steps); the lint fires long before the depth that OOMs the driver."""
+    bad = _barriered_walk(spark, steps=8, fixed_tail=False)
+    v = plans.plan_size_lint(bad)
+    assert v and "rule 11" in v[0], v
+    # superlinearity pin: 2 more steps must NOT grow the fixed tail
+    # like it grows the broken one
+    n6 = plans.optimized_plan_size(_barriered_walk(spark, 6, False))
+    n8 = plans.optimized_plan_size(bad)
+    assert n8 > 4 * n6, (n6, n8)
+
+
+def test_plan_size_lint_clean_on_fixed_tail(spark):
+    """GREEN: the explode_outer + isNotNull tail stays linear in walk
+    depth and far under the ceiling."""
+    n6 = plans.optimized_plan_size(_barriered_walk(spark, 6, True))
+    n8 = plans.optimized_plan_size(_barriered_walk(spark, 8, True))
+    assert plans.plan_size_lint(_barriered_walk(spark, 8, True)) == []
+    # linearity: +2 steps grows the plan by ~one step's worth, not 9x
+    assert n8 < 2 * n6, (n6, n8)
+
+
+def test_warc_walk_plan_size_linear(spark):
+    """The production walk that found the class: parse_warc_records'
+    optimized plan must stay ~linear in max_records (the fix holds) and
+    far under the lint ceiling at its production depth."""
+    from dns_log_transformer_spark.sources.warc import parse_warc_records
+
+    blobs = spark.range(3).select(
+        F.col("id").alias("blob_id"),
+        F.concat(F.lit("WARC/1.0\r\nContent-Length: 1\r\n\r\nx\r\n\r\n")).alias(
+            "blob"
+        ),
+    )
+    n4 = plans.optimized_plan_size(parse_warc_records(blobs, max_records=4))
+    n8 = plans.optimized_plan_size(parse_warc_records(blobs, max_records=8))
+    assert plans.plan_size_lint(parse_warc_records(blobs, max_records=8)) == []
+    assert n8 < 3 * n4, (n4, n8)

@@ -3,7 +3,11 @@ the round-9 hardening tool that found the degenerate-pool z-test crash
 and the .xx5 money-percentile rounding divergence, both invisible at
 the gated sf0.01.
 
-Usage: python tools/parity_sweep.py [sf_dir]   (default sf0.001)
+Usage: python tools/parity_sweep.py [sf_dir] [--out PATH]
+(default sf0.001; without --out the checked-in SWEEP_DETAIL_<sf>.json
+is only written when it is already git-dirty or absent — an ad-hoc
+verification run cannot silently clobber a committed round-end record
+(VERDICT r12 #8); pass --out explicitly to overwrite or redirect)
 
 Runs every registered query AND its DuckDB oracle at the given fixture
 and applies the exact driver-style compare (row count + schema +
@@ -32,12 +36,21 @@ from tests.test_oracle_parity import (  # noqa: E402
 )
 
 
+from tools.artifacts import artifact_writable  # noqa: E402
+
+
 def main() -> int:
     import json
     import os
     import time
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
     load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("parity_sweep")
     con = duckdb.connect()
@@ -61,6 +74,11 @@ def main() -> int:
             cg = plans.codegen_lint(sdf)
             if cg:
                 raise AssertionError(f"codegen lint: {cg[0]}")
+            # optimized-plan-size lint (VERDICT r12 #1): rule-11
+            # optimizer blowups fail the sweep mechanically too
+            ps = plans.plan_size_lint(sdf)
+            if ps:
+                raise AssertionError(f"plan size lint: {ps[0]}")
             release_all()
             driver_canon(spdf, name)
             if name in oracles:
@@ -89,13 +107,19 @@ def main() -> int:
     # state recorded, a future high reading self-identifies as
     # contention or demands investigation mechanically)
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
-    with open(f"/root/repo/SWEEP_DETAIL_{tag}.json", "w") as f:
-        json.dump({"sf_dir": sf, "total": round(sum(timings.values()), 3),
-                   "mismatches": len(bad),
-                   "loadavg_start": load_start,
-                   "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                   "timings": timings}, f, indent=1, sort_keys=True)
-        f.write("\n")
+    target = out_path or f"/root/repo/SWEEP_DETAIL_{tag}.json"
+    if out_path is None and not artifact_writable(target):
+        print(f"NOT writing {target}: committed round-end record is "
+              "git-clean — pass --out to overwrite or redirect "
+              "(VERDICT r12 #8)")
+    else:
+        with open(target, "w") as f:
+            json.dump({"sf_dir": sf, "total": round(sum(timings.values()), 3),
+                       "mismatches": len(bad),
+                       "loadavg_start": load_start,
+                       "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                       "timings": timings}, f, indent=1, sort_keys=True)
+            f.write("\n")
     return 1 if bad else 0
 
 
