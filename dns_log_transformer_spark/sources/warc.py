@@ -27,12 +27,25 @@ RIFF byte walks in operators/multimodal.py, in the character domain):
   so an under-unrolled walk (more records than ``max_records``) is a
   visible nonzero, not a silent truncation.
 
-Character framing, not byte framing: ``Content-Length`` here counts
-CHARACTERS (Spark ``length`` / DuckDB ``length`` agree on chars), where
-real WARC counts octets. The walk logic is identical in either domain —
-the byte-domain competence is already proven by the multimodal walks
-(conv/substring over hex); running this walk over binary means swapping
-``length`` for ``octet_length`` and slicing bytes.
+Two framing domains live here:
+
+- :func:`pack_warc_blobs` / :func:`parse_warc_records` — the original
+  CHARACTER-domain walk (``Content-Length`` counts characters; Spark
+  ``length`` / DuckDB ``length`` agree), kept as the attested minimal
+  framing exercise.
+- :func:`pack_warc_http_blobs` / :func:`parse_warc_http` — the BYTE
+  domain (r13, VERDICT r12 #3): ``Content-Length`` counts OCTETS like
+  real WARC, so multi-byte UTF-8 payloads (virtually every real Common
+  Crawl segment) frame correctly where the character walk would
+  desynchronize. The byte walk runs over ``decode(blob, 'ISO-8859-1')``
+  — the standard bijective byte<->char bridge: every Latin-1 character
+  is exactly one octet, so ``length``/``locate``/``substr`` positions
+  ARE octet positions, the framing expressions stay pure JVM codegen
+  (no binary-domain ``locate`` exists), and ``encode(slice,
+  'ISO-8859-1')`` recovers the exact payload bytes for hashing. It also
+  carries the real record-type surface: ``WARC-Type``
+  (warcinfo/request/response) extraction and the HTTP header/payload
+  split for response records (status code, Content-Type, body octets).
 
 Reference analog: none (the reference ingests HTTP-pushed envelopes,
 /root/reference/app/app.py:60-102); this is a §2.4 new-engine source
@@ -224,5 +237,284 @@ def parse_warc_records(
         F.col("_r.content_length").alias("content_length"),
         F.col("_r.ok").alias("ok"),
         F.col("_r.payload_md5").alias("payload_md5"),
+        "blob_leftover",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-domain WARC with record types + HTTP split (r13, VERDICT r12 #3)
+# ---------------------------------------------------------------------------
+
+#: Fixed warcinfo payload (constant so the oracle can state its length
+#: and digest first-principles).
+WARCINFO_PAYLOAD = "software: dns-log-transformer-spark\r\nformat: WARC-ish/1.0\r\n"
+
+
+def _warc_record(rec_id: Column, warc_type: str, payload: Column) -> Column:
+    """One WARC record as a STRING whose declared Content-Length counts
+    the OCTETS of the payload's UTF-8 encoding — the string is encoded
+    to bytes once per blob, so the digits must describe the encoded
+    form, not the character count."""
+    return F.concat(
+        F.lit(MAGIC),
+        F.lit(f"WARC-Type: {warc_type}\r\nWARC-Record-ID: <"),
+        rec_id,
+        F.lit(">\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit(CRLF2),
+        payload,
+        F.lit(CRLF2),
+    )
+
+
+def pack_warc_http_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    per_blob: int = 2,
+    body_suffix: str = " §é€\U0001f600",
+) -> DataFrame:
+    """(blob_id, blob BINARY, n_records): a warcinfo record, then per
+    document (id order) a request record (``GET /doc/<id>``) and a
+    response record whose payload is a full HTTP response — status
+    line, ``Content-Type``, HTTP ``Content-Length`` in octets, CRLFCRLF,
+    body. Every body gets ``body_suffix`` appended: multi-byte UTF-8
+    (2-, 3- and 4-octet sequences), so character count != octet count on
+    EVERY record — the case a character-framed parser gets wrong is the
+    fixture's default, not a corner.
+
+    One groupBy shuffle on ``blob_id = id div per_blob``; records
+    concatenated in id order per group, then the whole blob is encoded
+    to UTF-8 bytes ONCE.
+    """
+    did = F.col(id_col).cast("string")
+    body = F.concat(F.col(text_col), F.lit(body_suffix))
+    http = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+            "\r\nContent-Length: "
+        ),
+        F.octet_length(body).cast("string"),
+        F.lit(CRLF2),
+        body,
+    )
+    req = F.concat(
+        F.lit("GET /doc/"), did, F.lit(" HTTP/1.1\r\nHost: corpus.invalid\r\n\r\n")
+    )
+    pair = F.concat(
+        _warc_record(F.concat(F.lit("urn:doc:"), did), "request", req),
+        _warc_record(F.concat(F.lit("urn:doc:"), did), "response", http),
+    )
+    bid = F.col(id_col)
+    blob_id = ((bid - bid % per_blob) / per_blob).cast("long")
+    winfo = _warc_record(
+        F.concat(F.lit("urn:warcinfo:"), F.col("blob_id").cast("string")),
+        "warcinfo",
+        F.lit(WARCINFO_PAYLOAD),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(blob_id.alias("blob_id"), F.col(id_col).alias("_id"), pair.alias("_rec"))
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_id", "_rec"))),
+                    lambda s: s["_rec"],
+                ),
+                "",
+            ).alias("_docrecs"),
+            (F.lit(1) + F.lit(2) * F.count(F.lit(1))).cast("long").alias("n_records"),
+        )
+        .select(
+            "blob_id",
+            F.encode(F.concat(winfo, F.col("_docrecs")), "UTF-8").alias("blob"),
+            "n_records",
+        )
+    )
+
+
+def parse_warc_http(
+    df: DataFrame,
+    blob_col: str = "blob",
+    max_records: int = 5,
+) -> DataFrame:
+    """Explode byte-domain WARC blobs into per-record rows via the
+    unrolled Content-Length-driven walk, octet positions throughout
+    (module doc: the walk runs over the blob's ISO-8859-1 decoding, a
+    bijective byte<->char bridge, so every position/length below is an
+    octet count and the framing survives multi-byte UTF-8 payloads).
+
+    Per record: (rec_idx, warc_type, doc_id, content_length, ok,
+    payload_md5, http_status, http_content_type, body_octets, body_md5,
+    blob_leftover). The HTTP columns are non-NULL only on well-formed
+    ``response`` records: status code from the status line,
+    Content-Type from the HTTP header block (located by its own
+    CRLFCRLF terminator — Content-Length-driven at the WARC layer,
+    delimiter-driven inside the payload exactly like real HTTP), body
+    octet count and digest of the bytes after it. ``payload_md5``
+    digests the record's exact payload BYTES for every record type.
+    Malformed records are loud ``ok = false`` rows and stop the walk;
+    ``blob_leftover`` counts unconsumed octets (nonzero = under-unroll,
+    never silent truncation).
+
+    Plan shape: same discipline as :func:`parse_warc_records` — one
+    ``_codegen_barrier`` per step (rule 10), every O(blob) read
+    materialized once as a top-level projection alias (rule 1), all
+    reads gated on the walk state so codegen null-short-circuits
+    exhausted blobs, and the tail is ``explode_outer`` + a filter on
+    the GENERATOR OUTPUT (rule 11 — plans.plan_size_lint pins the
+    class).
+
+    Reference analog: none (§2.4 new-engine source family; the
+    character-domain caveat this replaces was sources/warc.py:30-36 at
+    r12).
+    """
+    from dns_log_transformer_spark.operators.multimodal import _codegen_barrier
+
+    out = df.withColumns(
+        {
+            "_lat": F.decode(F.col(blob_col), "ISO-8859-1"),
+            "_pos0": F.lit(1).cast("long"),
+        }
+    )
+    lat = F.col("_lat")
+    recs: list[Column] = []
+    for i in range(max_records):
+        out = _codegen_barrier(out, f"_wh{i}")
+        pos = F.col(f"_pos{i}")
+        started = pos <= F.length(lat)
+        magic_ok = lat.substr(pos, F.lit(len(MAGIC))) == MAGIC
+        out = out.withColumns(
+            {
+                f"_ha{i}": F.when(
+                    started & magic_ok,
+                    F.call_function("locate", F.lit(CRLF2), lat, pos),
+                ),
+            }
+        )
+        ha = F.col(f"_ha{i}")
+        out = out.withColumns(
+            {f"_hdr{i}": F.when(ha > 0, lat.substr(pos, ha - pos))}
+        )
+        hdr = F.col(f"_hdr{i}")
+        out = out.withColumns(
+            {
+                f"_clen{i}": F.nullif(
+                    F.regexp_extract(hdr, r"\r\nContent-Length: ([0-9]+)", 1),
+                    F.lit(""),
+                ).cast("long"),
+                f"_wt{i}": F.nullif(
+                    F.regexp_extract(hdr, r"\r\nWARC-Type: ([a-z]+)\r\n", 1),
+                    F.lit(""),
+                ),
+                f"_did{i}": F.nullif(
+                    F.regexp_extract(hdr, r"WARC-Record-ID: <urn:doc:([0-9]+)>", 1),
+                    F.lit(""),
+                ).cast("long"),
+            }
+        )
+        clen = F.col(f"_clen{i}")
+        pay = ha + 4  # first payload octet (1-based absolute)
+        valid = (
+            clen.isNotNull()
+            & (pay + clen + 3 <= F.length(lat))
+            & (lat.substr(pay + clen, F.lit(4)) == CRLF2)
+        )
+        # payload slice materialized ONCE (rule 1): md5 + the HTTP split
+        # both read it
+        out = out.withColumns(
+            {f"_pay{i}": F.when(valid, lat.substr(pay, clen))}
+        )
+        payc = F.col(f"_pay{i}")
+        is_resp = F.col(f"_wt{i}") == "response"
+        # HTTP header block ends at the payload's own CRLFCRLF
+        out = out.withColumns(
+            {
+                f"_he{i}": F.when(
+                    is_resp, F.call_function("locate", F.lit(CRLF2), payc)
+                ),
+            }
+        )
+        he = F.col(f"_he{i}")
+        http_ok = he > 0
+        body = F.when(http_ok, payc.substr(he + 4, clen - he - 3))
+        out = out.withColumns({f"_body{i}": body})
+        bodyc = F.col(f"_body{i}")
+        out = out.withColumns(
+            {
+                f"_rec{i}": F.when(
+                    started,
+                    F.struct(
+                        F.lit(i).cast("long").alias("rec_idx"),
+                        F.col(f"_wt{i}").alias("warc_type"),
+                        F.col(f"_did{i}").alias("doc_id"),
+                        clen.alias("content_length"),
+                        F.coalesce(valid, F.lit(False)).alias("ok"),
+                        F.when(
+                            valid, F.md5(F.encode(payc, "ISO-8859-1"))
+                        ).alias("payload_md5"),
+                        F.when(
+                            http_ok,
+                            F.nullif(
+                                F.regexp_extract(
+                                    payc.substr(F.lit(1), he),
+                                    r"^HTTP/1\.[01] ([0-9]{3}) ",
+                                    1,
+                                ),
+                                F.lit(""),
+                            ).cast("long"),
+                        ).alias("http_status"),
+                        F.when(
+                            http_ok,
+                            F.nullif(
+                                F.regexp_extract(
+                                    payc.substr(F.lit(1), he),
+                                    r"\r\nContent-Type: ([^\r]+)",
+                                    1,
+                                ),
+                                F.lit(""),
+                            ),
+                        ).alias("http_content_type"),
+                        F.when(http_ok, F.length(bodyc).cast("long")).alias(
+                            "body_octets"
+                        ),
+                        F.when(
+                            http_ok, F.md5(F.encode(bodyc, "ISO-8859-1"))
+                        ).alias("body_md5"),
+                    ),
+                ),
+                f"_pos{i + 1}": F.when(valid, pay + clen + 4).otherwise(
+                    F.length(lat) + 1
+                ),
+            }
+        )
+        recs.append(F.col(f"_rec{i}"))
+    leftover = (F.length(lat) - F.col(f"_pos{max_records}") + 1).cast("long")
+    out = out.withColumns(
+        {
+            "_recs": F.array_compact(F.array(*recs)),
+            "_leftover": F.greatest(leftover, F.lit(0).cast("long")),
+        }
+    )
+    keep = [c for c in df.columns if c != blob_col]
+    # rule 11 tail: explode_outer + generator-output filter (see
+    # parse_warc_records; plans.plan_size_lint now pins the class)
+    return out.select(
+        *keep,
+        F.col("_leftover").alias("blob_leftover"),
+        F.explode_outer("_recs").alias("_r"),
+    ).filter(F.col("_r").isNotNull()).select(
+        *keep,
+        F.col("_r.rec_idx").alias("rec_idx"),
+        F.col("_r.warc_type").alias("warc_type"),
+        F.col("_r.doc_id").alias("doc_id"),
+        F.col("_r.content_length").alias("content_length"),
+        F.col("_r.ok").alias("ok"),
+        F.col("_r.payload_md5").alias("payload_md5"),
+        F.col("_r.http_status").alias("http_status"),
+        F.col("_r.http_content_type").alias("http_content_type"),
+        F.col("_r.body_octets").alias("body_octets"),
+        F.col("_r.body_md5").alias("body_md5"),
         "blob_leftover",
     )

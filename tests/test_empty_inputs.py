@@ -89,6 +89,8 @@ REPRESENTATIVE = [
     "text_pmi_collocations",  # empty corpus -> no bigrams, stable schema
     "dedup_blocking_audit",  # 1 metrics row of zeros + NULL ratios
     "corpus_warc_records",  # zero blobs packed -> zero records parsed
+    # round-13 families
+    "corpus_warc_http",  # byte-domain walk over zero blobs
 ]
 
 # the learning ops: clear ValueError by contract

@@ -1,0 +1,199 @@
+"""Round-13 operator tests: byte-domain WARC (+HTTP split), Matryoshka
+rerank, blocking tradeoff."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark.sources import warc
+
+SUFFIX = " §é€\U0001f600"
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "héllo wörld"),
+            # a FULL WARC record lookalike (plus an HTTP status-line
+            # lookalike) INSIDE an HTTP body: a split-on-magic or
+            # scan-for-delimiter parser resynchronizes here; the
+            # Content-Length-driven walk must not
+            (1, "WARC/1.0\r\nContent-Length: 3\r\n\r\nxxx\r\n\r\n"
+                "HTTP/1.1 404 NO\r\n\r\n body 😀"),
+            (2, "x"),
+            (3, "日本語テキスト"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _parse(spark, docs=None, per_blob=2, max_records=5):
+    blobs = warc.pack_warc_http_blobs(
+        docs if docs is not None else _docs(spark), per_blob=per_blob
+    )
+    return warc.parse_warc_http(
+        blobs.select("blob_id", "blob"), max_records=max_records
+    )
+
+
+def test_warc_http_octet_framing_survives_multibyte(spark):
+    """THE byte-domain pin (VERDICT r12 #3): every body carries 2-, 3-
+    and 4-octet UTF-8 sequences, so character count != octet count on
+    every record — a character-framed parser desynchronizes on the
+    FIRST record; the octet walk recovers every record and digest."""
+    rows = sorted(
+        _parse(spark).collect(), key=lambda r: (r.blob_id, r.rec_idx)
+    )
+    bodies = {
+        0: "héllo wörld" + SUFFIX,
+        1: "WARC/1.0\r\nContent-Length: 3\r\n\r\nxxx\r\n\r\n"
+           "HTTP/1.1 404 NO\r\n\r\n body 😀" + SUFFIX,
+        2: "x" + SUFFIX,
+        3: "日本語テキスト" + SUFFIX,
+    }
+    assert all(r.ok for r in rows), [r for r in rows if not r.ok]
+    assert all(r.blob_leftover == 0 for r in rows)
+    resp = {r.doc_id: r for r in rows if r.warc_type == "response"}
+    assert sorted(resp) == [0, 1, 2, 3]
+    for did, body in bodies.items():
+        r = resp[did]
+        n_octets = len(body.encode("utf-8"))
+        assert r.body_octets == n_octets, (did, r.body_octets, n_octets)
+        # char framing would be WRONG here — the multi-byte pin
+        assert n_octets != len(body)
+        assert r.body_md5 == _md5(body)
+        assert r.http_status == 200
+        assert r.http_content_type == "text/html; charset=utf-8"
+    # doc 1: the hostile body parses as ONE record — the embedded WARC
+    # lookalike and fake status line never desynchronize the walk, and
+    # the recovered status is the real one (200), not the payload's 404
+    assert resp[1].http_status == 200
+
+
+def test_warc_http_record_type_surface(spark):
+    """warcinfo / request / response typing and per-type columns."""
+    rows = sorted(
+        _parse(spark).collect(), key=lambda r: (r.blob_id, r.rec_idx)
+    )
+    assert [r.warc_type for r in rows if r.blob_id == 0] == [
+        "warcinfo", "request", "response", "request", "response",
+    ]
+    winfo = [r for r in rows if r.warc_type == "warcinfo"]
+    assert all(r.doc_id is None for r in winfo)
+    assert all(
+        r.payload_md5 == _md5(warc.WARCINFO_PAYLOAD) for r in winfo
+    )
+    reqs = [r for r in rows if r.warc_type == "request"]
+    assert reqs and all(
+        r.http_status is None
+        and r.http_content_type is None
+        and r.body_octets is None
+        and r.body_md5 is None
+        for r in reqs
+    )
+    # request payloads are attested byte-for-byte too
+    for r in reqs:
+        req = f"GET /doc/{r.doc_id} HTTP/1.1\r\nHost: corpus.invalid\r\n\r\n"
+        assert r.payload_md5 == _md5(req)
+        assert r.content_length == len(req.encode("utf-8"))
+
+
+def test_warc_http_truncated_blob_is_loud(spark):
+    blobs = warc.pack_warc_http_blobs(_docs(spark)).select("blob_id", "blob")
+    bad = blobs.withColumn(
+        "blob", F.expr("substring(blob, 1, octet_length(blob) - 5)")
+    )
+    out = sorted(
+        warc.parse_warc_http(bad, max_records=5).collect(),
+        key=lambda r: (r.blob_id, r.rec_idx),
+    )
+    by_blob: dict[int, list] = {}
+    for r in out:
+        by_blob.setdefault(r.blob_id, []).append(r)
+    for recs in by_blob.values():
+        assert all(r.ok for r in recs[:-1])
+        assert not recs[-1].ok
+        assert recs[-1].payload_md5 is None and recs[-1].body_md5 is None
+
+
+def test_warc_http_corrupt_content_length_is_loud(spark):
+    blobs = warc.pack_warc_http_blobs(
+        spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    ).select("blob_id", "blob")
+    # corrupt the REQUEST record's WARC Content-Length (45 octets)
+    bad = blobs.withColumn(
+        "blob",
+        F.encode(
+            F.regexp_replace(
+                F.decode("blob", "ISO-8859-1"),
+                r"Content-Length: 45\r\n\r\nGET",
+                "Content-Length: xx\r\n\r\nGET",
+            ),
+            "ISO-8859-1",
+        ),
+    )
+    out = sorted(
+        warc.parse_warc_http(bad, max_records=5).collect(),
+        key=lambda r: r.rec_idx,
+    )
+    # warcinfo parses; the corrupted request is loud and stops the walk
+    assert out[0].warc_type == "warcinfo" and out[0].ok
+    assert not out[1].ok and out[1].content_length is None
+    assert len(out) == 2
+
+
+def test_warc_http_under_unrolled_walk_reports_leftover(spark):
+    out = _parse(spark, max_records=3).collect()
+    rows0 = [r for r in out if r.blob_id == 0]
+    assert len(rows0) == 3  # walk stopped at max_records
+    assert all(r.blob_leftover > 0 for r in rows0)
+    assert all(r.ok for r in rows0)
+
+
+def test_warc_http_single_doc_blob(spark):
+    docs = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    out = sorted(
+        _parse(spark, docs=docs).collect(), key=lambda r: r.rec_idx
+    )
+    assert [r.warc_type for r in out] == ["warcinfo", "request", "response"]
+    assert all(r.ok and r.blob_leftover == 0 for r in out)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters=["\x00"]
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_warc_http_round_trip_fuzz(spark, texts):
+    """Any UTF-8 payload (including CR/LF, header lookalikes, astral
+    plane) round-trips: every record ok, octet counts and digests match
+    the Python ground truth, leftover 0."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = _parse(spark, docs=docs, per_blob=3, max_records=7).collect()
+    assert all(r.ok for r in rows)
+    assert all(r.blob_leftover == 0 for r in rows)
+    resp = {r.doc_id: r for r in rows if r.warc_type == "response"}
+    assert sorted(resp) == list(range(len(texts)))
+    for did, t in enumerate(texts):
+        body = t + SUFFIX
+        assert resp[did].body_octets == len(body.encode("utf-8"))
+        assert resp[did].body_md5 == _md5(body)
