@@ -106,3 +106,66 @@ def corpus_warc_http(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     blobs = warc.pack_warc_http_blobs(docs, per_blob=2, body_suffix=_MB_SUFFIX)
     return warc.parse_warc_http(blobs.select("blob_id", "blob"), max_records=5)
+
+
+def _matryoshka_rerank_oracle() -> str:
+    from dns_log_transformer_spark.queries.advanced import _INT8_CODE_SQL
+
+    return rf"""
+    WITH {_INT8_CODE_SQL},
+    q AS (SELECT vec_id AS query_id, code AS q_code FROM codes
+          WHERE vec_id % 50 = 0 AND vec_id < 2000),
+    pre AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(
+                    list_zip(c.code[1:16], q.q_code[1:16]),
+                    p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dotp
+      FROM codes c, q WHERE c.vec_id <> q.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dotp DESC, vec_id) AS prnk
+        FROM pre)
+      WHERE prnk <= 20),
+    rer AS (
+      SELECT cd.query_id, cd.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.code, q.q_code),
+                    p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)
+               AS dot_full
+      FROM cand cd
+      JOIN codes c USING (vec_id)
+      JOIN q USING (query_id))
+    SELECT query_id, vec_id, dot_full,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dot_full DESC, vec_id) AS rnk
+          FROM rer)
+    WHERE rnk <= 5
+    """
+
+
+@register("sim_matryoshka_rerank", oracle=_matryoshka_rerank_oracle())
+def sim_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated-prefix retrieve, full-width rerank (VERDICT r12 #6):
+    the retrieval operator the r12 ``emb_matryoshka_probe`` number
+    gates. Stage 1 scans only the first-16-dim int8 prefix (the
+    4x-smaller truncated index) to 20 candidates per query; stage 2
+    reranks ONLY those candidate ids by the exact full-width int64 dot
+    to top-5. Same fixed query workload as the probe and the rest of
+    the ANN family (vec_id % 50 == 0, < 2000).
+
+    Determinism: both stages exact integer dots over the same int8
+    codes, ties on neighbor id — bit-reproducible, no float rounding.
+
+    Scale shape (operators/similarity.py matryoshka_rerank_topk): the
+    wide stage-1 frame carries 16 code bytes per row, not 64; stage 2
+    is a broadcast candidate-id join back into the code scan — it
+    never touches a non-candidate row.
+    """
+    from dns_log_transformer_spark.operators import similarity
+
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    return similarity.matryoshka_rerank_topk(
+        emb, queries, k=5, prefilter=20, d_small=16
+    )

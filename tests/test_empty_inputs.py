@@ -96,6 +96,7 @@ REPRESENTATIVE = [
 # the learning ops: clear ValueError by contract
 LEARNERS = [
     "emb_matryoshka_probe",  # int8 calibration learns from the corpus (r12)
+    "sim_matryoshka_rerank",  # same int8 calibration (r13)
     "emb_kmeans",
     "emb_vector_codes",  # merged int8/pq/lsh representation learner
     "emb_semantic_dedup",

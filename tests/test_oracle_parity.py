@@ -48,6 +48,7 @@ BNLJ_DOCUMENTED = {
     "text_pmi_collocations",  # 1-row total-bigram-count scalar broadcast
     "dedup_blocking_audit",  # crossJoins of four 1-row metric aggregates
     "emb_matryoshka_probe",  # broadcast query workload scan, by contract
+    "sim_matryoshka_rerank",  # stage 1 is the same broadcast-queries scan
 }
 
 # The single measured row-at-a-time Python exception: the sentence-split

@@ -197,3 +197,70 @@ def test_warc_http_round_trip_fuzz(spark, texts):
         body = t + SUFFIX
         assert resp[did].body_octets == len(body.encode("utf-8"))
         assert resp[did].body_md5 == _md5(body)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka rerank (VERDICT r12 #6): the operator the r12 probe gates
+# ---------------------------------------------------------------------------
+
+
+def _flip_corpus(spark):
+    """The r12 probe's ranking-flip fixture: q/a agree everywhere; b
+    matches q's PREFIX but opposes the tail; c opposes the prefix but
+    matches the tail. With +-1 values the int8 codes are exactly +-127:
+      dot_full:   a = 64*127^2, b = -32*127^2, c = +32*127^2
+      dot_prefix: a = 16*127^2, b = +16*127^2, c = -16*127^2
+    Full top-2 = [a, c]; prefix-only top-2 = [a, b]."""
+    q = [1.0] * 64
+    a = [1.0] * 64
+    b = [1.0] * 16 + [-1.0] * 48
+    c = [-1.0] * 16 + [1.0] * 48
+    return spark.createDataFrame(
+        [(0, q), (1, a), (2, b), (3, c)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_matryoshka_rerank_repairs_prefix_misranking(spark):
+    """The probe->decision closure: with prefilter wide enough to retain
+    the true neighbor the prefix MIS-RANKED, the full-width rerank
+    restores the exact full ranking — rerank recall@k >= prefix-only
+    recall@k, strictly greater on this fixture."""
+    from dns_log_transformer_spark.operators import similarity
+
+    emb = _flip_corpus(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    truth = similarity.int8_topk(emb, queries, k=2)
+    full_ids = [r.vec_id for r in sorted(truth.collect(), key=lambda r: r.rnk)]
+    assert full_ids == [1, 3]
+    out = similarity.matryoshka_rerank_topk(
+        emb, queries, k=2, prefilter=3, d_small=16
+    )
+    rows = sorted(out.collect(), key=lambda r: r.rnk)
+    rerank_ids = [r.vec_id for r in rows]
+    assert rerank_ids == [1, 3]  # full recall restored
+    # dot_full values are the exact integers the construction predicts
+    assert [r.dot_full for r in rows] == [64 * 127 * 127, 32 * 127 * 127]
+    # prefix-only baseline would have returned [a, b]: recall 1/2
+    prefix_only = similarity.matryoshka_rerank_topk(
+        emb, queries, k=2, prefilter=2, d_small=16
+    )
+    prefix_ids = {r.vec_id for r in prefix_only.collect()}
+    assert len(set(rerank_ids) & set(full_ids)) >= len(prefix_ids & set(full_ids))
+
+
+def test_matryoshka_rerank_only_reorders_prefilter_survivors(spark):
+    """Stage 2 touches ONLY candidate ids: with prefilter=2 the prefix
+    stage keeps {a, b} (c's prefix opposes q), so the rerank must rank
+    within that set even though c's full dot beats b's — the recall
+    loss is the prefilter's, never silent candidate leakage."""
+    from dns_log_transformer_spark.operators import similarity
+
+    emb = _flip_corpus(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = similarity.matryoshka_rerank_topk(
+        emb, queries, k=2, prefilter=2, d_small=16
+    )
+    rows = sorted(out.collect(), key=lambda r: r.rnk)
+    assert [r.vec_id for r in rows] == [1, 2]
+    assert [r.dot_full for r in rows] == [64 * 127 * 127, -32 * 127 * 127]
