@@ -345,14 +345,22 @@ def lsh_band_rows(
     id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, key) LSH band-bucket rows of an already-shingled
     (id_col, shingles) DataFrame — the banding stage alone, exposed for
     consumers that need to shape the candidate join themselves (e.g.
     the incremental delta query joins NEW-side rows against OLD-side
-    rows only, never old x old)."""
+    rows only, never old x old).
+
+    Pass a precomputed ``sig`` frame (the ``shingle_pair_counts(sh=...)``
+    pattern) when several band settings share one signature computation
+    — the signature is band-INDEPENDENT and is the expensive half of
+    the banding lineage (one md5 per shingle), so the tradeoff sweep
+    hoists it out of its settings loop (ADVICE r12)."""
     rows = num_hashes // num_bands
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    if sig is None:
+        sig = minhash_signatures(sh, id_col, num_hashes)
     bands = F.array(
         *[
             F.struct(
@@ -376,6 +384,7 @@ def _lsh_band_candidates(
     num_hashes: int,
     num_bands: int,
     bucket_cap: int = LSH_BUCKET_CAP,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) distinct candidate pairs from MinHash band buckets
     of an already-shingled (id_col, shingles) DataFrame — the blocking
@@ -395,7 +404,9 @@ def _lsh_band_candidates(
     # upstream is the expensive half of this lineage, and the heavy-key
     # agg plus both anti-joined join sides all read this frame — without
     # the cache each consumer would recompute the signatures
-    bucketed = persist_tracked(lsh_band_rows(sh, id_col, num_hashes, num_bands))
+    bucketed = persist_tracked(
+        lsh_band_rows(sh, id_col, num_hashes, num_bands, sig=sig)
+    )
     bucketed = drop_heavy_buckets(bucketed, bucket_cap)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"))
@@ -820,6 +831,139 @@ def blocking_audit(
     pairs2 = nd * (nd - 1)  # always even: exact decimal div by 2
     possible = ((pairs2 - pairs2 % 2) / 2).cast("long")
     return row.withColumn("n_possible_pairs", possible).select(
+        "n_docs",
+        "n_possible_pairs",
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        _milli_ratio(F.col("n_hit"), F.col("n_truth")).alias(
+            "pair_completeness_milli"
+        ),
+        (F.lit(1000) - _milli_ratio(F.col("n_cand"), F.col("n_possible_pairs")))
+        .cast("long")
+        .alias("reduction_ratio_milli"),
+        _milli_ratio(F.col("n_hit"), F.col("n_cand")).alias("precision_milli"),
+    )
+
+
+def blocking_tradeoff(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 100,
+    num_hashes: int = NUM_HASHES,
+    band_settings: tuple[int, ...] = (2, 3, 4, 6),
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """``blocking_audit`` extended from report to recommendation
+    (VERDICT r12 #7): ONE row of Christen metrics per band setting, so
+    the "which (hashes, bands) config" tuning decision — answered by
+    hand in tools/audit_bands_r12.py — is itself an attested query.
+
+    Each ``b`` in ``band_settings`` must divide ``num_hashes``; at 12
+    hashes the default sweep walks the s-curve midpoint (1/b)^(1/r)
+    from ~0.89 (2 bands x 6 rows, precise/recall-poor) down to ~0.41
+    (6 bands x 2 rows, recall-rich/candidate-heavy).
+
+    Shared-work shape (the ADVICE r12 hoist, taken further engine-side
+    than the advice asked): the shingle frame, the TRUTH pair set and
+    the band-INDEPENDENT minhash signature frame are computed once —
+    and the per-setting banding is NOT a loop of per-setting jobs at
+    all. Every setting's band rows are tagged with their ``num_bands``
+    and emitted by ONE explode over the signature frame (sum(b) structs
+    per doc), so the occupancy cap, the candidate self-join and the
+    candidate/hit counts each run as a single shuffle keyed on
+    (num_bands, band, key) / (num_bands, pair) covering ALL settings —
+    4 settings cost one wider pass, not 4 passes. This also keeps the
+    optimized plan ~the audit's size instead of settings x references
+    x the signature lineage (the r13 plan-size lint budget).
+
+    Output: one row per setting, (num_bands, rows_per_band, n_docs,
+    n_possible_pairs, n_truth, n_cand, n_hit, pair_completeness_milli,
+    reduction_ratio_milli, precision_milli), ratios exact integer milli
+    via decimal(38,0). Candidate-set monotonicity holds along band-
+    refinement chains (2->4, 2->6, 3->6: coarser bands are
+    concatenations of finer ones, so a coarse-band match implies a
+    match in every refining piece) — pinned in tests — EXCEPT where the
+    bucket cap drops a hot bucket only the finer banding produces; far
+    above fixture occupancy, so the pins are exact there.
+    """
+    for b in band_settings:
+        if num_hashes % b:
+            raise ValueError(f"num_bands {b} must divide num_hashes {num_hashes}")
+    sh = persist_tracked(
+        with_shingles(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
+    )
+    common = shingle_pair_counts(df, id_col, text_col, n, df_cap, sh=sh)
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    truth = persist_tracked(
+        common.filter(jac >= threshold).select("doc_a", "doc_b")
+    )
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    structs = []
+    for b in band_settings:
+        rows = num_hashes // b
+        structs += [
+            F.struct(
+                F.lit(b).cast("long").alias("num_bands"),
+                F.lit(k).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"m{k * rows + r}").cast("string") for r in range(rows)],
+                ).alias("key"),
+            )
+            for k in range(b)
+        ]
+    # persisted: the occupancy agg and both self-join sides read it
+    bucketed = persist_tracked(
+        sig.select(id_col, F.explode(F.array(*structs)).alias("b")).select(
+            id_col, "b.num_bands", "b.band", "b.key"
+        )
+    )
+    keys = ["num_bands", "band", "key"]
+    heavy = (
+        bucketed.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > bucket_cap)
+        .select(*keys)
+    )
+    pruned = bucketed.join(F.broadcast(heavy), keys, "left_anti")
+    left = pruned.select(*keys, F.col(id_col).alias("doc_a"))
+    right = pruned.select(*keys, F.col(id_col).alias("doc_b"))
+    cands = persist_tracked(
+        left.join(right, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("num_bands", "doc_a", "doc_b")
+        .dropDuplicates(["num_bands", "doc_a", "doc_b"])
+    )
+    one = lambda name: F.count(F.lit(1)).cast("long").alias(name)  # noqa: E731
+    per = cands.groupBy("num_bands").agg(one("n_cand"))
+    hits = (
+        cands.join(truth, ["doc_a", "doc_b"])
+        .groupBy("num_bands")
+        .agg(one("n_hit"))
+    )
+    # literal settings frame: a setting whose candidate set is EMPTY
+    # still gets its row (n_cand = n_hit = 0) instead of vanishing
+    settings = df.sparkSession.createDataFrame(
+        [(int(b), int(num_hashes // b)) for b in band_settings],
+        "num_bands long, rows_per_band long",
+    )
+    base = sh.agg(one("n_docs")).crossJoin(truth.agg(one("n_truth")))
+    m = (
+        settings.join(F.broadcast(per), "num_bands", "left")
+        .join(F.broadcast(hits), "num_bands", "left")
+        .na.fill({"n_cand": 0, "n_hit": 0})
+        .crossJoin(F.broadcast(base))
+    )
+    nd = F.col("n_docs").cast("decimal(38,0)")
+    pairs2 = nd * (nd - 1)  # always even: exact decimal div by 2
+    possible = ((pairs2 - pairs2 % 2) / 2).cast("long")
+    return m.withColumn("n_possible_pairs", possible).select(
+        "num_bands",
+        "rows_per_band",
         "n_docs",
         "n_possible_pairs",
         "n_truth",

@@ -383,24 +383,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.6, df_cap=100)
 
 
-def _minhash_sig_sql() -> tuple[str, str]:
+def _minhash_sig_sql(num_bands: int = dedup.NUM_BANDS) -> tuple[str, str]:
     # Kirsch-Mitzenmacher family, mirroring operators/dedup.py
     # minhash_signatures: one md5 per shingle, h1/h2 = the two 48-bit hex
     # halves, h_j = h1 + j*h2 (exact BIGINT arithmetic in both engines).
+    # ``num_bands`` parameterizes the banding text (the r13 tradeoff
+    # oracle sweeps it); the signature CTE is band-independent.
     sigs = ",\n".join(
         f"      MIN(h1 + {j} * h2) AS m{j}" for j in range(dedup.NUM_HASHES)
     )
-    rows = dedup.NUM_HASHES // dedup.NUM_BANDS
+    rows = dedup.NUM_HASHES // num_bands
     bands = "\n      UNION ALL ".join(
         f"SELECT doc_id, {k} AS band, "
         + " || '_' || ".join(f"CAST(m{k * rows + r} AS VARCHAR)" for r in range(rows))
         + " AS key FROM sig"
-        for k in range(dedup.NUM_BANDS)
+        for k in range(num_bands)
     )
     return sigs, bands
 
 
 _MH_SIGS, _MH_BANDS = _minhash_sig_sql()
+
+#: Band-INDEPENDENT prefix of the minhash chain (shingles -> posting ->
+#: md5-half hashes -> signature) as WITH-clause text: shared by
+#: ``_MH_PAIRS_CTES`` below and the r13 blocking-tradeoff oracle, which
+#: sweeps band settings over this one signature CTE exactly like the
+#: engine side hoists ``minhash_signatures`` out of its settings loop.
+_MH_SIG_CTES = rf"""{_SQL_SHINGLES},
+    post AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)  AS h1,
+             CAST('0x' || substr(md5(x), 13, 12) AS BIGINT) AS h2
+      FROM post),
+    sig AS (
+      SELECT doc_id,
+{_MH_SIGS}
+      FROM hashed GROUP BY doc_id)"""
+
+
+def _mh_band_cand_ctes(num_bands: int = dedup.NUM_BANDS, suffix: str = "") -> str:
+    """bands/bandsc/cand WITH-clause text over the shared ``sig`` CTE,
+    for ``num_bands`` bands, CTE names suffixed so several settings can
+    coexist in one statement (the tradeoff sweep). suffix='' at the
+    default banding reproduces the attested ``_MH_PAIRS_CTES`` section
+    byte-for-byte — ONE definition of the candidate chain."""
+    _, bands = _minhash_sig_sql(num_bands)
+    return rf"""bands{suffix} AS (
+      {bands}),
+    bandsc{suffix} AS (
+      SELECT band, key, doc_id FROM (
+        SELECT band, key, doc_id,
+               COUNT(*) OVER (PARTITION BY band, key) AS _c
+        FROM bands{suffix})
+      WHERE _c <= {dedup.LSH_BUCKET_CAP}),
+    cand{suffix} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandsc{suffix} a JOIN bandsc{suffix} b USING (band, key)
+      WHERE a.doc_id < b.doc_id)"""
 
 
 @register(
@@ -449,29 +489,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 #: The minhash pair derivation as reusable WITH-clause text (shared by
 #: the pairs query above and the connected-components query below).
-_MH_PAIRS_CTES = rf"""{_SQL_SHINGLES},
-    post AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
-    hashed AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)  AS h1,
-             CAST('0x' || substr(md5(x), 13, 12) AS BIGINT) AS h2
-      FROM post),
-    sig AS (
-      SELECT doc_id,
-{_MH_SIGS}
-      FROM hashed GROUP BY doc_id),
-    bands AS (
-      {_MH_BANDS}),
-    bandsc AS (
-      SELECT band, key, doc_id FROM (
-        SELECT band, key, doc_id,
-               COUNT(*) OVER (PARTITION BY band, key) AS _c
-        FROM bands)
-      WHERE _c <= {dedup.LSH_BUCKET_CAP}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bandsc a JOIN bandsc b USING (band, key)
-      WHERE a.doc_id < b.doc_id),
+_MH_PAIRS_CTES = rf"""{_MH_SIG_CTES},
+    {_mh_band_cand_ctes()},
     v AS (
       SELECT doc_a, doc_b,
              len(list_intersect(x.s, y.s)) AS i,

@@ -84,6 +84,24 @@ def text_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     return text.pmi_collocations(docs, min_count=3, k=3)
 
 
+#: The df_cap(100)-bounded exact-Jaccard TRUTH pair chain at J >= 0.5
+#: as WITH-clause text over the shared ``sh`` shingle CTE — factored so
+#: the r13 blocking-tradeoff oracle grades every band setting against
+#: the IDENTICAL truth definition the attested audit uses.
+_BLOCKING_TRUTH_CTES = """tp AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM tp GROUP BY 1 HAVING COUNT(*) <= 100),
+    p AS (SELECT tp.* FROM tp JOIN rare USING (shingle)),
+    tpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS n_a, b.n AS n_b, COUNT(*) AS n_common
+      FROM p a JOIN p b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    truth AS (
+      SELECT doc_a, doc_b FROM tpairs
+      WHERE n_common / (n_a + n_b - n_common) >= 0.5)"""
+
+
 def _blocking_audit_oracle() -> str:
     # The candidate chain (shingles -> md5-half minhash -> bands ->
     # bucket cap -> cand) is llm_ops._MH_PAIRS_CTES verbatim — ONE
@@ -95,18 +113,7 @@ def _blocking_audit_oracle() -> str:
 
     return rf"""
     WITH {_MH_PAIRS_CTES},
-    tp AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
-    rare AS (SELECT shingle FROM tp GROUP BY 1 HAVING COUNT(*) <= 100),
-    p AS (SELECT tp.* FROM tp JOIN rare USING (shingle)),
-    tpairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.n AS n_a, b.n AS n_b, COUNT(*) AS n_common
-      FROM p a JOIN p b USING (shingle)
-      WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4),
-    truth AS (
-      SELECT doc_a, doc_b FROM tpairs
-      WHERE n_common / (n_a + n_b - n_common) >= 0.5),
+    {_BLOCKING_TRUTH_CTES},
     s AS (SELECT
       (SELECT COUNT(*) FROM sh WHERE len(s) > 0)::BIGINT AS n_docs,
       (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,

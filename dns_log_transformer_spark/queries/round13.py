@@ -169,3 +169,82 @@ def sim_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.matryoshka_rerank_topk(
         emb, queries, k=5, prefilter=20, d_small=16
     )
+
+
+def _blocking_tradeoff_oracle() -> str:
+    # ONE definition everywhere: the signature chain and each setting's
+    # band/candidate chain come from llm_ops (_MH_SIG_CTES /
+    # _mh_band_cand_ctes — the same text _MH_PAIRS_CTES is built from),
+    # and the truth chain is round12's _BLOCKING_TRUTH_CTES verbatim —
+    # the attested audit's truth definition. A hash-family, cap or
+    # truth-threshold change cannot desynchronize the sweep from the
+    # audit it extends.
+    from dns_log_transformer_spark.queries.llm_ops import (
+        _MH_SIG_CTES,
+        _mh_band_cand_ctes,
+    )
+    from dns_log_transformer_spark.queries.round12 import _BLOCKING_TRUTH_CTES
+
+    settings = (2, 3, 4, 6)
+    per = ",\n    ".join(_mh_band_cand_ctes(b, f"_{b}") for b in settings)
+    metrics = "\n      UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS num_bands, "
+        f"CAST({12 // b} AS BIGINT) AS rows_per_band, "
+        f"(SELECT COUNT(*) FROM cand_{b})::BIGINT AS n_cand, "
+        f"(SELECT COUNT(*) FROM cand_{b} JOIN truth USING (doc_a, doc_b))"
+        f"::BIGINT AS n_hit"
+        for b in settings
+    )
+    return rf"""
+    WITH {_MH_SIG_CTES},
+    {_BLOCKING_TRUTH_CTES},
+    base AS (SELECT
+      (SELECT COUNT(*) FROM sh WHERE len(s) > 0)::BIGINT AS n_docs,
+      (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth),
+    {per},
+    m AS (
+      {metrics})
+    SELECT m.num_bands, m.rows_per_band, base.n_docs,
+           -- HUGEINT like the Spark side's decimal(38,0): BIGINT*BIGINT
+           -- wraps past ~3e9 docs (the ADVICE r12 PMI class)
+           CAST((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2 AS BIGINT)
+             AS n_possible_pairs,
+           base.n_truth, m.n_cand, m.n_hit,
+           CASE WHEN n_truth > 0
+                THEN CAST((1000 * CAST(n_hit AS HUGEINT)) // n_truth
+                     AS BIGINT)
+           END AS pair_completeness_milli,
+           CASE WHEN n_docs >= 2
+                THEN CAST(1000 - (1000 * CAST(n_cand AS HUGEINT))
+                          // ((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2)
+                     AS BIGINT)
+           END AS reduction_ratio_milli,
+           CASE WHEN n_cand > 0
+                THEN CAST((1000 * CAST(n_hit AS HUGEINT)) // n_cand
+                     AS BIGINT)
+           END AS precision_milli
+    FROM m, base
+    """
+
+
+@register("dedup_blocking_tradeoff", oracle=_blocking_tradeoff_oracle())
+def dedup_blocking_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
+    """The banding tuning decision as an attested query (VERDICT r12
+    #7): one row of Christen blocking metrics (pair completeness,
+    reduction ratio, precision vs the df-capped exact-Jaccard truth at
+    J >= 0.5) per (bands, rows-per-band) setting of the 12-hash MinHash
+    family — 2x6 (s-curve midpoint ~0.89) through 6x2 (~0.41). The r12
+    ``dedup_blocking_audit`` reports the shipped config's quality; this
+    query answers "which config" — the decision
+    tools/audit_bands_r12.py made by hand.
+
+    Scale shape (operators/dedup.py blocking_tradeoff): shingles, the
+    truth pair set and the band-independent signature frame are each
+    computed ONCE and persisted (the ADVICE r12 hoist); per setting
+    only the cheap banding explode, the capped candidate join and three
+    1-row aggregates rerun. Ratios exact integer milli.
+    """
+    from dns_log_transformer_spark.operators import dedup
+
+    docs = table(spark, sf, "documents")
+    return dedup.blocking_tradeoff(docs, threshold=0.5, df_cap=100)

@@ -91,6 +91,7 @@ REPRESENTATIVE = [
     "corpus_warc_records",  # zero blobs packed -> zero records parsed
     # round-13 families
     "corpus_warc_http",  # byte-domain walk over zero blobs
+    "dedup_blocking_tradeoff",  # 4 settings rows of zeros + NULL ratios
 ]
 
 # the learning ops: clear ValueError by contract

@@ -47,6 +47,7 @@ BNLJ_DOCUMENTED = {
     "q_skyline_pareto",  # <=50-point size-domain triangular frontier
     "text_pmi_collocations",  # 1-row total-bigram-count scalar broadcast
     "dedup_blocking_audit",  # crossJoins of four 1-row metric aggregates
+    "dedup_blocking_tradeoff",  # 4-row settings dim x 1-row metric aggs
     "emb_matryoshka_probe",  # broadcast query workload scan, by contract
     "sim_matryoshka_rerank",  # stage 1 is the same broadcast-queries scan
 }

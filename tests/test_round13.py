@@ -264,3 +264,113 @@ def test_matryoshka_rerank_only_reorders_prefilter_survivors(spark):
     rows = sorted(out.collect(), key=lambda r: r.rnk)
     assert [r.vec_id for r in rows] == [1, 2]
     assert [r.dot_full for r in rows] == [64 * 127 * 127, -32 * 127 * 127]
+
+
+# ---------------------------------------------------------------------------
+# Blocking tradeoff (VERDICT r12 #7): the banding decision as a query
+# ---------------------------------------------------------------------------
+
+
+def _tradeoff_rows(spark, rows, **kw):
+    from dns_log_transformer_spark.operators import dedup
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.blocking_tradeoff(docs, threshold=0.5, df_cap=100, **kw)
+    return {r.num_bands: r for r in out.collect()}
+
+
+_CORPUS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (3, "one two three four five six seven eight nine ten"),
+    (4, "unrelated words entirely distinct vocabulary here today"),
+    (5, "alpha beta gamma delta epsilon zeta eta theta mu nu"),
+]
+
+
+def test_blocking_tradeoff_monotone_along_refinement_chains(spark):
+    """With 12 hashes, the 2-band split is a concatenation of the
+    4-band and 6-band splits (and 3-band of 6-band): a coarse-band
+    match implies a match in every refining piece, so along the chains
+    2->4, 2->6 and 3->6 the candidate set only grows — n_cand and pair
+    completeness nondecreasing (the bucket cap never triggers at test
+    occupancy, so the identity is exact)."""
+    by = _tradeoff_rows(spark, _CORPUS)
+    assert sorted(by) == [2, 3, 4, 6]
+    for coarse, fine in ((2, 4), (2, 6), (3, 6)):
+        assert by[fine].n_cand >= by[coarse].n_cand
+        assert (
+            by[fine].pair_completeness_milli
+            >= by[coarse].pair_completeness_milli
+        )
+        # finer banding never improves the reduction ratio
+        assert (
+            by[fine].reduction_ratio_milli <= by[coarse].reduction_ratio_milli
+        )
+
+
+def test_blocking_tradeoff_shares_one_truth_and_matches_audit(spark):
+    """Every settings row reports the IDENTICAL band-invariant numbers
+    (n_docs, n_possible_pairs, n_truth — the truth side is computed
+    once), and the num_bands=4 row reproduces the shipped
+    ``blocking_audit`` exactly — the sweep and the audit can never
+    disagree about the default config."""
+    from dns_log_transformer_spark.operators import dedup
+
+    by = _tradeoff_rows(spark, _CORPUS)
+    invariants = {
+        (r.n_docs, r.n_possible_pairs, r.n_truth) for r in by.values()
+    }
+    assert len(invariants) == 1
+    docs = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    audit = dedup.blocking_audit(docs, threshold=0.5, df_cap=100).collect()[0]
+    r4 = by[4]
+    assert (r4.n_docs, r4.n_truth, r4.n_cand, r4.n_hit) == (
+        audit.n_docs,
+        audit.n_truth,
+        audit.n_cand,
+        audit.n_hit,
+    )
+    assert r4.pair_completeness_milli == audit.pair_completeness_milli
+    assert r4.precision_milli == audit.precision_milli
+    # exact milli arithmetic recomputed from the counts, per row
+    for r in by.values():
+        assert r.rows_per_band == 12 // r.num_bands
+        if r.n_truth:
+            assert r.pair_completeness_milli == (1000 * r.n_hit) // r.n_truth
+        if r.n_cand:
+            assert r.precision_milli == (1000 * r.n_hit) // r.n_cand
+
+
+def test_blocking_tradeoff_planted_exact_dup_caught_everywhere(spark):
+    """An exact dup shares every band at EVERY setting — n_hit >= 1 on
+    each row, and completeness is 1000 when it is the only truth pair."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    by = _tradeoff_rows(spark, rows)
+    for r in by.values():
+        assert r.n_truth == 1 and r.n_hit == 1
+        assert r.pair_completeness_milli == 1000
+
+
+def test_blocking_tradeoff_degenerate_single_doc(spark):
+    by = _tradeoff_rows(spark, [(0, "only one document three words plus")])
+    assert sorted(by) == [2, 3, 4, 6]  # settings rows never vanish
+    for r in by.values():
+        assert r.n_docs == 1 and r.n_possible_pairs == 0
+        assert r.n_truth == 0 and r.n_cand == 0 and r.n_hit == 0
+        assert r.pair_completeness_milli is None
+        assert r.reduction_ratio_milli is None
+        assert r.precision_milli is None
+
+
+def test_blocking_tradeoff_rejects_non_divisor_bands(spark):
+    from dns_log_transformer_spark.operators import dedup
+
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.blocking_tradeoff(docs, band_settings=(5,))
