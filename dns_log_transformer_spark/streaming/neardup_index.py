@@ -153,11 +153,20 @@ def neardup_index_sink(
     num_bands: int = dedup.NUM_BANDS,
     n_buckets: int = N_BUCKETS_DEFAULT,
     bucket_cap: int = dedup.LSH_BUCKET_CAP,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Start the incremental near-dup detection: ``docs`` is a streaming
     DataFrame of (id, text) document rows; each micro-batch is checked
     against the accumulated index and folded into it. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ``compact_max_files`` (optional) turns on SELF-compaction: after a
+    batch's writes land, sub-tables whose worst partition crossed the
+    threshold are rewritten to one file per partition
+    (streaming/compact.py maybe_compact — its advertised home: the end
+    of the foreachBatch callback, where the writer is quiesced by
+    construction because foreachBatch serializes batches). None (the
+    default) keeps compaction a purely external ops concern."""
     _require_local_path(table_path)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
@@ -172,6 +181,7 @@ def neardup_index_sink(
             num_bands=num_bands,
             n_buckets=n_buckets,
             bucket_cap=bucket_cap,
+            compact_max_files=compact_max_files,
         )
 
     return (
@@ -192,10 +202,12 @@ def neardup_merge_batch(
     num_bands: int = dedup.NUM_BANDS,
     n_buckets: int = N_BUCKETS_DEFAULT,
     bucket_cap: int = dedup.LSH_BUCKET_CAP,
+    compact_max_files: int | None = None,
 ) -> None:
     """One micro-batch of the near-dup index, public so the streaming
     corpus monitor (streaming/corpus_monitor.py) and backfills can
-    drive batches directly — the mv_sink.merge_epoch convention."""
+    drive batches directly — the mv_sink.merge_epoch convention.
+    ``compact_max_files``: see :func:`neardup_index_sink`."""
     _require_local_path(table_path)
     buckets_path = os.path.join(table_path, "buckets")
     shingles_path = os.path.join(table_path, "shingles")
@@ -346,4 +358,16 @@ def neardup_merge_batch(
     sh_b.select(id_col, "shingles", "_kb").write.mode("append").partitionBy(
         "_kb"
     ).parquet(shingles_path)
+
+    # 7. optional self-compaction (VERDICT r12 #4): AFTER every store
+    #    write of this batch has landed, so a compaction crash can never
+    #    lose batch data — the swap's own crash window leaves a complete
+    #    `.old` (compact.py) and the NEXT batch's compaction refuses
+    #    loudly rather than guessing. Threshold crossings are rare by
+    #    construction (~every max_files batches per touched partition),
+    #    so the steady-state per-batch cost is one listdir.
+    if compact_max_files is not None:
+        from dns_log_transformer_spark.streaming.compact import maybe_compact
+
+        maybe_compact(spark, table_path, max_files=compact_max_files)
 

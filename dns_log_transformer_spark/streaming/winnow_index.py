@@ -104,11 +104,16 @@ def winnow_index_sink(
     w: int = 4,
     min_anchors: int = 2,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Start incremental span-dedup maintenance: ``docs`` is a
     streaming DataFrame of (id, text) rows; each micro-batch's anchors
     are folded into the index and every doc whose shared-anchor set
-    changed has its spans recomputed. Returns the StreamingQuery."""
+    changed has its spans recomputed. Returns the StreamingQuery.
+
+    ``compact_max_files`` (optional) turns on SELF-compaction at the
+    end of each batch — see neardup_index.neardup_index_sink; same
+    trigger, same quiesced-by-construction safety."""
     _require_local_path(table_path)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
@@ -121,6 +126,7 @@ def winnow_index_sink(
             w=w,
             min_anchors=min_anchors,
             n_buckets=n_buckets,
+            compact_max_files=compact_max_files,
         )
 
     return (
@@ -140,6 +146,7 @@ def merge_docs_batch(
     min_anchors: int = 2,
     n_buckets: int = N_BUCKETS_DEFAULT,
     _fail_after: str | None = None,
+    compact_max_files: int | None = None,
 ) -> None:
     """One micro-batch of the winnow index, public so tests and
     backfills can drive batches directly (the mv_sink.merge_epoch
@@ -316,4 +323,16 @@ def merge_docs_batch(
     if _fail_after == "fpagg":
         raise RuntimeError("injected crash after the fpagg write")
     anch_b.write.mode("append").partitionBy("_kb").parquet(anchors_path)
+
+    # 6. optional self-compaction (VERDICT r12 #4): strictly AFTER the
+    #    anchors append — the replay guard — so a compaction crash
+    #    replays nothing and loses nothing; the swap's crash window
+    #    leaves a complete `.old` and the next run refuses loudly
+    #    (compact.py). A cheap listdir when no threshold is crossed.
+    if compact_max_files is not None:
+        from dns_log_transformer_spark.streaming.compact import maybe_compact
+
+        maybe_compact(
+            batch_df.sparkSession, table_path, max_files=compact_max_files
+        )
 

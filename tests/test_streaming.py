@@ -2117,6 +2117,128 @@ def test_neardup_occupancy_survives_replayed_bucket_rows(spark, tmp_path):
     assert recon2 == expect, f"in-flight replay broke the index: {recon2}"
 
 
+def test_neardup_sink_self_compacts_mid_stream(spark, tmp_path):
+    """Self-compaction wired INTO the sink (VERDICT r12 #4): with
+    compact_max_files=1 the near-dup sink compacts its own shingle and
+    bucket stores at the end of every batch that crosses the threshold
+    — streamed over 5 batches, the worst partition's file count stays
+    at 1 after every batch (without the trigger it would be 5: each
+    batch appends one file per touched partition at n_buckets=2), and
+    the accumulated pairs/ output still EXACTLY equals the one-shot
+    batch operator — compaction changed files, never rows."""
+    import json as _json
+    import os as _os
+
+    from dns_log_transformer_spark.operators import dedup
+    from dns_log_transformer_spark.streaming import (
+        neardup_index_sink,
+        read_pairs,
+    )
+    from dns_log_transformer_spark.streaming.compact import (
+        compaction_due,
+        max_files_per_partition,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        .select("doc_id", "text")
+        .limit(60)
+        .collect()
+    ]
+    batches = [docs[i::5] for i in range(5)]
+    src = tmp_path / "docs"
+    src.mkdir()
+    table = str(tmp_path / "ndindex")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = neardup_index_sink(
+        stream,
+        table,
+        str(tmp_path / "ck"),
+        n_buckets=2,
+        compact_max_files=1,
+    )
+    observed = []
+    try:
+        for i, chunk in enumerate(batches):
+            with open(src / f"b{i}.json", "w") as f:
+                for did, text in chunk:
+                    f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+            q.processAllAvailable()
+            observed.append(
+                (
+                    max_files_per_partition(_os.path.join(table, "shingles")),
+                    max_files_per_partition(_os.path.join(table, "buckets")),
+                )
+            )
+    finally:
+        q.stop()
+    # the trigger fired MID-STREAM: every post-batch observation is the
+    # compacted 1 file/partition (accumulation would read 2..5 here)
+    assert observed == [(1, 1)] * 5, observed
+    assert compaction_due(table, max_files=1) == []
+    # rows unchanged: accumulated pairs == the one-shot batch operator
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in read_pairs(spark, table).collect()
+    }
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(full).collect()
+    }
+    assert len(want) > 0, "fixture subset produced no near-dup pairs"
+    assert got == want
+
+
+def test_winnow_sink_self_compacts_and_spans_unchanged(spark, tmp_path):
+    """The winnow twin of the self-compaction pin, driven through the
+    public merge_docs_batch (the mv_sink.merge_epoch convention): the
+    anchors store — the sink's only append-only table — stays at 1
+    file/partition after every batch, and the final spans equal the
+    one-shot corpus.winnow_span_dedup."""
+    import os as _os
+
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.streaming import read_spans
+    from dns_log_transformer_spark.streaming.compact import (
+        max_files_per_partition,
+    )
+    from dns_log_transformer_spark.streaming.winnow_index import (
+        merge_docs_batch,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        .select("doc_id", "text")
+        .limit(40)
+        .collect()
+    ]
+    table = str(tmp_path / "widx")
+    observed = []
+    for i in range(4):
+        batch = spark.createDataFrame(
+            docs[i::4], "doc_id long, text string"
+        )
+        merge_docs_batch(
+            batch, table, n_buckets=2, compact_max_files=1
+        )
+        observed.append(
+            max_files_per_partition(_os.path.join(table, "anchors"))
+        )
+    assert observed == [1] * 4, observed
+    got = {tuple(r) for r in read_spans(spark, table).collect()}
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {tuple(r) for r in corpus.winnow_span_dedup(full).collect()}
+    assert len(want) > 0, "fixture subset produced no shared spans"
+    assert got == want
+
+
 def test_maybe_compact_trigger_policy(spark, tmp_path):
     """The compaction TRIGGER (VERDICT r11 #3): maybe_compact is a
     cheap no-op below the file-count threshold, fires on exactly the
