@@ -13,6 +13,13 @@ corpus — the number a deployment reads before spending a week of
 cluster time on the wrong banding.
 
 Usage: python tools/audit_bands_r12.py [sf_dir]   (default sf0.1)
+
+SUPERSEDED for production use by the r13 ``dedup_blocking_tradeoff``
+query (queries/round13.py): same table, but oracle-attested and with
+the truth/signature work hoisted out of the settings loop — this tool's
+per-iteration truth recompute (ADVICE r12 #2) is exactly what the
+operator's single tagged-band pass eliminates. Kept as the r12
+historical record.
 """
 
 from __future__ import annotations
