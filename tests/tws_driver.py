@@ -80,9 +80,11 @@ def main() -> None:
     # the idle timeout must comfortably exceed test-driven batch gaps
     # (file write + micro-batch latency + sink poll interval), or the
     # timer evicts BETWEEN batches and the carry-across-batches
-    # assertion races; 15 s is far beyond any observed batch gap while
-    # keeping the eviction wait bounded
-    out = sessionized_user_totals(stream, idle_timeout_ms=15_000)
+    # assertion races; under a loaded full-suite run (two JVMs on one
+    # box) a gap once stretched past 15 s and evicted early (r13 flake,
+    # one occurrence in three suite runs) — 30 s restores the margin
+    # while the 120 s eviction-poll deadline still bounds the wait
+    out = sessionized_user_totals(stream, idle_timeout_ms=30_000)
     q = (
         out.writeStream.format("memory")
         .queryName("tws_out")
