@@ -129,6 +129,17 @@ def shingle_pair_counts(
         .filter(F.col("df") <= df_cap)
         .select("shingle")
     )
+    # BOTH joins below are corpus-sized on BOTH sides (rare is the
+    # surviving shingle VOCABULARY, the posting index is the corpus) —
+    # pin sort-merge. Without the hint the static planner broadcast
+    # them: post-aggregate/filter size estimates undershoot reality,
+    # and at the x100 replica scale Spark built a 3.5+ GiB broadcast
+    # hash relation from the posting side — minutes of build+spill on
+    # the runs that survived, driver OOM on the ones that didn't
+    # (r13 two-decade measurement). AQE cannot demote a statically
+    # planned broadcast join; it CAN still pick a better strategy for
+    # a hinted sort-merge's shuffle sizes, so the hint is the
+    # scale-safe default, not a pessimization lock-in.
     posting = posting.join(rare, "shingle")
     a = posting.select(
         F.col("shingle"),
@@ -141,7 +152,7 @@ def shingle_pair_counts(
         F.col("n_shingles").alias("n_b"),
     )
     return (
-        a.join(b, "shingle")
+        a.join(b.hint("merge"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
@@ -459,13 +470,23 @@ def minhash_lsh_pairs(
         )
     )
     cand = _lsh_band_candidates(sh, id_col, num_hashes, num_bands, bucket_cap)
+    # the shingle frame is CORPUS-sized (one wide array per doc) — pin
+    # sort-merge on both verify joins. Statically planned, Spark chose
+    # BroadcastHashJoin from undershooting post-agg estimates and at
+    # x100 the build OOM'd the driver (r13 two-decade runs; same class
+    # as the shingle_pair_counts fix above — AQE cannot demote a static
+    # broadcast join, so the hint is the scale-safe default).
     verify = (
         cand.join(
-            sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")),
+            sh.select(
+                F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+            ).hint("merge"),
             "doc_a",
         )
         .join(
-            sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")),
+            sh.select(
+                F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+            ).hint("merge"),
             "doc_b",
         )
     )
