@@ -140,7 +140,7 @@ def shingle_pair_counts(
     # planned broadcast join; it CAN still pick a better strategy for
     # a hinted sort-merge's shuffle sizes, so the hint is the
     # scale-safe default, not a pessimization lock-in.
-    posting = posting.join(rare, "shingle")
+    posting = posting.join(rare.hint("merge"), "shingle")
     a = posting.select(
         F.col("shingle"),
         F.col(id_col).alias("doc_a"),
@@ -421,6 +421,18 @@ def _lsh_band_candidates(
     bucketed = drop_heavy_buckets(bucketed, bucket_cap)
     left = bucketed.select("band", "key", F.col(id_col).alias("doc_a"))
     right = bucketed.select("band", "key", F.col(id_col).alias("doc_b"))
+    # Band rows are corpus-sized on both sides, yet this join is NOT
+    # merge-pinned (contrast shingle_pair_counts): the band-row frame's
+    # size estimate flows through explode from the scan, so it GROWS
+    # with the corpus and the static planner flips to sort-merge on its
+    # own past the broadcast threshold (verified at x100, r13/r14 —
+    # unlike the rule-12 post-aggregate undershoot class, which stays
+    # under the threshold at any scale). At the gate fixtures the
+    # broadcast is genuinely optimal (pinning merge measured +33-51%
+    # on the LSH family, r14). The adjudication is WRITTEN DOWN and
+    # enforced: broadcast_allowlist.py carries this join's signature
+    # per consumer query, and plans.broadcast_lint fails any query
+    # whose static plan broadcasts an unlisted side.
     return (
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -835,7 +847,9 @@ def blocking_audit(
     cand = persist_tracked(
         _lsh_band_candidates(sh, id_col, num_hashes, num_bands, bucket_cap)
     )
-    hit = cand.join(truth, ["doc_a", "doc_b"])
+    # candidate AND truth pair sets both scale with the corpus — pin
+    # sort-merge (rule 12)
+    hit = cand.join(truth.hint("merge"), ["doc_a", "doc_b"])
     one = lambda name: F.count(F.lit(1)).cast("long").alias(name)  # noqa: E731
     row = (
         sh.agg(one("n_docs"))
@@ -953,6 +967,11 @@ def blocking_tradeoff(
     pruned = bucketed.join(F.broadcast(heavy), keys, "left_anti")
     left = pruned.select(*keys, F.col(id_col).alias("doc_a"))
     right = pruned.select(*keys, F.col(id_col).alias("doc_b"))
+    # corpus-sized band rows on both sides but NOT merge-pinned — the
+    # explode-fed estimate scales with the corpus so the planner flips
+    # to sort-merge on its own past the threshold (see the
+    # _lsh_band_candidates adjudication; enforced via
+    # broadcast_allowlist.py + plans.broadcast_lint)
     cands = persist_tracked(
         left.join(right, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -961,8 +980,10 @@ def blocking_tradeoff(
     )
     one = lambda name: F.count(F.lit(1)).cast("long").alias(name)  # noqa: E731
     per = cands.groupBy("num_bands").agg(one("n_cand"))
+    # candidate AND truth pair sets both scale with the corpus — pin
+    # sort-merge (rule 12)
     hits = (
-        cands.join(truth, ["doc_a", "doc_b"])
+        cands.join(truth.hint("merge"), ["doc_a", "doc_b"])
         .groupBy("num_bands")
         .agg(one("n_hit"))
     )

