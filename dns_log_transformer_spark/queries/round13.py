@@ -171,6 +171,14 @@ def sim_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ONE definition of the swept band settings and the truth df-cap for
+# BOTH engines (ADVICE r13): the oracle generator iterates these, and
+# the Spark registration passes them explicitly — a default change in
+# dedup.blocking_tradeoff cannot silently desynchronize the two sides.
+TRADEOFF_BAND_SETTINGS: tuple[int, ...] = (2, 3, 4, 6)
+TRADEOFF_DF_CAP = 100
+
+
 def _blocking_tradeoff_oracle() -> str:
     # ONE definition everywhere: the signature chain and each setting's
     # band/candidate chain come from llm_ops (_MH_SIG_CTES /
@@ -185,7 +193,13 @@ def _blocking_tradeoff_oracle() -> str:
     )
     from dns_log_transformer_spark.queries.round12 import _BLOCKING_TRUTH_CTES
 
-    settings = (2, 3, 4, 6)
+    # the truth chain hardcodes its df-cap (one definition, shared with
+    # the audit); fail loudly here if the Spark-side constant ever
+    # drifts from it instead of desynchronizing the engines
+    assert f"COUNT(*) <= {TRADEOFF_DF_CAP}" in _BLOCKING_TRUTH_CTES, (
+        "TRADEOFF_DF_CAP no longer matches round12._BLOCKING_TRUTH_CTES"
+    )
+    settings = TRADEOFF_BAND_SETTINGS
     per = ",\n    ".join(_mh_band_cand_ctes(b, f"_{b}") for b in settings)
     metrics = "\n      UNION ALL ".join(
         f"SELECT CAST({b} AS BIGINT) AS num_bands, "
@@ -247,4 +261,9 @@ def dedup_blocking_tradeoff(spark: SparkSession, sf: str) -> DataFrame:
     from dns_log_transformer_spark.operators import dedup
 
     docs = table(spark, sf, "documents")
-    return dedup.blocking_tradeoff(docs, threshold=0.5, df_cap=100)
+    return dedup.blocking_tradeoff(
+        docs,
+        threshold=0.5,
+        df_cap=TRADEOFF_DF_CAP,
+        band_settings=TRADEOFF_BAND_SETTINGS,
+    )

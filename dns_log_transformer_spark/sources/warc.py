@@ -126,8 +126,9 @@ def parse_warc_records(
     resynchronizing on guesswork. ``blob_leftover`` is the number of
     unconsumed characters after the walk: 0 on a fully parsed blob,
     nonzero when well-formed records remain past ``max_records`` (the
-    no-silent-cap guard; a malformed stop signals via ok=false instead
-    — its walk position parks past the end).
+    no-silent-cap guard) AND on a malformed stop, where it counts from
+    the failing record's start — the tail after an ok=false row was
+    never consumed, and leftover says so (ADVICE r13).
 
     Plan shape (CLAUDE.md rule 9): absolute 1-based positions — no
     per-step remainder copies; each step is 4 batched withColumns
@@ -142,7 +143,12 @@ def parse_warc_records(
     from dns_log_transformer_spark.operators.multimodal import _codegen_barrier
 
     blob = F.col(blob_col)
-    out = df.withColumn("_pos0", F.lit(1).cast("long"))
+    out = df.withColumns(
+        {
+            "_pos0": F.lit(1).cast("long"),
+            "_fail0": F.lit(None).cast("long"),
+        }
+    )
     recs: list[Column] = []
     for i in range(max_records):
         # stage barrier per step (CLAUDE.md rule 10 / the census lesson):
@@ -203,14 +209,23 @@ def parse_warc_records(
                         ).alias("payload_md5"),
                     ),
                 ),
-                # a malformed record stops the walk: park past the end
+                # a malformed record stops the walk: park past the end,
+                # and remember WHERE it failed so blob_leftover can
+                # count the unconsumed tail from the bad record's start
+                # (ADVICE r13: leftover must stay meaningful on ok=false
+                # rows, not just on under-unroll)
                 f"_pos{i + 1}": F.when(valid, pay + clen + 4).otherwise(
                     F.length(blob) + 1
+                ),
+                f"_fail{i + 1}": F.coalesce(
+                    F.col(f"_fail{i}"),
+                    F.when(started & ~F.coalesce(valid, F.lit(False)), pos),
                 ),
             }
         )
         recs.append(F.col(f"_rec{i}"))
-    leftover = (F.length(blob) - F.col(f"_pos{max_records}") + 1).cast("long")
+    end_pos = F.coalesce(F.col(f"_fail{max_records}"), F.col(f"_pos{max_records}"))
+    leftover = (F.length(blob) - end_pos + 1).cast("long")
     out = out.withColumns(
         {
             "_recs": F.array_compact(F.array(*recs)),
@@ -355,8 +370,9 @@ def parse_warc_http(
     octet count and digest of the bytes after it. ``payload_md5``
     digests the record's exact payload BYTES for every record type.
     Malformed records are loud ``ok = false`` rows and stop the walk;
-    ``blob_leftover`` counts unconsumed octets (nonzero = under-unroll,
-    never silent truncation).
+    ``blob_leftover`` counts unconsumed octets — from past the last
+    parsed record on under-unroll, from the failing record's start on a
+    malformed stop — so a nonzero tail is never silently dropped.
 
     Plan shape: same discipline as :func:`parse_warc_records` — one
     ``_codegen_barrier`` per step (rule 10), every O(blob) read
@@ -376,6 +392,7 @@ def parse_warc_http(
         {
             "_lat": F.decode(F.col(blob_col), "ISO-8859-1"),
             "_pos0": F.lit(1).cast("long"),
+            "_fail0": F.lit(None).cast("long"),
         }
     )
     lat = F.col("_lat")
@@ -484,13 +501,21 @@ def parse_warc_http(
                         ).alias("body_md5"),
                     ),
                 ),
+                # park past the end on a malformed record, remembering
+                # its start so blob_leftover counts the unconsumed tail
+                # (ADVICE r13 — same fix as the char-domain twin)
                 f"_pos{i + 1}": F.when(valid, pay + clen + 4).otherwise(
                     F.length(lat) + 1
+                ),
+                f"_fail{i + 1}": F.coalesce(
+                    F.col(f"_fail{i}"),
+                    F.when(started & ~F.coalesce(valid, F.lit(False)), pos),
                 ),
             }
         )
         recs.append(F.col(f"_rec{i}"))
-    leftover = (F.length(lat) - F.col(f"_pos{max_records}") + 1).cast("long")
+    end_pos = F.coalesce(F.col(f"_fail{max_records}"), F.col(f"_pos{max_records}"))
+    leftover = (F.length(lat) - end_pos + 1).cast("long")
     out = out.withColumns(
         {
             "_recs": F.array_compact(F.array(*recs)),

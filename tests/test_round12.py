@@ -189,6 +189,9 @@ def test_warc_corrupt_content_length_is_loud(spark):
     bad_rows = [r for r in out if not r.ok]
     assert bad_rows, "corrupt Content-Length must surface as ok=False"
     assert all(r.content_length is None for r in bad_rows)
+    # ADVICE r13: leftover counts the unconsumed tail from the failing
+    # record's start, so an early malformed stop is loud here too
+    assert all(r.blob_leftover > 0 for r in bad_rows)
 
 
 def test_warc_bad_magic_is_loud(spark):

@@ -149,6 +149,15 @@ def test_warc_http_corrupt_content_length_is_loud(spark):
     assert out[0].warc_type == "warcinfo" and out[0].ok
     assert not out[1].ok and out[1].content_length is None
     assert len(out) == 2
+    # ADVICE r13: the unconsumed tail after a malformed stop is counted
+    # from the failing record's start — the corrupted request record
+    # plus the whole response record were never consumed, so leftover
+    # is the octets from the second record's magic to the blob end
+    # (Python ground truth, never the parser)
+    raw = bytes(bad.select("blob").collect()[0].blob)
+    second_magic = raw.index(b"WARC/1.0", len(b"WARC/1.0"))
+    assert out[1].blob_leftover == len(raw) - second_magic
+    assert out[0].blob_leftover == out[1].blob_leftover  # per-blob column
 
 
 def test_warc_http_under_unrolled_walk_reports_leftover(spark):

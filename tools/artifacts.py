@@ -16,18 +16,34 @@ import subprocess
 
 def artifact_writable(path: str) -> bool:
     """True when writing ``path`` cannot clobber a committed round-end
-    record: the file is absent, untracked, or already git-dirty."""
+    record: the file is absent, untracked, or already git-dirty.
+
+    Fails CLOSED when git state cannot be determined (git missing, not
+    a repository, any exit code other than diff's documented 0/1): the
+    guard exists precisely because no committed history would protect
+    the file, so an indeterminate state must refuse, not silently allow
+    (ADVICE r13)."""
     if not os.path.exists(path):
         return True
     repo = os.path.dirname(os.path.abspath(path)) or "."
-    r = subprocess.run(
-        ["git", "-C", repo, "diff", "--quiet", "HEAD", "--", path],
-        capture_output=True,
-    )
-    # 0 = clean vs HEAD; anything else (dirty, git error) -> writable.
-    if r.returncode != 0:
-        return True
-    # untracked files also diff clean vs HEAD — check they're tracked
+    try:
+        r = subprocess.run(
+            ["git", "-C", repo, "diff", "--quiet", "HEAD", "--", path],
+            capture_output=True,
+        )
+    except OSError as ex:  # git binary missing
+        print(f"artifact_writable: cannot run git ({ex}); refusing to "
+              f"overwrite {path} — pass an explicit --out")
+        return False
+    if r.returncode == 1:
+        return True  # dirty vs HEAD: mid-round iteration, fair game
+    if r.returncode != 0:  # not a repo / bad HEAD / other git error
+        print(f"artifact_writable: git diff failed (rc={r.returncode}, "
+              f"{r.stderr.decode(errors='replace').strip()[:120]}); "
+              f"refusing to overwrite {path} — pass an explicit --out")
+        return False
+    # clean vs HEAD — but untracked files also diff clean: writable
+    # only if untracked
     ls = subprocess.run(
         ["git", "-C", repo, "ls-files", "--error-unmatch", path],
         capture_output=True,
