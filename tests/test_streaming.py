@@ -471,7 +471,9 @@ def test_transform_with_state_eviction():
         env=env,
         capture_output=True,
         text=True,
-        timeout=420,
+        # headroom for the load-derived idle timeout (tws_driver caps it
+        # at 90 s; eviction poll deadline = idle + 90 s)
+        timeout=600,
     )
     assert out.returncode == 0, out.stderr[-4000:]
     assert out.stdout.strip().splitlines()[-1] == "PASS", out.stdout[-2000:]
