@@ -498,6 +498,14 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
         'BroadcastNestedLoopJoin BuildRight, Cross, NOT (vec_id = query_id)':
             'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',
     },
+    'sim_matryoshka_tradeoff': {
+        'BroadcastHashJoin [d_small], [d_small], LeftOuter, BuildRight, false':
+            'BOUNDED: per-setting metric counts — one row per swept prefix width',
+        'BroadcastNestedLoopJoin BuildRight, Cross':
+            'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',
+        'BroadcastNestedLoopJoin BuildRight, Cross, NOT (vec_id = query_id)':
+            'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',
+    },
     'sim_pq_adc_topk': {
         'BroadcastNestedLoopJoin BuildRight, Cross, NOT (vec_id = query_id)':
             'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',

@@ -1511,3 +1511,137 @@ def matryoshka_rerank_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "dot_full", "rnk")
     )
+
+
+def matryoshka_tradeoff(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefilter: int = 20,
+    d_smalls: tuple[int, ...] = (8, 16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The Matryoshka family's tuning query (VERDICT r13 #6): one row of
+    recall-vs-cost per prefix width, so the "how small can the
+    truncated index be" decision — ``sim_matryoshka_rerank`` ships
+    d_small=16 — is itself attested, the same promotion
+    ``dedup_blocking_tradeoff`` gave the banding choice.
+
+    ONE tagged pass (the blocking_tradeoff trick): every (query,
+    corpus-vector) pair is scored ONCE by a single Arrow-batched pandas
+    UDF that accumulates the int64 dot dimension-by-dimension and
+    snapshots it at every swept prefix boundary plus full width —
+    nested prefixes mean the wide sweep costs one full-width dot, not
+    one dot per setting. The exact full-width top-k (the truth) comes
+    from the same pair frame; per-setting candidate ranking runs as one
+    window keyed (d_small, query_id) over the tagged explode of the
+    snapshot array. Recall@k of the rerank path equals the fraction of
+    true top-k ids surviving the prefilter (stage 2 reranks candidates
+    by the exact full dot, so every surviving true neighbor lands in
+    its exact position; ties on id as everywhere in the int8 family).
+
+    Output, one row per setting: (d_small, index_bytes_milli =
+    1000*d_small/dim — the truncated index's storage/scan cost relative
+    to full width, the tradeoff's cost axis), n_queries, n_hit (true
+    top-k ids the prefilter kept, summed over queries), recall_milli
+    (exact integer milli of n_hit / (k * n_queries)).
+
+    Scale shape: pair frame is the probe's broadcast-queries scan
+    (|corpus| x |Q|, the measurement query's documented cost); every
+    downstream frame is query-count- or settings-bounded. The UDF's
+    int64 accumulation is exact (|code| <= 127, 64 dims — far inside
+    int64), so both engines agree bit-for-bit.
+    """
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    bounds = tuple(sorted(set(int(d) for d in d_smalls)))
+    if not bounds or bounds[-1] > EMBEDDING_DIM:
+        raise ValueError(f"d_smalls {d_smalls} must be within 1..{EMBEDDING_DIM}")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def prefix_dots(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.vstack(a.to_numpy()).astype(np.int64)
+        bm = np.vstack(b.to_numpy()).astype(np.int64)
+        acc = np.zeros(am.shape[0], dtype=np.int64)
+        snaps = []
+        want = set(bounds)
+        for d in range(am.shape[1]):
+            acc = acc + am[:, d] * bm[:, d]
+            if d + 1 in want:
+                snaps.append(acc.copy())
+        snaps.append(acc.copy())  # full width, last slot
+        mat = np.stack(snaps, axis=1)
+        return pd.Series(list(mat))
+
+    mns, mxs = int8_bounds(emb, vec_col)
+    c = int8_encode(emb, mns, mxs, id_col, vec_col)
+    q8 = int8_encode(queries, mns, mxs, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("q_code")
+    )
+    pairs = persist_tracked(
+        c.crossJoin(F.broadcast(q8))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            prefix_dots(F.col("code"), F.col("q_code")).alias("_dots"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.desc(F.col("_dots")[len(bounds)]), F.asc(id_col)
+    )
+    full_topk = (
+        pairs.withColumn("_frnk", F.row_number().over(wf))
+        .filter(F.col("_frnk") <= k)
+        .select("query_id", id_col)
+    )
+    tagged = pairs.select(
+        "query_id",
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("d_small"),
+                        F.col("_dots")[i].alias("_dotp"),
+                    )
+                    for i, d in enumerate(bounds)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", id_col, "s.d_small", "s._dotp")
+    wc = W.partitionBy("d_small", "query_id").orderBy(
+        F.desc("_dotp"), F.asc(id_col)
+    )
+    cand = (
+        tagged.withColumn("_prnk", F.row_number().over(wc))
+        .filter(F.col("_prnk") <= prefilter)
+        .select("d_small", "query_id", id_col)
+    )
+    hits = (
+        cand.join(full_topk, ["query_id", id_col])
+        .groupBy("d_small")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    settings = emb.sparkSession.createDataFrame(
+        [(int(d),) for d in bounds], "d_small long"
+    )
+    denom = F.col("n_queries") * k
+    hit1000 = F.col("n_hit") * 1000
+    return (
+        settings.join(F.broadcast(hits), "d_small", "left")
+        .na.fill({"n_hit": 0})
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "d_small",
+            ((F.col("d_small") * 1000 - (F.col("d_small") * 1000) % EMBEDDING_DIM)
+             / EMBEDDING_DIM).cast("long").alias("index_bytes_milli"),
+            "n_queries",
+            "n_hit",
+            ((hit1000 - hit1000 % denom) / denom).cast("long").alias(
+                "recall_milli"
+            ),
+        )
+    )

@@ -543,3 +543,224 @@ def parse_warc_http(
         F.col("_r.body_md5").alias("body_md5"),
         "blob_leftover",
     )
+
+
+# ---------------------------------------------------------------------------
+# gzip-member framing — .warc.gz (VERDICT r13 #3)
+# ---------------------------------------------------------------------------
+
+#: Output schema of the member-splitting Arrow stage.
+GZ_MEMBER_SCHEMA = (
+    "blob_id bigint, member_idx bigint, member_ok boolean, "
+    "gz_leftover bigint, rec_bytes binary"
+)
+
+#: What a gzip-corrupt member contributes as ``rec_bytes``: a short
+#: byte string that FAILS the WARC walk's magic check, so the corrupt
+#: member surfaces downstream as a loud ``ok = false`` row in the SAME
+#: single pass (``member_ok``/``gz_leftover`` carry the gzip-layer
+#: detail) — the alternative, splitting good/bad members into two
+#: branches, would run the decompression stage twice (or persist the
+#: decompressed corpus), which is the wrong trade at archive scale.
+GZ_CORRUPT_SENTINEL = b"GZIP-MEMBER-CORRUPT\r\n"
+
+
+def pack_warc_gz_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    per_blob: int = 2,
+    body_suffix: str = " §é€\U0001f600",
+    compresslevel: int = 9,
+) -> DataFrame:
+    """(blob_id, blob BINARY, n_members): the :func:`pack_warc_http_blobs`
+    record stream re-framed the way real ``.warc.gz`` files are — ONE
+    GZIP MEMBER PER RECORD, members concatenated (the Common Crawl
+    layout: readers seek to a member boundary and gunzip exactly one
+    record). Same record content as the byte-domain pack (warcinfo,
+    then per document a request + full-HTTP response with multi-byte
+    UTF-8 bodies), so the walk-level oracle carries over unchanged.
+
+    Compression happens in an Arrow-batched ``applyInPandas`` over the
+    blob group (one groupBy shuffle, same shape as the plain pack):
+    there is no JVM-builtin gzip, which makes this the policy-sanctioned
+    UDF case (SURVEY §7). ``mtime=0`` keeps members deterministic;
+    ``compresslevel=0`` emits stored (uncompressed) DEFLATE blocks whose
+    byte stream contains the record text VERBATIM — the hostile fixture
+    for any parser that scans the compressed stream for ``WARC/1.0``
+    instead of honoring gzip member framing.
+    """
+    import pandas as pd
+
+    did = F.col(id_col).cast("string")
+    body = F.concat(F.col(text_col), F.lit(body_suffix))
+    http = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+            "\r\nContent-Length: "
+        ),
+        F.octet_length(body).cast("string"),
+        F.lit(CRLF2),
+        body,
+    )
+    req = F.concat(
+        F.lit("GET /doc/"), did, F.lit(" HTTP/1.1\r\nHost: corpus.invalid\r\n\r\n")
+    )
+    bid = F.col(id_col)
+    blob_id = ((bid - bid % per_blob) / per_blob).cast("long").alias("blob_id")
+    seq_base = (bid % per_blob).cast("long") * 2
+    docs = df.filter(F.col(text_col).isNotNull())
+    rows = (
+        docs.select(
+            blob_id,
+            (seq_base + 1).alias("seq"),
+            _warc_record(
+                F.concat(F.lit("urn:doc:"), did), "request", req
+            ).alias("rec"),
+        )
+        .unionAll(
+            docs.select(
+                blob_id,
+                (seq_base + 2).alias("seq"),
+                _warc_record(
+                    F.concat(F.lit("urn:doc:"), did), "response", http
+                ).alias("rec"),
+            )
+        )
+        .unionAll(
+            docs.select(blob_id)
+            .distinct()
+            .select(
+                "blob_id",
+                F.lit(0).cast("long").alias("seq"),
+                _warc_record(
+                    F.concat(
+                        F.lit("urn:warcinfo:"), F.col("blob_id").cast("string")
+                    ),
+                    "warcinfo",
+                    F.lit(WARCINFO_PAYLOAD),
+                ).alias("rec"),
+            )
+        )
+    )
+
+    def gz_pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import gzip
+
+        pdf = pdf.sort_values("seq")
+        members = [
+            gzip.compress(r.encode("utf-8"), compresslevel, mtime=0)
+            for r in pdf["rec"]
+        ]
+        return pd.DataFrame(
+            {
+                "blob_id": [int(pdf["blob_id"].iloc[0])],
+                "blob": [b"".join(members)],
+                "n_members": [len(members)],
+            }
+        )
+
+    return rows.groupBy("blob_id").applyInPandas(
+        gz_pack, "blob_id bigint, blob binary, n_members bigint"
+    )
+
+
+def parse_warc_gz(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """Split concatenated-gzip-member blobs into per-member decompressed
+    record bytes — the layer between a ``.warc.gz`` file on disk and the
+    attested byte walk (:func:`parse_warc_http` with ``max_records=1``
+    consumes ``rec_bytes`` directly).
+
+    ONE Arrow stage riding the scan (``mapInArrow``, no shuffle): per
+    blob, ``zlib.decompressobj(31)`` gunzips one member and its
+    ``unused_data`` hands over the exact remaining bytes — member
+    boundaries come from the gzip framing itself (header magic + DEFLATE
+    end-of-stream + CRC/ISIZE trailer), NEVER from scanning for record
+    magic, so a stored-mode member whose compressed stream contains
+    ``WARC/1.0`` verbatim cannot desynchronize the split (pinned).
+
+    Loudness contract, per member row:
+
+    - clean member: ``member_ok = true``, ``gz_leftover = 0``,
+      ``rec_bytes`` = the decompressed record;
+    - non-gzip bytes at a member boundary (trailing garbage), truncated
+      member (stream ends before DEFLATE eof), or CRC/length-check
+      failure: ``member_ok = false``, ``gz_leftover`` = the octets from
+      that boundary to the blob end (never silently dropped), and
+      ``rec_bytes`` = :data:`GZ_CORRUPT_SENTINEL` so the downstream walk
+      emits its loud ``ok = false`` row in the same pass; the scan stops
+      (no resynchronizing on guesswork — the quarantine stance of
+      :func:`parse_warc_records`).
+
+    At 100 TB each input row should be one member-aligned segment (or a
+    whole segment file, as here for bounded blobs): the stage holds one
+    blob's decompressed records in memory at a time, batch-bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    import pyarrow as pa
+
+    from typing import Iterator
+
+    def split_members(
+        batches: "Iterator[pa.RecordBatch]",
+    ) -> "Iterator[pa.RecordBatch]":
+        import zlib
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+            blobs = batch.column(
+                batch.schema.get_field_index(blob_col)
+            ).to_pylist()
+            o_id: list[int] = []
+            o_idx: list[int] = []
+            o_ok: list[bool] = []
+            o_left: list[int] = []
+            o_rec: list[bytes | None] = []
+
+            def emit(bid, idx, ok, left, rec):
+                o_id.append(bid)
+                o_idx.append(idx)
+                o_ok.append(ok)
+                o_left.append(left)
+                o_rec.append(rec)
+
+            for bid, raw in zip(ids, blobs):
+                if raw is None:
+                    continue
+                data = bytes(raw)
+                idx = 0
+                while data:
+                    if data[:2] != b"\x1f\x8b":
+                        emit(bid, idx, False, len(data), GZ_CORRUPT_SENTINEL)
+                        break
+                    d = zlib.decompressobj(31)
+                    try:
+                        payload = d.decompress(data)
+                    except zlib.error:
+                        emit(bid, idx, False, len(data), GZ_CORRUPT_SENTINEL)
+                        break
+                    if not d.eof:  # truncated member
+                        emit(bid, idx, False, len(data), GZ_CORRUPT_SENTINEL)
+                        break
+                    emit(bid, idx, True, 0, payload)
+                    data = d.unused_data
+                    idx += 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, pa.int64()),
+                    pa.array(o_idx, pa.int64()),
+                    pa.array(o_ok, pa.bool_()),
+                    pa.array(o_left, pa.int64()),
+                    pa.array(o_rec, pa.binary()),
+                ],
+                names=[id_col, "member_idx", "member_ok", "gz_leftover",
+                       "rec_bytes"],
+            )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInArrow(
+        split_members, GZ_MEMBER_SCHEMA
+    )

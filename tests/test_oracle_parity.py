@@ -51,6 +51,7 @@ BNLJ_DOCUMENTED = {
     "dedup_blocking_tradeoff",  # 4-row settings dim x 1-row metric aggs
     "emb_matryoshka_probe",  # broadcast query workload scan, by contract
     "sim_matryoshka_rerank",  # stage 1 is the same broadcast-queries scan
+    "sim_matryoshka_tradeoff",  # same broadcast-queries measurement scan
 }
 
 # The single measured row-at-a-time Python exception: the sentence-split

@@ -96,6 +96,11 @@ RULES: list[tuple[str, str]] = [
         "setting",
     ),
     (
+        r"\[d_small\], \[d_small\]",
+        "BOUNDED: per-setting metric counts — one row per swept prefix "
+        "width",
+    ),
+    (
         r"BroadcastNestedLoopJoin BuildRight, Cross",
         "BOUNDED: crossJoin of a 1-row/bounded frame (scalar "
         "aggregates, settings frames, query workloads) — the "
