@@ -107,6 +107,11 @@ def compact_partitioned_table(spark: SparkSession, table_path: str) -> int:
     os.rename(table_path, old)
     os.rename(tmp, table_path)  # crash between these: recover from .old
     shutil.rmtree(old, ignore_errors=True)
+    # drop the session's cached file listings for the swapped path: a
+    # later read served from the shared FileStatusCache would list the
+    # pre-compaction files and fail with FILE_NOT_EXIST (surfaced by
+    # the r14 monitor flags trigger, whose store is re-read every batch)
+    spark.catalog.refreshByPath(table_path)
     return n
 
 

@@ -126,12 +126,23 @@ def corpus_monitor_sink(
     threshold: float = 0.5,
     n_buckets: int = N_BUCKETS_DEFAULT,
     bucket_cap: int | None = None,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Start the crawl-time triage monitor. ``docs`` is a streaming
     DataFrame of (id, text, source) rows; ``benchmark`` is the FIXED
     held-out eval set (a batch DataFrame). ``bucket_cap`` defaults to
     the shared ``dedup.LSH_BUCKET_CAP``; pass the same value to
-    ``read_scorecard``. Returns the StreamingQuery."""
+    ``read_scorecard``. Returns the StreamingQuery.
+
+    ``compact_max_files`` (optional) turns on SELF-compaction for the
+    two stores that accumulate files per batch — the append-mode flags
+    store (one file set per batch per touched bucket: the r14 drift
+    sweep measured it growing linearly, worst partition 20 files after
+    20 batches) and the embedded near-dup store (the r13 trigger,
+    passed through). Runs at the end of the batch callback, strictly
+    after the flags append, so a compaction crash loses nothing
+    (replay re-appends nothing: the flags store's replay-drop reads
+    ids, not files)."""
     from dns_log_transformer_spark.operators.caching import persist_tracked
     from dns_log_transformer_spark.operators.corpus import decontaminate_against
     from dns_log_transformer_spark.operators.dedup import (
@@ -235,8 +246,16 @@ def corpus_monitor_sink(
             threshold=threshold,
             n_buckets=n_buckets,
             bucket_cap=cap,
+            compact_max_files=compact_max_files,
         )
         flags.write.mode("append").partitionBy("_kb").parquet(flags_path)
+        if compact_max_files is not None:
+            from dns_log_transformer_spark.streaming.compact import maybe_compact
+
+            # after the append (crash-safe: see docstring); batches
+            # serialize within one foreachBatch query, so the store is
+            # quiesced by construction
+            maybe_compact(spark, flags_path, max_files=compact_max_files)
 
     return (
         docs.writeStream.foreachBatch(merge_batch)

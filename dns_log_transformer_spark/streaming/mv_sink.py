@@ -261,13 +261,34 @@ def mv_sink(
     checkpoint_dir: str,
     key_col: str,
     value_col: str,
+    compact_max_epochs: int | None = None,
 ) -> StreamingQuery:
     """Start incremental view maintenance over a streaming DataFrame of
-    fact rows. Returns the StreamingQuery."""
+    fact rows. Returns the StreamingQuery.
+
+    ``compact_max_epochs`` (optional) turns on SELF-folding: the epoch
+    log grows one ``_epoch=N`` partition per batch by design (the r14
+    drift sweep: total files 1 per batch, worst partition flat), and
+    read cost grows with unfolded epochs — when more than
+    ``compact_max_epochs`` partials sit above the fence, the batch
+    callback runs :func:`compact_mv` (crash-consistent at every step;
+    safe while the sink is live) right after its own epoch lands, the
+    same end-of-callback home as the index sinks' ``compact_max_files``
+    trigger."""
     _require_local_path(table_path)
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         merge_epoch(batch_df, epoch_id, table_path, key_col, value_col)
+        if compact_max_epochs is not None:
+            fence, _base = _read_fence_info(table_path)
+            unfolded = sum(
+                1
+                for e in os.listdir(table_path)
+                if e.startswith("_epoch=")
+                and int(e.split("=", 1)[1]) > fence
+            )
+            if unfolded > compact_max_epochs:
+                compact_mv(batch_df.sparkSession, table_path)
 
     return (
         facts.writeStream.foreachBatch(_merge)

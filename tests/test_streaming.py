@@ -2370,3 +2370,114 @@ def test_compact_store_preserves_content_and_fence(spark, tmp_path):
     os.mkdir(mtab + ".old")
     with _pytest.raises(FileExistsError, match="crashed compaction"):
         compact_partitioned_table(spark, mtab)
+
+
+def test_mv_sink_self_fold_trigger(spark, tmp_path):
+    """VERDICT r13 #4: the epoch log grows one partition per batch by
+    design; with compact_max_epochs wired the sink folds itself
+    mid-stream and the view stays exactly equal to the batch aggregate
+    after EVERY batch — exactly-once across the fold."""
+    import json as _json
+    import os as _os
+
+    from dns_log_transformer_spark.streaming import mv_sink, read_mv
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    table = str(tmp_path / "mv")
+    stream = spark.readStream.schema("k string, v long").json(str(src))
+    q = mv_sink(
+        stream, table, str(tmp_path / "ck"), "k", "v", compact_max_epochs=2
+    )
+    rows: list[tuple[str, int]] = []
+    try:
+        for b in range(6):
+            batch = [(f"k{i % 3}", b * 10 + i) for i in range(5)]
+            rows += batch
+            with open(src / f"b{b}.json", "w") as f:
+                for k, v in batch:
+                    f.write(_json.dumps({"k": k, "v": v}) + "\n")
+            q.processAllAvailable()
+            got = {
+                (r["key"], r["n_rows"], r["sum_val"])
+                for r in read_mv(spark, table).collect()
+            }
+            want_df = spark.createDataFrame(rows, "k string, v long")
+            want = {
+                (r["k"], r["n"], r["s"])
+                for r in want_df.groupBy("k")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("v").cast("long").alias("s"),
+                )
+                .collect()
+            }
+            assert got == want, f"batch {b}"
+            # fold keeps unfolded partials bounded by the trigger
+            unfolded = [
+                e for e in _os.listdir(table) if e.startswith("_epoch=")
+            ]
+            assert len(unfolded) <= 3, unfolded
+    finally:
+        q.stop()
+
+
+def test_corpus_monitor_flags_compaction_mid_stream(spark, tmp_path):
+    """VERDICT r13 #4: the flags store appends one file set per batch
+    (the r14 drift sweep's growing curve); with compact_max_files wired
+    the worst partition stays at 1 file after EVERY batch while the
+    scorecard still exactly equals the batch twin."""
+    import json as _json
+
+    from dns_log_transformer_spark.operators import corpus
+    from dns_log_transformer_spark.streaming import (
+        corpus_monitor_sink,
+        read_scorecard,
+    )
+    from dns_log_transformer_spark.streaming.compact import (
+        max_files_per_partition,
+    )
+
+    full = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    docs = [(r["doc_id"], r["text"], r["source"]) for r in full.collect()]
+    bench = full.filter(F.col("doc_id") % 29 == 0)
+    src = tmp_path / "docs"
+    src.mkdir()
+    table = str(tmp_path / "monitor")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).json(str(src))
+    q = corpus_monitor_sink(
+        stream, bench, table, str(tmp_path / "ck"), compact_max_files=1
+    )
+    seen: list[tuple] = []
+    try:
+        for b in range(4):
+            chunk = docs[b * 30 : (b + 1) * 30]
+            seen += chunk
+            with open(src / f"b{b}.json", "w") as f:
+                for d, t, s in chunk:
+                    f.write(
+                        _json.dumps({"doc_id": d, "text": t, "source": s})
+                        + "\n"
+                    )
+            q.processAllAvailable()
+            assert max_files_per_partition(f"{table}/flags") == 1
+            got = {
+                tuple(r) for r in read_scorecard(spark, table).collect()
+            }
+            so_far = spark.createDataFrame(
+                seen, "doc_id long, text string, source string"
+            )
+            want = {
+                tuple(r)
+                for r in corpus.source_scorecard(so_far, bench).collect()
+            }
+            assert got == want, f"batch {b}"
+    finally:
+        q.stop()
