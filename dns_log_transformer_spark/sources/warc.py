@@ -54,6 +54,7 @@ family for bulk-archive corpora.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -581,17 +582,19 @@ def pack_warc_gz_blobs(
     then per document a request + full-HTTP response with multi-byte
     UTF-8 bodies), so the walk-level oracle carries over unchanged.
 
-    Compression happens in an Arrow-batched ``applyInPandas`` over the
-    blob group (one groupBy shuffle, same shape as the plain pack):
-    there is no JVM-builtin gzip, which makes this the policy-sanctioned
-    UDF case (SURVEY §7). ``mtime=0`` keeps members deterministic;
+    Compression happens in ONE Arrow-batched pandas UDF over the
+    already-grouped record arrays — the grouping itself is the same JVM
+    ``collect_list``/``array_sort`` shuffle as the plain pack, so
+    Python sees one row per BLOB, vectorized across blobs (an
+    ``applyInPandas`` over the groups measured 5.1 s at sf0.1 — 2,500
+    tiny per-group pandas frames — vs ~1 s for this shape). There is no
+    JVM-builtin gzip, which makes the UDF the policy-sanctioned case
+    (SURVEY §7). ``mtime=0`` keeps members deterministic;
     ``compresslevel=0`` emits stored (uncompressed) DEFLATE blocks whose
     byte stream contains the record text VERBATIM — the hostile fixture
     for any parser that scans the compressed stream for ``WARC/1.0``
     instead of honoring gzip member framing.
     """
-    import pandas as pd
-
     did = F.col(id_col).cast("string")
     body = F.concat(F.col(text_col), F.lit(body_suffix))
     http = F.concat(
@@ -644,24 +647,27 @@ def pack_warc_gz_blobs(
         )
     )
 
-    def gz_pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    @F.pandas_udf("binary")
+    def gz_join(recs: pd.Series) -> pd.Series:
         import gzip
 
-        pdf = pdf.sort_values("seq")
-        members = [
-            gzip.compress(r.encode("utf-8"), compresslevel, mtime=0)
-            for r in pdf["rec"]
-        ]
-        return pd.DataFrame(
-            {
-                "blob_id": [int(pdf["blob_id"].iloc[0])],
-                "blob": [b"".join(members)],
-                "n_members": [len(members)],
-            }
+        return recs.apply(
+            lambda rl: b"".join(
+                gzip.compress(r.encode("utf-8"), compresslevel, mtime=0)
+                for r in rl
+            )
         )
 
-    return rows.groupBy("blob_id").applyInPandas(
-        gz_pack, "blob_id bigint, blob binary, n_members bigint"
+    grouped = rows.groupBy("blob_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "rec"))),
+            lambda s: s["rec"],
+        ).alias("_recs"),
+    )
+    return grouped.select(
+        "blob_id",
+        gz_join("_recs").alias("blob"),
+        F.size("_recs").cast("long").alias("n_members"),
     )
 
 
