@@ -129,18 +129,27 @@ def shingle_pair_counts(
         .filter(F.col("df") <= df_cap)
         .select("shingle")
     )
-    # BOTH joins below are corpus-sized on BOTH sides (rare is the
-    # surviving shingle VOCABULARY, the posting index is the corpus) —
-    # pin sort-merge. Without the hint the static planner broadcast
-    # them: post-aggregate/filter size estimates undershoot reality,
-    # and at the x100 replica scale Spark built a 3.5+ GiB broadcast
-    # hash relation from the posting side — minutes of build+spill on
-    # the runs that survived, driver OOM on the ones that didn't
-    # (r13 two-decade measurement). AQE cannot demote a statically
-    # planned broadcast join; it CAN still pick a better strategy for
-    # a hinted sort-merge's shuffle sizes, so the hint is the
-    # scale-safe default, not a pessimization lock-in.
-    posting = posting.join(rare.hint("merge"), "shingle")
+    # Rule-12 adjudication of the two joins below (r14, measured):
+    #
+    # - the pair SELF-JOIN is pinned sort-merge: its posting build side
+    #   is the class whose post-aggregate estimate UNDERSHOOTS at any
+    #   scale — statically broadcast even at x100, where Spark built a
+    #   3.5+ GiB hash relation (minutes of build+spill when it
+    #   survived, driver OOM when it didn't; r13 two-decade runs). AQE
+    #   cannot demote a statically planned broadcast.
+    # - the RARE (vocabulary) join is NOT pinned: its estimate scales
+    #   with the corpus, so the static planner broadcasts it only at
+    #   gate-fixture sizes (where that is genuinely optimal — AQE
+    #   would pick the same) and flips to sort-merge at x100 on its
+    #   own (r14 bhj sweep: ngram_jaccard absent from the flagged
+    #   list). Pinning it measured ~+0.5 s on blocking_tradeoff for no
+    #   demonstrated scale benefit — a merge hint also blocks AQE's
+    #   runtime-measured conversions, so pin ONLY demonstrated
+    #   undershoots. plans.broadcast_lint enforces the adjudication:
+    #   the rare broadcast's signature is allowlisted per consumer
+    #   query (X100-CLASS), and any NEW static broadcast here fails
+    #   the parity suite until classified.
+    posting = posting.join(rare, "shingle")
     a = posting.select(
         F.col("shingle"),
         F.col(id_col).alias("doc_a"),
@@ -847,9 +856,15 @@ def blocking_audit(
     cand = persist_tracked(
         _lsh_band_candidates(sh, id_col, num_hashes, num_bands, bucket_cap)
     )
-    # candidate AND truth pair sets both scale with the corpus — pin
-    # sort-merge (rule 12)
-    hit = cand.join(truth.hint("merge"), ["doc_a", "doc_b"])
+    # candidate AND truth pair sets scale with the corpus, but this
+    # join is NOT merge-pinned: the static planner already picks
+    # sort-merge at every probed scale (sf0.01 AND x100 — the estimates
+    # scale, unlike the rule-12 undershoot class), so a pin's only
+    # effect is blocking AQE's runtime-measured broadcast of the tiny
+    # fixture-scale truth side (+20-27% at sf0.1, r14 A/B). The
+    # broadcast lint keeps the adjudication enforced: a static
+    # broadcast appearing here would fail the parity suite.
+    hit = cand.join(truth, ["doc_a", "doc_b"])
     one = lambda name: F.count(F.lit(1)).cast("long").alias(name)  # noqa: E731
     row = (
         sh.agg(one("n_docs"))
@@ -980,10 +995,11 @@ def blocking_tradeoff(
     )
     one = lambda name: F.count(F.lit(1)).cast("long").alias(name)  # noqa: E731
     per = cands.groupBy("num_bands").agg(one("n_cand"))
-    # candidate AND truth pair sets both scale with the corpus — pin
-    # sort-merge (rule 12)
+    # NOT merge-pinned — statically sort-merge at every probed scale;
+    # see blocking_audit's hit join for the adjudication (r14 A/B:
+    # the pin only blocked AQE's runtime-measured broadcast, +20-27%)
     hits = (
-        cands.join(truth.hint("merge"), ["doc_a", "doc_b"])
+        cands.join(truth, ["doc_a", "doc_b"])
         .groupBy("num_bands")
         .agg(one("n_hit"))
     )
