@@ -24,13 +24,13 @@ an unadjudicated broadcast.
 BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     'corpus_bloom_verified_decon': {
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [shingle], [shingle], LeftOuter, BuildRight, false':
             'SCAN-FED: build side is a scan/projection with parquet file-size statistics — accurate at every scale, the planner re-decides and flips to shuffle when the table outgrows the threshold',
     },
     'corpus_boilerplate': {
         'BroadcastHashJoin [_x], [_x], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'corpus_capped_per_source': {
         'BroadcastHashJoin [source], [source], LeftOuter, BuildRight, false':
@@ -46,15 +46,15 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'corpus_negative_pairs': {
         'BroadcastHashJoin [_prk], [_prk], Inner, BuildLeft, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'corpus_prepare_funnel': {
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildLeft, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [shingle], [shingle], LeftOuter, BuildRight, false':
             'SCAN-FED: build side is a scan/projection with parquet file-size statistics — accurate at every scale, the planner re-decides and flips to shuffle when the table outgrows the threshold',
     },
@@ -68,13 +68,13 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'corpus_source_scorecard': {
         'BroadcastHashJoin [band, key], [band, key], Inner, BuildRight, (doc_a < doc_b), false':
-            'X100-CLASS: LSH band self-join — corpus-sized but explode-fed, the size estimate scales with the corpus and the static planner flips to sort-merge past the threshold on its own (x100-verified r13/r14; merge pin measured +33-51% at the fixture)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [band, key], [band, key], LeftAnti, BuildRight, false':
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildLeft, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [shingle], [shingle], LeftOuter, BuildRight, false':
             'SCAN-FED: build side is a scan/projection with parquet file-size statistics — accurate at every scale, the planner re-decides and flips to shuffle when the table outgrows the threshold',
     },
@@ -90,11 +90,11 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'corpus_winnow_span_dedup': {
         'BroadcastHashJoin [fp], [fp], LeftSemi, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'dedup_blocking_audit': {
         'BroadcastHashJoin [band, key], [band, key], Inner, BuildRight, (doc_a < doc_b), false':
-            'X100-CLASS: LSH band self-join — corpus-sized but explode-fed, the size estimate scales with the corpus and the static planner flips to sort-merge past the threshold on its own (x100-verified r13/r14; merge pin measured +33-51% at the fixture)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [band, key], [band, key], LeftAnti, BuildRight, false':
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
         'BroadcastHashJoin [shingle], [shingle], Inner, BuildRight, false':
@@ -104,7 +104,7 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'dedup_blocking_tradeoff': {
         'BroadcastHashJoin [num_bands, band, key], [num_bands, band, key], Inner, BuildRight, (doc_a < doc_b), false':
-            'X100-CLASS: tradeoff band self-join — same explode-fed estimate scaling as the LSH band self-join (x100-verified off-broadcast)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [num_bands, band, key], [num_bands, band, key], LeftAnti, BuildRight, false':
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
         'BroadcastHashJoin [num_bands], [num_bands], LeftOuter, BuildRight, false':
@@ -126,19 +126,19 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
         'BroadcastHashJoin [_o], [_o], Inner, BuildRight, ((cast(size(array_intersect(sh_n, sh_o), false) as double) / cast(((size(sh_n, false) + size(sh_o, false)) - size(array_intersect(sh_n, sh_o), false)) ':
             'BOUNDED: incremental-delta side — bounded by the NEW batch, not the accumulated corpus (batch-bounded delta class)',
         'BroadcastHashJoin [band, key], [band, key], Inner, BuildRight, false':
-            'X100-CLASS: LSH band self-join — corpus-sized but explode-fed, the size estimate scales with the corpus and the static planner flips to sort-merge past the threshold on its own (x100-verified r13/r14; merge pin measured +33-51% at the fixture)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [band, key], [band, key], LeftAnti, BuildRight, false':
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'dedup_keep_best': {
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'dedup_minhash_lsh': {
         'BroadcastHashJoin [band, key], [band, key], Inner, BuildRight, (doc_a < doc_b), false':
-            'X100-CLASS: LSH band self-join — corpus-sized but explode-fed, the size estimate scales with the corpus and the static planner flips to sort-merge past the threshold on its own (x100-verified r13/r14; merge pin measured +33-51% at the fixture)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [band, key], [band, key], LeftAnti, BuildRight, false':
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
     },
@@ -148,13 +148,13 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'dedup_simhash_pairs': {
         'BroadcastHashJoin [band, key], [band, key], Inner, BuildRight, ((doc_a < doc_b) AND (bit_count((h_a ^ h_b)) <= 3)), false':
-            'X100-CLASS: LSH band self-join — corpus-sized but explode-fed, the size estimate scales with the corpus and the static planner flips to sort-merge past the threshold on its own (x100-verified r13/r14; merge pin measured +33-51% at the fixture)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [band, key], [band, key], LeftAnti, BuildRight, false':
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
     },
     'dedup_sorted_neighborhood': {
         'BroadcastHashJoin [_rn_b], [_rn_b], Inner, BuildRight, (levenshtein(_prefix_a, _prefix_b, None) <= 20), false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'dedup_text_embedding_lsh': {
         'BroadcastHashJoin [lsh_key], [lsh_key], Inner, BuildRight, (id_a < id_b), false':
@@ -162,7 +162,7 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'emb_coverage_audit': {
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'emb_knn_label': {
         'BroadcastNestedLoopJoin BuildRight, Cross, NOT (vec_id = query_id)':
@@ -182,15 +182,15 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'mm_phash_pairs': {
         'BroadcastHashJoin [band, key], [band, key], Inner, BuildRight, (doc_id < doc_id), false':
-            'X100-CLASS: LSH band self-join — corpus-sized but explode-fed, the size estimate scales with the corpus and the static planner flips to sort-merge past the threshold on its own (x100-verified r13/r14; merge pin measured +33-51% at the fixture)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [doc_a], [doc_a], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [doc_b], [doc_b], Inner, BuildRight, ((((bit_count((a0 ^ c0)) + bit_count((a1 ^ c1))) + bit_count((a2 ^ c2))) + bit_count((a3 ^ c3))) <= 3), false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
     },
     'mm_resize': {
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'q10_returned_items': {
         'BroadcastHashJoin [c_nationkey], [n_nationkey], Inner, BuildRight, false':
@@ -354,7 +354,7 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
         'BroadcastHashJoin [cohort_week], [cohort_week], Inner, BuildRight, false':
             'BOUNDED: per-group aggregate/spine over a bounded key domain (flags, priorities, buckets, calendar spine, source catalog, CIDR table, synthetic key domain) — rows <= domain size, independent of corpus scale',
         'BroadcastHashJoin [user_id], [user_id], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            'EVENTS-AGG: per-user aggregate over the events scan — estimate tracks the scan (the SCAN-FED mechanism); the x100 replica set carries no events table, so the x100 probe is pending (tools/gen_broadcast_allowlist.py reports the skip on every regeneration)',
     },
     'q_concurrent_intervals': {
         'BroadcastHashJoin [o_orderkey], [l_orderkey], Inner, BuildLeft, false':
@@ -532,70 +532,70 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'text_bm25_topk': {
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildLeft, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastNestedLoopJoin BuildRight, Cross':
             'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',
     },
     'text_fingerprint': {
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'text_hybrid_rrf': {
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildLeft, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastNestedLoopJoin BuildRight, Cross':
             'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',
     },
     'text_ngram_novelty': {
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [g], [g], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'text_pmi_collocations': {
         'BroadcastHashJoin [w1], [w1], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [w2], [w2], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastNestedLoopJoin BuildRight, Cross':
             'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',
     },
     'text_quality': {
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'text_rake_keyphrases': {
         'BroadcastHashJoin [doc_id, grp], [doc_id, grp], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [w], [w], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'text_repetition': {
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'text_tfidf_cosine_rerank': {
         'BroadcastHashJoin [band, key], [band, key], Inner, BuildRight, (doc_a < doc_b), false':
-            'X100-CLASS: LSH band self-join — corpus-sized but explode-fed, the size estimate scales with the corpus and the static planner flips to sort-merge past the threshold on its own (x100-verified r13/r14; merge pin measured +33-51% at the fixture)',
+            'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [band, key], [band, key], LeftAnti, BuildRight, false':
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
         'BroadcastHashJoin [doc_a], [doc_a], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [doc_b, term], [doc_b, term], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [doc_b], [doc_b], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [term], [term], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'text_tfidf_topterms': {
         'BroadcastHashJoin [term], [term], Inner, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'text_trigram_familiarity': {
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [g], [g], LeftSemi, BuildRight, false':
-            'X100-CLASS: aggregate-fed build side whose size estimate grows with the corpus — the planner leaves the broadcast path past the threshold; verified at the x100 replica scale (tools/bhj_sweep_r13.py, r13/r14 runs all flagged queries clean)',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
 }

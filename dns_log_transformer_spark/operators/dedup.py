@@ -137,18 +137,19 @@ def shingle_pair_counts(
     #   3.5+ GiB hash relation (minutes of build+spill when it
     #   survived, driver OOM when it didn't; r13 two-decade runs). AQE
     #   cannot demote a statically planned broadcast.
-    # - the RARE (vocabulary) join is NOT pinned: its estimate scales
-    #   with the corpus, so the static planner broadcasts it only at
-    #   gate-fixture sizes (where that is genuinely optimal — AQE
-    #   would pick the same) and flips to sort-merge at x100 on its
-    #   own (r14 bhj sweep: ngram_jaccard absent from the flagged
-    #   list). Pinning it measured ~+0.5 s on blocking_tradeoff for no
-    #   demonstrated scale benefit — a merge hint also blocks AQE's
-    #   runtime-measured conversions, so pin ONLY demonstrated
-    #   undershoots. plans.broadcast_lint enforces the adjudication:
-    #   the rare broadcast's signature is allowlisted per consumer
-    #   query (X100-CLASS), and any NEW static broadcast here fails
-    #   the parity suite until classified.
+    # - the RARE (vocabulary) join is NOT pinned: the static planner
+    #   still broadcasts it at x100 (plan probe, r14) and the queries
+    #   EXECUTED clean there at two decades (r13/r14 bhj sweeps, no
+    #   OOM) — the x100 vocabulary fits, unlike the posting side's
+    #   3.5+ GiB relation. Pinning it measured ~+0.5 s on
+    #   blocking_tradeoff with no demonstrated benefit at any
+    #   validated scale (a merge hint also blocks AQE's
+    #   runtime-measured conversions), so the pin is DEFERRED until a
+    #   larger decade shows build/spill pain. The adjudication is
+    #   enforced: the rare broadcast's signature is allowlisted per
+    #   consumer query (X100-RAN-CLEAN, machine-refreshed against the
+    #   x100 replica on every allowlist regeneration), and any NEW
+    #   static broadcast here fails the parity suite until classified.
     posting = posting.join(rare, "shingle")
     a = posting.select(
         F.col("shingle"),

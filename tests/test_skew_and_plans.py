@@ -730,6 +730,10 @@ def test_broadcast_allowlist_hygiene():
         assert q in registered, f"allowlist entry for unregistered query {q}"
         for sig, why in entries.items():
             assert sig.startswith("Broadcast"), (q, sig)
-            assert why.split(":")[0] in ("BOUNDED", "SCAN-FED", "X100-CLASS"), (
-                f"{q}: unclassified rationale for {sig!r}: {why!r}"
-            )
+            assert why.split(":")[0] in (
+                "BOUNDED",
+                "SCAN-FED",
+                "X100-FLIPS",
+                "X100-RAN-CLEAN",
+                "EVENTS-AGG",
+            ), f"{q}: unclassified rationale for {sig!r}: {why!r}"
