@@ -97,8 +97,6 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
             'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [band, key], [band, key], LeftAnti, BuildRight, false':
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
-        'BroadcastHashJoin [shingle], [shingle], Inner, BuildRight, false':
-            'SCAN-FED: build side is a TPC-H-keyed scan/projection (or a per-key aggregate whose estimate tracks it) with parquet file-size statistics — the estimate grows with the table, so the planner re-decides and flips to shuffle when the side outgrows the threshold (x100-verified class, tools/bhj_sweep_r13.py)',
         'BroadcastNestedLoopJoin BuildRight, Cross':
             'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',
     },
@@ -109,14 +107,8 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
         'BroadcastHashJoin [num_bands], [num_bands], LeftOuter, BuildRight, false':
             'BOUNDED: per-setting metric counts — one row per swept band setting',
-        'BroadcastHashJoin [shingle], [shingle], Inner, BuildRight, false':
-            'SCAN-FED: build side is a TPC-H-keyed scan/projection (or a per-key aggregate whose estimate tracks it) with parquet file-size statistics — the estimate grows with the table, so the planner re-decides and flips to shuffle when the side outgrows the threshold (x100-verified class, tools/bhj_sweep_r13.py)',
         'BroadcastNestedLoopJoin BuildRight, Cross':
             'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',
-    },
-    'dedup_containment': {
-        'BroadcastHashJoin [shingle], [shingle], Inner, BuildRight, false':
-            'SCAN-FED: build side is a TPC-H-keyed scan/projection (or a per-key aggregate whose estimate tracks it) with parquet file-size statistics — the estimate grows with the table, so the planner re-decides and flips to shuffle when the side outgrows the threshold (x100-verified class, tools/bhj_sweep_r13.py)',
     },
     'dedup_incremental_delta': {
         'BroadcastHashJoin [_f], [_f], LeftSemi, BuildRight, false':
@@ -141,10 +133,6 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
             'X100-FLIPS: corpus-scaled build side whose size estimate tracks the input — the static planner flips this site to sort-merge by the x100 replica scale (plan probe); the broadcast appears only at gate-fixture sizes where it is genuinely optimal',
         'BroadcastHashJoin [band, key], [band, key], LeftAnti, BuildRight, false':
             'BOUNDED: heavy-bucket key list — <= n_rows/bucket_cap keys by construction (occupancy-cap aggregate)',
-    },
-    'dedup_ngram_jaccard': {
-        'BroadcastHashJoin [shingle], [shingle], Inner, BuildRight, false':
-            'SCAN-FED: build side is a TPC-H-keyed scan/projection (or a per-key aggregate whose estimate tracks it) with parquet file-size statistics — the estimate grows with the table, so the planner re-decides and flips to shuffle when the side outgrows the threshold (x100-verified class, tools/bhj_sweep_r13.py)',
     },
     'dedup_simhash_pairs': {
         'BroadcastHashJoin [band, key], [band, key], Inner, BuildRight, ((doc_a < doc_b) AND (bit_count((h_a ^ h_b)) <= 3)), false':

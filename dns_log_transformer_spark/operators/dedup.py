@@ -137,20 +137,17 @@ def shingle_pair_counts(
     #   3.5+ GiB hash relation (minutes of build+spill when it
     #   survived, driver OOM when it didn't; r13 two-decade runs). AQE
     #   cannot demote a statically planned broadcast.
-    # - the RARE (vocabulary) join is NOT pinned: the static planner
-    #   still broadcasts it at x100 (plan probe, r14) and the queries
-    #   EXECUTED clean there at two decades (r13/r14 bhj sweeps, no
-    #   OOM) — the x100 vocabulary fits, unlike the posting side's
-    #   3.5+ GiB relation. Pinning it measured ~+0.5 s on
-    #   blocking_tradeoff with no demonstrated benefit at any
-    #   validated scale (a merge hint also blocks AQE's
-    #   runtime-measured conversions), so the pin is DEFERRED until a
-    #   larger decade shows build/spill pain. The adjudication is
-    #   enforced: the rare broadcast's signature is allowlisted per
-    #   consumer query (X100-RAN-CLEAN, machine-refreshed against the
-    #   x100 replica on every allowlist regeneration), and any NEW
-    #   static broadcast here fails the parity suite until classified.
-    posting = posting.join(rare, "shingle")
+    # - the RARE (vocabulary) join is ALSO pinned, on the strength of
+    #   the complete r14 A/B matrix: unpinned, the static planner
+    #   still broadcasts the vocabulary at x100 (plan probe — the
+    #   estimate undershoots across five decades) where the broadcast
+    #   runs CLEAN but 2x SLOWER (blocking_tradeoff 50.4 s unpinned
+    #   vs 26.3 s pinned at x100; the vocabulary grows with the
+    #   corpus, so further decades only worsen it), while the pin's
+    #   fixture cost is ~+0.5 s on blocking_tradeoff alone (~+0.5%
+    #   headline) — the r13 trade (small fixture tax for the big
+    #   decade), taken consciously with both sides measured.
+    posting = posting.join(rare.hint("merge"), "shingle")
     a = posting.select(
         F.col("shingle"),
         F.col(id_col).alias("doc_a"),
