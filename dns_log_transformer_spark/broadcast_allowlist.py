@@ -26,7 +26,7 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildRight, false':
             "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [shingle], [shingle], LeftOuter, BuildRight, false':
-            'SCAN-FED: build side is a scan/projection with parquet file-size statistics — accurate at every scale, the planner re-decides and flips to shuffle when the table outgrows the threshold',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'corpus_boilerplate': {
         'BroadcastHashJoin [_x], [_x], Inner, BuildRight, false':
@@ -38,7 +38,7 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'corpus_decontaminate': {
         'BroadcastHashJoin [shingle], [shingle], LeftOuter, BuildRight, false':
-            'SCAN-FED: build side is a scan/projection with parquet file-size statistics — accurate at every scale, the planner re-decides and flips to shuffle when the table outgrows the threshold',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'corpus_dsir_weights': {
         'BroadcastHashJoin [_f], [_f], Inner, BuildRight, false':
@@ -56,7 +56,7 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':
             "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [shingle], [shingle], LeftOuter, BuildRight, false':
-            'SCAN-FED: build side is a scan/projection with parquet file-size statistics — accurate at every scale, the planner re-decides and flips to shuffle when the table outgrows the threshold',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'corpus_prune_curve': {
         'BroadcastNestedLoopJoin BuildRight, Cross':
@@ -76,11 +76,11 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildRight, false':
             "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [shingle], [shingle], LeftOuter, BuildRight, false':
-            'SCAN-FED: build side is a scan/projection with parquet file-size statistics — accurate at every scale, the planner re-decides and flips to shuffle when the table outgrows the threshold',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'corpus_span_dedup': {
         'BroadcastHashJoin [span_text], [span_text], Inner, BuildRight, false':
-            'SCAN-FED: build side is a scan/projection with parquet file-size statistics — accurate at every scale, the planner re-decides and flips to shuffle when the table outgrows the threshold',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'corpus_temperature_sample': {
         'BroadcastHashJoin [source], [source], Inner, BuildRight, (sample_rank <= _quota), false':
@@ -146,7 +146,7 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     'dedup_text_embedding_lsh': {
         'BroadcastHashJoin [lsh_key], [lsh_key], Inner, BuildRight, (id_a < id_b), false':
-            'SCAN-FED: build side is a scan/projection with parquet file-size statistics — accurate at every scale, the planner re-decides and flips to shuffle when the table outgrows the threshold',
+            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'emb_coverage_audit': {
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':

@@ -735,7 +735,12 @@ def parse_warc_gz(
                 o_rec.append(rec)
 
             for bid, raw in zip(ids, blobs):
-                if raw is None:
+                if raw is None or len(raw) == 0:
+                    # loudness: a NULL/0-byte blob must not vanish from
+                    # the output — every input blob_id gets at least one
+                    # row, and the sentinel keeps the downstream walk's
+                    # ok=false path loud in the same pass (ADVICE r14)
+                    emit(bid, 0, False, 0, GZ_CORRUPT_SENTINEL)
                     continue
                 data = bytes(raw)
                 idx = 0

@@ -279,7 +279,11 @@ def mv_sink(
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         merge_epoch(batch_df, epoch_id, table_path, key_col, value_col)
-        if compact_max_epochs is not None:
+        if compact_max_epochs is not None and os.path.isdir(table_path):
+            # isdir guard: an empty first/replayed micro-batch makes
+            # merge_epoch return before the table directory exists —
+            # an unconditional listdir would raise FileNotFoundError
+            # and kill the streaming query (ADVICE r14).
             fence, _base = _read_fence_info(table_path)
             unfolded = sum(
                 1

@@ -168,6 +168,28 @@ def test_warc_gz_corrupt_crc_is_loud(spark):
     assert rows[-1].gz_leftover > 0
 
 
+def test_warc_gz_null_and_empty_blob_are_loud(spark):
+    """A NULL or 0-byte blob must not vanish from the output: every
+    input blob_id is accounted for by exactly one member_ok=false
+    sentinel row (ADVICE r14 — the loudness contract covers the
+    degenerate inputs too), and the sentinel keeps the downstream walk
+    loud in the same pass."""
+    blobs = spark.createDataFrame(
+        [(0, None), (1, b"")], "blob_id long, blob binary"
+    )
+    rows = sorted(
+        warc.parse_warc_http(
+            warc.parse_warc_gz(blobs), blob_col="rec_bytes", max_records=1
+        ).collect(),
+        key=lambda r: r.blob_id,
+    )
+    assert [r.blob_id for r in rows] == [0, 1]
+    for r in rows:
+        assert not r.member_ok and not r.ok
+        assert r.member_idx == 0 and r.gz_leftover == 0
+        assert r.payload_md5 is None
+
+
 def test_warc_gz_multi_record_member_leftover_is_loud(spark):
     """A member wrapping TWO records (some writers concatenate): at the
     contract's max_records=1 the walk's blob_leftover flags the second

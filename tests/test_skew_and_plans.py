@@ -655,30 +655,28 @@ def test_broadcast_lint_flags_unhinted_corpus_self_join(spark):
 
 
 def test_broadcast_lint_clean_on_hinted_operator(spark):
-    """GREEN + the VERDICT r13 #5 hint-drop tripwire: the shipped
-    operator pins the posting SELF-join sort-merge (the demonstrated
-    estimate-undershoot side), so SortMergeJoin is present in the plan
-    — dropping that hint makes the static planner broadcast the
-    posting side at this fixture and SMJ disappears (red). The
-    vocabulary (rare) join is deliberately NOT pinned (its estimate
-    scales; x100-verified off-broadcast) — it is the operator's only
-    allowed static broadcast, and the lint passes exactly when its
-    signature is allowlisted and fails on an empty allowlist."""
+    """GREEN + the VERDICT r13 #5 hint-drop tripwire: since r14 the
+    shipped operator pins BOTH rule-12 joins sort-merge — the posting
+    SELF-join (3.5+ GiB static broadcast at x100, r13) and the RARE
+    vocabulary join (still statically broadcast at x100 where it ran
+    clean but 2x slower than pinned: blocking_tradeoff 50.4 vs 26.3 s,
+    r14 A/B). So the operator's static plan must carry NO broadcast at
+    all: sigs is exactly empty, the lint is clean against an EMPTY
+    allowlist, and SortMergeJoin is present. Dropping either hint
+    resurfaces as a non-empty sigs set here (red) — the
+    unhinted-clone red case lives in
+    test_broadcast_lint_flags_unhinted_corpus_self_join."""
     from dns_log_transformer_spark.operators.caching import release_all
     from dns_log_transformer_spark.operators.dedup import shingle_pair_counts
 
-    rare_sig = (
-        "BroadcastHashJoin [shingle], [shingle], Inner, BuildRight, false"
-    )
     df = shingle_pair_counts(read_table(spark, SF_SMOKE, "documents"))
     try:
         sigs = plans.broadcast_sigs(df)
-        assert sigs <= {rare_sig}, sigs
-        assert plans.broadcast_lint(df, {rare_sig: "X100-CLASS: test"}) == []
-        if sigs:  # at fixtures where the rare side statically fits
-            assert plans.broadcast_lint(df, {}) != []
+        assert sigs == set(), sigs
+        assert plans.broadcast_lint(df, {}) == []
         plan = plans.physical_plan(df, "simple")
-        assert "SortMergeJoin" in plan  # the pinned self-join
+        assert "SortMergeJoin" in plan  # the pinned joins
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
     finally:
         release_all()
 

@@ -176,20 +176,29 @@ RULES: list[tuple[str, str]] = [
         "BOUNDED: incremental-delta side — bounded by the NEW batch, "
         "not the accumulated corpus (batch-bounded delta class)",
     ),
-    (
-        r"\[(l|o|c|s|p|n|r)_\w+(, (l|o|c|s|p|n|r)_\w+)?\], "
-        r"\[(l|o|c|s|p|n|r|c|s)\w*\]",
-        _SCAN,
-    ),
-    (
-        r"\[(coalesce\()?(l|o|c|s|p|n|r)(_|n_|\w)*",
-        _SCAN,
-    ),
+    # X100 corpus-vocabulary keys MUST precede the SCAN-FED rules: an
+    # over-broad scan regex matching [shingle]/[span_text]/[lsh_key]/
+    # [cell] would seed a lint-passing scan-fed rationale on the exact
+    # aggregate-fed undershoot class the x100 probe exists to classify
+    # (ADVICE r14 high — 6 entries were mislabeled this way and were
+    # hand-blanked + re-probed in r15).
     (
         r"\[(doc_id|doc_a|doc_b|shingle|term|g|w|w1|w2|_x|_prk|fp|"
         r"span_text|user_id|lsh_key|cell|_rn_b|doc_id, grp|"
         r"doc_b, term)\]",
         _X100,
+    ),
+    (
+        r"\[(l|o|c|s|p|n|r)_\w+(, (l|o|c|s|p|n|r)_\w+)?\], "
+        r"\[(l|o|c|s|p|n|r|c|s)\w*\]",
+        _SCAN,
+    ),
+    # anchored to real TPC-H column shapes (x_ underscore prefix) so
+    # corpus keys that merely START with one of these letters cannot
+    # match (ADVICE r14)
+    (
+        r"\[(coalesce\()?(l|o|c|s|p|n|r)_\w+",
+        _SCAN,
     ),
 ]
 
