@@ -486,6 +486,20 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
         'BroadcastNestedLoopJoin BuildRight, Cross, NOT (vec_id = query_id)':
             'BOUNDED: crossJoin of a 1-row/bounded frame (scalar aggregates, settings frames, query workloads) — the documented bounded-domain BNLJ class',
     },
+    'sim_ivf_tradeoff': {
+        'BroadcastHashJoin [cell], [cell], Inner, BuildRight, false':
+            'BOUNDED: build side is the explicit broadcast of the probe frame — |queries| x max(n_probes) rows by construction (query-workload-bounded), joined into the ~sqrt(n)-row cell occupancy table',
+        'BroadcastHashJoin [n_probe], [n_probe], LeftOuter, BuildRight, false':
+            'BOUNDED: per-setting metric counts — one row per swept n_probe setting',
+        'BroadcastHashJoin [query_id, cell], [query_id, cell], Inner, BuildRight, false':
+            "BOUNDED: build side is the explicit broadcast of the probe frame (|queries| x max(n_probes) rows); probe side is the |queries| x k truth-pair frame — both query-workload-bounded (the left join's NULLs are provably dropped downstream, so the optimizer's Inner conversion is semantics-preserving)",
+        'BroadcastHashJoin [vec_id], [vec_id], Inner, BuildRight, false':
+            'BOUNDED: rerank candidate-id side — |queries| x k ids by construction (brute-force truth output), independent of corpus size',
+        'BroadcastNestedLoopJoin BuildRight, Cross':
+            'BOUNDED: crossJoin of 1-row scalar count frames (n_queries, n_corpus) — the documented bounded-domain BNLJ class',
+        'BroadcastNestedLoopJoin BuildRight, Cross, NOT (vec_id = query_id)':
+            "BOUNDED: query-workload side — brute_force_topk's broadcast queries x corpus truth scan, bounded by the benchmark query set, the measurement query's documented cost",
+    },
     'sim_ivfpq_topk': {
         'BroadcastHashJoin [cell], [cell], Inner, BuildRight, NOT (vec_id = query_id), false':
             'BOUNDED: query-workload side — bounded by the benchmark query set (and k candidates per query), independent of corpus size',

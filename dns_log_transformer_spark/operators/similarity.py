@@ -1645,3 +1645,134 @@ def matryoshka_tradeoff(
             ),
         )
     )
+
+
+def ivf_tradeoff(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF's tuning query (VERDICT r14 #4): recall-vs-cost per probed
+    cell count, at the auto-scaled cell count (:func:`auto_n_cells`),
+    from ONE tagged pass — the blocking_tradeoff / matryoshka_tradeoff
+    pattern applied to the knob an ANN operator tunes first.
+
+    The tag is the PROBE RANK: each query's cells are ranked once by
+    the codebook dot (``_cell_assigner`` at the largest swept n_probe —
+    the same dim-ordered fold :func:`ann_topk_ivf` attests), so a
+    corpus vector in a query's rank-r cell is reachable by exactly the
+    settings with ``n_probe >= r``. No per-setting assignment or
+    ranking ever re-runs.
+
+    Recall needs NO candidate re-ranking: :func:`ann_topk_ivf` ranks
+    probed candidates by the identical (rounded-cosine, id) total order
+    as :func:`brute_force_topk`, and ranking a SUBSET preserves
+    relative order — so a true top-k neighbor is retrieved iff its
+    cell is probed. recall@k per setting = the fraction of brute-force
+    top-k pairs whose corpus cell sits within the query's first
+    n_probe probes (exact integer milli).
+
+    The cost axis is the fraction of the corpus a query scans:
+    ``n_scanned`` sums probed-cell occupancies over queries (a row is
+    counted as read even when the self-filter later drops it — scan
+    cost is reads), ``scanned_milli`` = exact integer milli of
+    n_scanned / (n_queries * corpus size). n_probe = n_cells would put
+    every setting at recall 1000 / scanned 1000: the brute-force
+    diagonal this curve exists to beat.
+
+    Scale shape: the one corpus x queries pair frame is the truth pass
+    (brute_force_topk's documented broadcast-queries scan — the
+    measurement query's cost, |corpus| x |Q| with Q
+    parameter-bounded); the assignment pass is one codebook UDF over
+    the corpus scan; everything downstream is settings- or
+    query-count-bounded (explicit broadcasts, adjudicated BOUNDED).
+
+    Output, one row per setting: (n_probe, n_queries, n_hit,
+    recall_milli, n_scanned, scanned_milli).
+    """
+    from dns_log_transformer_spark.operators.caching import persist_tracked
+
+    settings_t = tuple(sorted(set(int(p) for p in n_probes)))
+    if not settings_t or settings_t[0] < 1:
+        raise ValueError(f"n_probes {n_probes} must be positive")
+    max_probe = settings_t[-1]
+    n_cells = auto_n_cells(emb.count())
+    cells0, mat0 = pq_codebook(emb, n_cells, id_col, vec_col)
+    codebook = [(int(c), mat0[i]) for i, c in enumerate(cells0)]
+    assign1 = _cell_assigner(codebook, 1)
+    assignp = _cell_assigner(codebook, max_probe)
+
+    # corpus -> single nearest cell; consumed by cell sizes AND the
+    # truth-pair cell lookup (persist: one assignment pass, rule 4)
+    c = persist_tracked(
+        emb.select(id_col, vec_col)
+        .withColumn("cell", F.element_at(assign1(F.col(vec_col)), 1))
+        .select(id_col, "cell")
+    )
+    cell_sizes = c.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_cell")
+    )
+    # each query's probe ranking, ONCE at the widest setting
+    probes = persist_tracked(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(assignp(F.col(vec_col))).alias("_pos", "cell"),
+        ).select(
+            "query_id", "cell", (F.col("_pos") + 1).cast("long").alias("probe_rank")
+        )
+    )
+    truth = brute_force_topk(emb, queries, k=k).select("query_id", id_col)
+    truth_rank = (
+        c.join(F.broadcast(truth), id_col)
+        .join(F.broadcast(probes), ["query_id", "cell"], "left")
+        .select("query_id", id_col, "probe_rank")
+    )
+    settings_arr = F.array(*[F.lit(p).cast("long") for p in settings_t])
+    # tag each truth pair / probed cell with every setting deep enough
+    # to reach it (NULL probe_rank -> comparison NULL -> filtered out)
+    hits = (
+        truth_rank.select(F.explode(settings_arr).alias("n_probe"), "probe_rank")
+        .filter(F.col("n_probe") >= F.col("probe_rank"))
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    scanned = (
+        cell_sizes.join(F.broadcast(probes), "cell")
+        .select(
+            F.explode(settings_arr).alias("n_probe"), "probe_rank", "n_in_cell"
+        )
+        .filter(F.col("n_probe") >= F.col("probe_rank"))
+        .groupBy("n_probe")
+        .agg(F.sum("n_in_cell").cast("long").alias("n_scanned"))
+    )
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    nc = emb.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    settings = emb.sparkSession.createDataFrame(
+        [(int(p),) for p in settings_t], "n_probe long"
+    )
+    hit1000 = F.col("n_hit") * 1000
+    scan1000 = F.col("n_scanned") * 1000
+    rdenom = F.col("n_queries") * k
+    sdenom = F.col("n_queries") * F.col("n_corpus")
+    return (
+        settings.join(F.broadcast(hits), "n_probe", "left")
+        .join(F.broadcast(scanned), "n_probe", "left")
+        .na.fill({"n_hit": 0, "n_scanned": 0})
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_probe",
+            "n_queries",
+            "n_hit",
+            ((hit1000 - hit1000 % rdenom) / rdenom).cast("long").alias(
+                "recall_milli"
+            ),
+            "n_scanned",
+            ((scan1000 - scan1000 % sdenom) / sdenom).cast("long").alias(
+                "scanned_milli"
+            ),
+        )
+    )

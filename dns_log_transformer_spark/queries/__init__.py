@@ -26,6 +26,7 @@ from dns_log_transformer_spark.queries import round11  # noqa: E402,F401
 from dns_log_transformer_spark.queries import round12  # noqa: E402,F401
 from dns_log_transformer_spark.queries import round13  # noqa: E402,F401
 from dns_log_transformer_spark.queries import round14  # noqa: E402,F401
+from dns_log_transformer_spark.queries import round15  # noqa: E402,F401
 
 # The external correctness harness checks the first 50 registered
 # queries in iteration order. Since round 7 that window is DERIVED, not

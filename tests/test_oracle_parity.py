@@ -52,6 +52,8 @@ BNLJ_DOCUMENTED = {
     "emb_matryoshka_probe",  # broadcast query workload scan, by contract
     "sim_matryoshka_rerank",  # stage 1 is the same broadcast-queries scan
     "sim_matryoshka_tradeoff",  # same broadcast-queries measurement scan
+    "sim_ivf_tradeoff",  # truth pass = the same broadcast-queries scan
+    #                      + 1-row n_queries/n_corpus count scalars
 }
 
 # The single measured row-at-a-time Python exception: the sentence-split

@@ -1,0 +1,98 @@
+"""Round-15 operator tests: IVF probe-depth tradeoff (sim_ivf_tradeoff)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dns_log_transformer_spark import plans
+from dns_log_transformer_spark.operators import similarity
+
+
+def _tiny_corpus(spark):
+    """20 vectors, ids 0..19 -> auto_n_cells floors at 10 cells of 2
+    vectors each (seed assignment id % 10). Values vary so cosines and
+    probe rankings are non-degenerate."""
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)])
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_tradeoff_full_probe_is_the_bruteforce_diagonal(spark):
+    """Exactness pin end-to-end: at n_probe = n_cells every cell is
+    probed, so recall must be exactly 1000 milli (every true neighbor's
+    cell is reached) and the scan fraction exactly 1000 milli
+    (n_scanned = n_queries * corpus size, the query's own row
+    included) — the brute-force diagonal the tradeoff curve exists to
+    beat. Any off-by-one in probe ranks, cell sizes, or the milli
+    arithmetic breaks one of the two 1000s."""
+    from dns_log_transformer_spark.operators.caching import release_all
+
+    emb = _tiny_corpus(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    try:
+        out = similarity.ivf_tradeoff(emb, queries, k=2, n_probes=(1, 10))
+        rows = {r.n_probe: r for r in out.collect()}
+        assert sorted(rows) == [1, 10]
+        assert all(r.n_queries == 3 for r in rows.values())
+        full = rows[10]
+        assert full.n_hit == 3 * 2 and full.recall_milli == 1000
+        assert full.n_scanned == 3 * 20 and full.scanned_milli == 1000
+        one = rows[1]
+        # at n_probe=1 each query probes exactly its own assignment
+        # cell (the rank-1 probe and the corpus assignment are the same
+        # argmax over the same codebook), so its own row is always
+        # scanned — and never the whole corpus (cells are nearest-
+        # centroid, NOT uniform id%n buckets, so sizes vary)
+        assert 3 <= one.n_scanned < full.n_scanned
+        assert one.n_hit <= full.n_hit and one.recall_milli <= 1000
+    finally:
+        release_all()
+
+
+def test_ivf_tradeoff_monotone_on_fixture(spark):
+    """On the real fixture workload (the registered query at sf0.001):
+    recall AND scan cost are both non-decreasing in n_probe — here this
+    IS a theorem, not just a fixture property (deeper probing only adds
+    cells: the reachable candidate set and the rows read both grow
+    monotonically), so a violation is an implementation bug."""
+    import __spark_entry__ as em
+    from dns_log_transformer_spark.operators.caching import release_all
+
+    try:
+        out = em.queries()["sim_ivf_tradeoff"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        byp = {r.n_probe: r for r in out}
+        assert sorted(byp) == [1, 2, 4, 8]
+        for lo, hi in [(1, 2), (2, 4), (4, 8)]:
+            assert byp[lo].recall_milli <= byp[hi].recall_milli, (lo, hi)
+            assert byp[lo].n_scanned <= byp[hi].n_scanned, (lo, hi)
+        assert byp[8].n_scanned > byp[1].n_scanned  # non-vacuous sweep
+    finally:
+        release_all()
+
+
+def test_ivf_tradeoff_single_pass_plan(spark):
+    """Plan contract: ONE tagged pass — the corpus cell assignment and
+    the query probe ranking are each persisted and read via the cache
+    by their two consumers (assignment: cell sizes + truth-pair cell
+    lookup; probes: reachability tag + scan cost), so no per-setting
+    assignment or ranking re-runs; plan under the size lint; every
+    static broadcast adjudicated in the checked-in allowlist."""
+    from dns_log_transformer_spark.broadcast_allowlist import BROADCAST_ALLOWLIST
+    from dns_log_transformer_spark.operators.caching import release_all
+
+    emb = _tiny_corpus(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    try:
+        df = similarity.ivf_tradeoff(emb, queries, k=2, n_probes=(1, 2, 4, 8))
+        plan = plans.physical_plan(df, "simple")
+        assert plan.count("InMemoryTableScan") >= 4, plan
+        assert plans.plan_size_lint(df) == []
+        assert plans.broadcast_lint(
+            df, BROADCAST_ALLOWLIST.get("sim_ivf_tradeoff", {})
+        ) == []
+    finally:
+        release_all()

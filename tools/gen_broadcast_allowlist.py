@@ -118,9 +118,9 @@ RULES: list[tuple[str, str]] = [
         "setting",
     ),
     (
-        r"\[d_small\], \[d_small\]",
-        "BOUNDED: per-setting metric counts — one row per swept prefix "
-        "width",
+        r"\[(d_small|n_probe)\], \[(d_small|n_probe)\]",
+        "BOUNDED: per-setting metric counts — one row per swept "
+        "setting (prefix width / probe depth)",
     ),
     (
         r"BroadcastNestedLoopJoin BuildRight, Cross",
