@@ -354,6 +354,7 @@ def parse_warc_http(
     df: DataFrame,
     blob_col: str = "blob",
     max_records: int = 5,
+    keep_body: bool = False,
 ) -> DataFrame:
     """Explode byte-domain WARC blobs into per-record rows via the
     unrolled Content-Length-driven walk, octet positions throughout
@@ -500,6 +501,18 @@ def parse_warc_http(
                         F.when(
                             http_ok, F.md5(F.encode(bodyc, "ISO-8859-1"))
                         ).alias("body_md5"),
+                        # optional payload carry-out (keep_body): the
+                        # exact body bytes re-decoded as UTF-8 — the
+                        # text a corpus pipeline feeds its gates; built
+                        # unconditionally inside the struct but pruned
+                        # by the final select (and therefore by column
+                        # pruning) when keep_body=False
+                        F.when(
+                            http_ok,
+                            F.decode(
+                                F.encode(bodyc, "ISO-8859-1"), "UTF-8"
+                            ),
+                        ).alias("body_text"),
                     ),
                 ),
                 # park past the end on a malformed record, remembering
@@ -542,6 +555,11 @@ def parse_warc_http(
         F.col("_r.http_content_type").alias("http_content_type"),
         F.col("_r.body_octets").alias("body_octets"),
         F.col("_r.body_md5").alias("body_md5"),
+        *(
+            [F.col("_r.body_text").alias("body_text")]
+            if keep_body
+            else []
+        ),
         "blob_leftover",
     )
 

@@ -132,3 +132,81 @@ def test_warcgz_files_plan_binaryfile_scan_no_shuffle(spark, tmp_path):
     assert "BatchEvalPython" not in plan, plan
     rows = df.collect()
     assert [r.blob_id for r in rows] == [7]  # filename round-trip
+
+
+def test_keep_body_roundtrips_multibyte_text(spark):
+    """parse_warc_http(keep_body=True) must return the EXACT payload
+    text: bytes walked as ISO-8859-1 octets, re-encoded 1:1, decoded as
+    UTF-8 — multi-byte characters (2/3/4-byte sequences) survive only
+    if every step is byte-faithful. This is the capstone's load-bearing
+    edge: every gate downstream reads body_text, never the parquet."""
+    from dns_log_transformer_spark.sources import warc
+
+    text = "naïve café — §é€\U0001f600 znaków"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = warc.parse_warc_http(
+        warc.parse_warc_gz(
+            warc.pack_warc_gz_blobs(docs, per_blob=2, body_suffix="")
+        ),
+        blob_col="rec_bytes",
+        max_records=1,
+        keep_body=True,
+    ).filter(F.col("warc_type") == "response")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].ok and rows[0].member_ok
+    assert rows[0].body_text == text
+    # keep_body=False prunes the column entirely (schema contract)
+    out2 = warc.parse_warc_http(
+        warc.parse_warc_gz(
+            warc.pack_warc_gz_blobs(docs, per_blob=2, body_suffix="")
+        ),
+        blob_col="rec_bytes",
+        max_records=1,
+    )
+    assert "body_text" not in out2.columns
+
+
+def test_warcgz_to_shards_funnel_invariants(spark):
+    """Capstone funnel accounting pins at sf0.001 (value parity is the
+    oracle's job; these are the INVARIANTS any fixture must satisfy):
+    each gate stage is a subset of the previous (docs and tokens
+    nonincreasing), the archive stage accounts for EVERY non-null
+    document (the .warc.gz round-trip drops nothing), every stage is
+    non-empty, and the packed row conserves the decontaminated token
+    total while using the minimum feasible sequence count's order of
+    magnitude (>= ceil(tokens/budget) per construction)."""
+    import math
+
+    from dns_log_transformer_spark.queries.llm_ops import _PACK_BUDGET
+    from dns_log_transformer_spark.queries.round15 import (
+        corpus_warcgz_to_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.stage: r for r in corpus_warcgz_to_shards(spark, sf).collect()}
+    order = [
+        "archive_text",
+        "lang",
+        "quality",
+        "repetition",
+        "dedup_exact",
+        "dedup_near",
+        "decontaminated",
+    ]
+    assert set(rows) == set(order) | {"packed"}
+    n_docs_in = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .count()
+    )
+    assert rows["archive_text"].n_docs == n_docs_in
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur].n_docs <= rows[prev].n_docs, (prev, cur)
+        assert rows[cur].n_tokens <= rows[prev].n_tokens, (prev, cur)
+        assert rows[cur].n_docs > 0, cur
+    dec = rows["decontaminated"]
+    packed = rows["packed"]
+    assert packed.n_tokens == dec.n_tokens  # packing loses no tokens
+    assert packed.n_docs >= math.ceil(dec.n_tokens / _PACK_BUDGET)
+    assert packed.n_docs <= dec.n_docs  # sequences hold >= 1 doc each
