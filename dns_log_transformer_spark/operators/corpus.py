@@ -514,6 +514,94 @@ def pack_sequences(
     return sharded.groupBy("shard").applyInPandas(_pack, schema=schema)
 
 
+def write_packed_shards(
+    docs: DataFrame,
+    assignments: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> dict[str, int]:
+    """Materialize :func:`pack_sequences` assignments as actual training
+    shards on disk — the last step of the corpus funnel. Each
+    (shard, bin_in_shard) group becomes ONE sequence row: member texts
+    concatenated in ``id`` order with ``sep``, plus the member-id array
+    and token total; rows are written parquet, ``partitionBy(shard)``,
+    one file per shard directory.
+
+    Publish is atomic with the compact_partitioned_table discipline:
+    write to ``<out>.staging``, then swap via two renames with a
+    ``.old`` recovery marker (a leftover ``.old`` from a crashed
+    publish is REFUSED, never guessed around), and the session's
+    FileStatusCache is invalidated for the swapped path (the r14
+    monitor-store lesson — stale listings fail later reads).
+
+    Scale shape: one shuffle (groupBy the bin key); per-group state is
+    bounded by the packing budget (a bin holds <= budget tokens of
+    text), so collect_list cannot accumulate unbounded rows; the
+    per-shard repartition gives one write task per shard — at cluster
+    scale set n_shards ~ cores when packing, and shard directories are
+    the unit a training loader reads.
+
+    Returns {"n_sequences", "n_shards", "n_docs"}.
+    """
+    import os
+    import shutil
+
+    if not out_dir.startswith("/") or out_dir.startswith("/root/testdata"):
+        raise ValueError(f"refusing shard write to {out_dir!r}")
+    spark = docs.sparkSession
+    member = F.struct(F.col(id_col), F.col(text_col))
+    seqs = (
+        assignments.join(docs.select(id_col, text_col), id_col)
+        .groupBy("shard", "bin_in_shard")
+        .agg(
+            F.array_sort(F.collect_list(member)).alias("_m"),
+            F.sum("tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            F.col("bin_in_shard").alias("seq_in_shard"),
+            F.transform("_m", lambda m: m[id_col]).alias("doc_ids"),
+            F.concat_ws(sep, F.transform("_m", lambda m: m[text_col])).alias(
+                "text"
+            ),
+            "n_tokens",
+        )
+    )
+    old = out_dir.rstrip("/") + ".old"
+    if os.path.exists(old):
+        raise FileExistsError(
+            f"leftover {old} from a crashed shard publish — recover it "
+            "(rename back or delete) before writing again"
+        )
+    tmp = out_dir.rstrip("/") + ".staging"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        seqs.repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    if os.path.exists(out_dir):
+        os.rename(out_dir, old)
+    os.rename(tmp, out_dir)  # crash between these: recover from .old
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(out_dir)
+    written = spark.read.parquet(out_dir)
+    n_seq, n_docs = written.agg(
+        F.count("*"), F.sum(F.size("doc_ids"))
+    ).first()
+    n_shards = sum(
+        1 for e in os.listdir(out_dir) if e.startswith("shard=")
+    )
+    return {
+        "n_sequences": int(n_seq),
+        "n_shards": n_shards,
+        "n_docs": int(n_docs or 0),
+    }
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

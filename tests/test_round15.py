@@ -210,3 +210,55 @@ def test_warcgz_to_shards_funnel_invariants(spark):
     assert packed.n_tokens == dec.n_tokens  # packing loses no tokens
     assert packed.n_docs >= math.ceil(dec.n_tokens / _PACK_BUDGET)
     assert packed.n_docs <= dec.n_docs  # sequences hold >= 1 doc each
+
+
+def test_write_packed_shards_roundtrip_and_atomic_publish(spark, tmp_path):
+    """The funnel's last step made real: pack_sequences assignments ->
+    parquet shard files on disk. Pins: every sequence concatenates its
+    member texts in id order with the separator and conserves the token
+    sum; every input doc lands in exactly one sequence; no sequence
+    exceeds the budget unless it is a single oversized doc; publish is
+    atomic (staging gone, re-publish swaps cleanly, a leftover .old
+    from a crashed publish is refused, never guessed around)."""
+    import os
+
+    import pytest
+
+    from dns_log_transformer_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc-{i} " + "x " * (i % 7)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    budget, n_shards = 10, 4
+    asg = corpus.pack_sequences(toks, budget=budget, n_shards=n_shards)
+    out = str(tmp_path / "shards")
+    stats = corpus.write_packed_shards(docs, asg, out, sep="\n\n")
+    assert not os.path.exists(out + ".staging")
+    assert stats["n_docs"] == 40
+    assert stats["n_shards"] == n_shards
+
+    back = spark.read.parquet(out).collect()
+    assert len(back) == stats["n_sequences"]
+    tok_by_id = {r.doc_id: r.n_tokens for r in toks.collect()}
+    text_by_id = {r.doc_id: r.text for r in docs.collect()}
+    seen = []
+    for r in back:
+        ids = list(r.doc_ids)
+        assert ids == sorted(ids)
+        assert all(i % n_shards == r.shard for i in ids)
+        assert r.n_tokens == sum(tok_by_id[i] for i in ids)
+        assert r.text == "\n\n".join(text_by_id[i] for i in ids)
+        assert r.n_tokens <= budget or len(ids) == 1  # oversized-doc bin
+        seen.extend(ids)
+    assert sorted(seen) == list(range(40))  # every doc in exactly one seq
+
+    # re-publish swaps atomically; a crashed publish's .old is refused
+    stats2 = corpus.write_packed_shards(docs, asg, out, sep="\n\n")
+    assert stats2 == stats
+    os.rename(out, out + ".old")
+    with pytest.raises(FileExistsError):
+        corpus.write_packed_shards(docs, asg, out, sep="\n\n")
