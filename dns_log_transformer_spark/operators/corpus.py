@@ -527,7 +527,10 @@ def write_packed_shards(
     (shard, bin_in_shard) group becomes ONE sequence row: member texts
     concatenated in ``id`` order with ``sep``, plus the member-id array
     and token total; rows are written parquet, ``partitionBy(shard)``,
-    one file per shard directory.
+    one file per shard directory. (Complementary to
+    ``storage.bucketing.write_training_shards``, which shuffles RAW doc
+    rows into shard dirs — this writes budget-PACKED sequences, the
+    shape a fixed-context training loader consumes.)
 
     Publish is atomic with the compact_partitioned_table discipline:
     write to ``<out>.staging``, then swap via two renames with a
