@@ -873,3 +873,72 @@ def read_warc_gz_files(spark, dir_path: str) -> DataFrame:
         .alias("blob_id"),
         F.col("content").alias("blob"),
     )
+
+
+#: binaryFile's fixed schema, stated once: streaming sources cannot
+#: infer schemas, so readStream.format("binaryFile") REQUIRES it.
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_gz_stream(
+    spark, dir_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc_gz_files`: every ``.warc.gz``
+    segment that LANDS in ``dir_path`` becomes (blob_id, blob) rows in
+    a micro-batch — the crawl-ingest shape where an archive fetcher
+    drops finished segments into a landing directory and the pipeline
+    picks them up exactly once (the file-source checkpoint records
+    processed paths; a restart neither reprocesses nor skips).
+
+    ``max_files_per_trigger`` bounds a micro-batch to that many whole
+    segments — with archive-standard bounded segment sizes (see
+    :func:`read_warc_gz_files` on the non-splittable binaryFile row
+    bound) that IS the per-batch memory bound at 100 TB: batch memory
+    ~= max_files_per_trigger x segment size, independent of backlog
+    depth.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "blob-*.warc.gz")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(dir_path)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"blob-(\d+)\.warc\.gz$", 1)
+        .cast("long")
+        .alias("blob_id"),
+        F.col("content").alias("blob"),
+    )
+
+
+def warc_gz_docs_stream(
+    spark, dir_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Archive segments -> clean DOCUMENT stream: the streaming
+    composition of the gz-member split and the byte walk with
+    ``keep_body`` payload carry-out, filtered to parsed-clean response
+    records — (doc_id, text) rows ready for any docs consumer
+    (``corpus_monitor_sink`` for crawl-time triage, an ingest sink,
+    ...). Every stage is STATELESS (mapInArrow + codegen projections +
+    a 1:1 Generate), so the stream needs no watermark and no state
+    store; per-batch cost is exactly the batch walk on that batch's
+    segments, and malformed members/records simply drop at the filter
+    (the batch path is where their loud quarantine rows are read).
+    """
+    walk = parse_warc_http(
+        parse_warc_gz(
+            read_warc_gz_stream(spark, dir_path, max_files_per_trigger)
+        ),
+        blob_col="rec_bytes",
+        max_records=1,
+        keep_body=True,
+    )
+    return walk.filter(
+        (F.col("warc_type") == "response")
+        & F.col("ok")
+        & F.col("member_ok")
+    ).select("doc_id", F.col("body_text").alias("text"))
