@@ -226,7 +226,18 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     divergence between engines exceeds the 2-decimal rounding — decimal
     aggregation is exact and order-independent, so both engines agree
     bit-for-bit (the robust pattern when round() margins get tight)."""
-    li = table(spark, sf, "lineitem")
+    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
+
+    # every dim side broadcasts, so the whole probe+decimal-agg chain
+    # rides the lineitem scan — ONE task on the single-row-group
+    # fixture file (r15 profile: ~2.2 s serial). Rebalance the pruned
+    # projection; no-op at scale where the scan is already split.
+    li = rebalance_for_fanout(
+        table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+            "l_discount",
+        )
+    )
     orders = table(spark, sf, "orders")
     supp = table(spark, sf, "supplier")
     cust = table(spark, sf, "customer")
@@ -812,7 +823,17 @@ def q_distinct_and_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     shuffle. Measured 3x at sf0.1; at warehouse scale the expand's extra
     shuffled rows dominate even more (narrow column scans are cheap,
     shuffled bytes are not)."""
-    li = table(spark, sf, "lineitem")
+    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
+
+    # under-split-scan fix (r15): all three partial aggregations below
+    # ran behind single scan tasks on the one-row-group fixture file;
+    # rebalance the 5-column projection once — a no-op at scale
+    li = rebalance_for_fanout(
+        table(spark, sf, "lineitem").select(
+            "l_returnflag", "l_suppkey", "l_partkey", "l_extendedprice",
+            "l_quantity",
+        )
+    )
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     sup = (
         li.groupBy("l_returnflag", "l_suppkey")
@@ -2316,7 +2337,15 @@ def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     The sketch is the 100 TB path: exact QUANTILE_CONT buffers every
     group value for a sort; GK folds partial sketches map-side and
     shuffles fixed-size summaries."""
-    li = table(spark, sf, "lineitem")
+    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
+
+    # the exact-percentile buffers built in the partial aggregation are
+    # the expensive side; a single-row-group fixture scan serializes
+    # them behind one task (r15 profile: ~4 s executor time, <=7 tasks).
+    # rebalance the 2-column projection — no-op when the scan is split.
+    li = rebalance_for_fanout(
+        table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     acc = 100  # rank error <= 1% of each group
     eps = 1.0 / acc
@@ -2635,7 +2664,13 @@ def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
     conditional-sum agg for the counts; fence comparisons keep the
     oracle's exact expression shape (q3 + 1.5*(q3-q1), unrounded) so
     boundary rows classify identically."""
-    orders = table(spark, sf, "orders").withColumn(
+    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
+
+    # single-row-group fixture scan = one task for both aggs (r15
+    # profile); rebalance the slim 2-column projection, no-op at scale
+    orders = rebalance_for_fanout(
+        table(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+    ).withColumn(
         "cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     )
     q = orders.groupBy("o_orderpriority").agg(

@@ -24,6 +24,17 @@ from dns_log_transformer_spark.transforms import to_bind9_lines, to_microsoft_dn
 
 
 def _dns_records_from_events(ev: DataFrame) -> DataFrame:
+    # The fixture events table scans as ONE parquet split (single row
+    # group), serializing the heavy per-row formatting below behind one
+    # task (r15 profile: the scan stage held ~90% of the query's
+    # executor time). rebalance_for_fanout is scale-adaptive: it
+    # round-robins the SLIM 4-column projection to core count only when
+    # the scan is under-split; at warehouse scale (well-split scans) it
+    # is a no-op, so no shuffle is added where the data is already
+    # parallel (guide §2.5 input-skew / CLAUDE.md rule 7).
+    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
+
+    ev = rebalance_for_fanout(ev.select("event_id", "ts", "user_id", "event_type"))
     n_ans = (F.col("event_id") % 3).cast("int")
     answers = F.when(
         n_ans > 0,
@@ -140,9 +151,15 @@ def dns_quarantine_stats(spark: SparkSession, sf: str) -> DataFrame:
     and pushed through the actual decode -> validate split. The oracle
     states the expected classification; a mismatch means the pipeline
     mis-routed a record."""
+    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
     from dns_log_transformer_spark.transforms import decode_records
 
-    ev = table(spark, sf, "events")
+    # same under-split-scan fix as _dns_records_from_events: the JSON
+    # serialize -> base64 -> decode -> validate chain is the pipeline's
+    # per-row-heaviest path and must not run behind one scan task
+    ev = rebalance_for_fanout(
+        table(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
+    )
     m = F.col("event_id") % 5
     rec = F.struct(
         F.lit("1.100000").alias("version"),

@@ -133,8 +133,15 @@ def mm_container_census(spark: SparkSession, sf: str) -> DataFrame:
     the census is ONE map-side-combined aggregation on a 4-value key.
     """
     from dns_log_transformer_spark.operators import multimodal
+    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
 
-    docs = table(spark, sf, "documents").select("doc_id", "n_chars")
+    # the synth+walk chain is pure per-row byte arithmetic riding the
+    # scan — on the single-row-group fixture file that means ONE task
+    # per walk stage (r15 profile: ~2 s serial). Rebalance the slim
+    # 2-column input before the fan-out; no-op at scale.
+    docs = rebalance_for_fanout(
+        table(spark, sf, "documents").select("doc_id", "n_chars")
+    )
     blobs = multimodal.synth_container_blob(docs)
     meta = multimodal.sniff_container_meta(blobs)
     return (
