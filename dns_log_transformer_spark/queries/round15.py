@@ -376,9 +376,14 @@ def corpus_warcgz_to_shards(spark: SparkSession, sf: str) -> DataFrame:
     # a single pass. The earlier shape (persisted id-set per stage +
     # union of 8 aggregates) measured 10-22 s build / 11 s exec — ~30
     # Spark jobs of pure overhead at fixture scale.
-    lang = text_ops.with_lang_id(archive).select("doc_id", "lang_pred")
-    qual = text_ops.with_quality_score(archive).select(
-        "doc_id", "n_tokens", "quality_score"
+    # lang + quality FUSED into one projection chain over the archive
+    # (r15 optimization): both are per-row functions of tokens(text), so
+    # chaining the two attested operators collapses to ONE top-level
+    # projection whose shared subexpressions (tokens, sizes) codegen
+    # eliminates once per row (rule 1) — one archive scan and one
+    # doc_id join fewer than the separate lang ⋈ qual shape.
+    gates = text_ops.with_quality_score(text_ops.with_lang_id(archive)).select(
+        "doc_id", "lang_pred", "n_tokens", "quality_score"
     )
     rep = text_ops.repetition_stats(archive).select(
         "doc_id", "flag_repetitive"
@@ -394,8 +399,7 @@ def corpus_warcgz_to_shards(spark: SparkSession, sf: str) -> DataFrame:
         n=_DECON_N,
     ).select("doc_id", "is_contaminated")
     flags1 = persist_tracked(
-        qual.join(lang, "doc_id")
-        .join(rep, "doc_id")
+        gates.join(rep, "doc_id")
         .join(keep_exact, "doc_id", "left")
         .withColumns(
             {
