@@ -63,6 +63,24 @@ CRLF2 = "\r\n\r\n"
 MAGIC = "WARC/1.0\r\n"
 
 
+def _pin_group_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Keyed repartition immediately before the pack's group-by so the
+    blob rows — and everything riding their partitioning downstream
+    (gzip split, byte walk) — stay spread across the session's shuffle
+    partitions. AQE's size-based partition coalescing judges the pack
+    shuffle by its BYTES, which are tiny, and folded the whole parse
+    path onto ONE task (r15 profile: corpus_warc_http ran 3 tasks
+    total, 1.9 s serial); blob rows are compute-heavy per byte, so
+    bytes-based coalescing is the wrong policy here. A user-specified
+    repartition is exempt from AQE coalescing AND is reused by the
+    group-by on the same key, so the plan still carries exactly one
+    exchange before the walk. The count is the session's configured
+    shuffle parallelism (the value a cluster deployment sizes), not a
+    local constant."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, key)
+
+
 def pack_warc_blobs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -94,8 +112,14 @@ def pack_warc_blobs(
     bid = F.col(id_col)
     blob_id = ((bid - bid % per_blob) / per_blob).cast("long")
     return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(blob_id.alias("blob_id"), F.col(id_col).alias("_id"), rec.alias("_rec"))
+        _pin_group_parallelism(
+            df.filter(F.col(text_col).isNotNull()).select(
+                blob_id.alias("blob_id"),
+                F.col(id_col).alias("_id"),
+                rec.alias("_rec"),
+            ),
+            "blob_id",
+        )
         .groupBy("blob_id")
         .agg(
             F.array_join(
@@ -329,8 +353,14 @@ def pack_warc_http_blobs(
         F.lit(WARCINFO_PAYLOAD),
     )
     return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(blob_id.alias("blob_id"), F.col(id_col).alias("_id"), pair.alias("_rec"))
+        _pin_group_parallelism(
+            df.filter(F.col(text_col).isNotNull()).select(
+                blob_id.alias("blob_id"),
+                F.col(id_col).alias("_id"),
+                pair.alias("_rec"),
+            ),
+            "blob_id",
+        )
         .groupBy("blob_id")
         .agg(
             F.array_join(
@@ -676,7 +706,7 @@ def pack_warc_gz_blobs(
             )
         )
 
-    grouped = rows.groupBy("blob_id").agg(
+    grouped = _pin_group_parallelism(rows, "blob_id").groupBy("blob_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("seq", "rec"))),
             lambda s: s["rec"],
