@@ -2457,10 +2457,19 @@ def q_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
     each input row emits one row per measure, no shuffle until the
     aggregate), with per-measure stats. Sums fold as exact DECIMAL so
     combine order can't diverge from the oracle (PLANS.md rule 5)."""
-    li = table(spark, sf, "lineitem")
-    long = li.select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
-    ).unpivot(
+    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
+
+    # under-split-scan fix (r15): the Expand (3 rows out per row in)
+    # and the decimal partial agg rode the single-row-group scan on ONE
+    # task (profile: 1.1 s serial, ~0 parallel CPU). Sums are exact
+    # DECIMAL and min/max/count — order-independent, so the round-robin
+    # rebalance (no-op on well-split scans) cannot move the answer.
+    li = rebalance_for_fanout(
+        table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+        )
+    )
+    long = li.unpivot(
         ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_discount", "l_tax"],
         "measure",
