@@ -823,17 +823,7 @@ def q_distinct_and_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     shuffle. Measured 3x at sf0.1; at warehouse scale the expand's extra
     shuffled rows dominate even more (narrow column scans are cheap,
     shuffled bytes are not)."""
-    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
-
-    # under-split-scan fix (r15): all three partial aggregations below
-    # ran behind single scan tasks on the one-row-group fixture file;
-    # rebalance the 5-column projection once — a no-op at scale
-    li = rebalance_for_fanout(
-        table(spark, sf, "lineitem").select(
-            "l_returnflag", "l_suppkey", "l_partkey", "l_extendedprice",
-            "l_quantity",
-        )
-    )
+    li = table(spark, sf, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     sup = (
         li.groupBy("l_returnflag", "l_suppkey")
@@ -2673,13 +2663,7 @@ def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
     conditional-sum agg for the counts; fence comparisons keep the
     oracle's exact expression shape (q3 + 1.5*(q3-q1), unrounded) so
     boundary rows classify identically."""
-    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
-
-    # single-row-group fixture scan = one task for both aggs (r15
-    # profile); rebalance the slim 2-column projection, no-op at scale
-    orders = rebalance_for_fanout(
-        table(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
-    ).withColumn(
+    orders = table(spark, sf, "orders").withColumn(
         "cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     )
     q = orders.groupBy("o_orderpriority").agg(

@@ -551,15 +551,8 @@ def q_concurrent_intervals(spark: SparkSession, sf: str) -> DataFrame:
     documented scale-bounded), and the running sum itself partitions
     by year — the textbook two-level scan (block-local prefix +
     block offsets) expressed in DataFrame ops."""
-    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
-
     orders = table(spark, sf, "orders")
-    # orders broadcasts, so probe + interval partial-agg ride the
-    # single-row-group lineitem scan — serial at fixture scale (r15
-    # profile). Rebalance the 2-column projection; no-op at scale.
-    li = rebalance_for_fanout(
-        table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
-    )
+    li = table(spark, sf, "lineitem")
     iv = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("s"))
