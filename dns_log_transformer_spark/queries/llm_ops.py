@@ -1451,54 +1451,64 @@ def corpus_prepare_funnel(spark: SparkSession, sf: str) -> DataFrame:
     Gopher-flagged docs) -> deterministic train/val/test split. Output is
     the doc/token funnel per stage plus per-split totals.
 
-    Shape at scale: each stage is a semi-join on doc_id against a flag
-    table computed by the already-scale-audited operators; stage
-    intermediates are persisted because each feeds both its summary row
-    and the next stage (PLANS.md rule 4).
+    Shape at scale (r15 optimization): ONE per-doc flag frame — n_tokens
+    plus the three stage predicates, assembled with one left semi-ish
+    join per attested flag operator — feeds ONE conditional aggregate
+    (stack() unpivots the 4 funnel stages) and the per-split aggregate.
+    Replaces the r7 shape's five separate join+agg branches (each stage
+    set re-joined against a persisted token frame); stage semantics are
+    identical: dedup = keep-set membership, decontaminated = kept AND
+    NOT contaminated, clean = that AND NOT repetitive. The flag frame is
+    persisted because both aggregates consume it (PLANS.md rule 4).
     """
     docs = table(spark, sf, "documents").select("doc_id", "text")
-    toks = persist_tracked(
-        text.with_token_counts(docs).select("doc_id", "n_tokens")
-    )
+    toks = text.with_token_counts(docs).select("doc_id", "n_tokens")
     keep = dedup.exact_dup_groups(docs).select(
-        F.col("keep_id").alias("doc_id")
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("_kept")
     )
     dec = corpus.decontaminate(
         docs, docs.filter(F.col("doc_id") % 97 == 0), n=_DECON_N
     ).select("doc_id", "is_contaminated")
     rep = text.repetition_stats(docs).select("doc_id", "flag_repetitive")
 
-    s1 = persist_tracked(keep)
-    s2 = persist_tracked(
-        s1.join(dec, "doc_id")
-        .filter(~F.col("is_contaminated"))
-        .select("doc_id")
-    )
-    s3 = persist_tracked(
-        s2.join(rep, "doc_id")
-        .filter(~F.col("flag_repetitive"))
-        .select("doc_id")
-    )
-
-    def summarize(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.join(toks, "doc_id")
-            .agg(
-                F.count("*").cast("long").alias("n_docs"),
-                F.sum("n_tokens").cast("long").alias("n_tokens"),
-            )
-            .select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+    c_dedup = F.coalesce(F.col("_kept"), F.lit(False))
+    c_decon = c_dedup & ~F.col("is_contaminated")
+    c_clean = c_decon & ~F.col("flag_repetitive")
+    flags = persist_tracked(
+        toks.join(keep, "doc_id", "left")
+        .join(dec, "doc_id")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            c_dedup.alias("c_dedup"),
+            c_decon.alias("c_decon"),
+            c_clean.alias("c_clean"),
         )
+    )
 
-    funnel = (
-        summarize(docs.select("doc_id"), "raw")
-        .unionAll(summarize(s1, "dedup"))
-        .unionAll(summarize(s2, "decontaminated"))
-        .unionAll(summarize(s3, "clean"))
+    def _stage(cond, tag: str):
+        return [
+            F.count(F.when(cond, True)).cast("long").alias(f"{tag}_d"),
+            F.sum(F.when(cond, F.col("n_tokens")))
+            .cast("long")
+            .alias(f"{tag}_t"),
+        ]
+
+    funnel = flags.agg(
+        *_stage(F.lit(True), "raw"),
+        *_stage(F.col("c_dedup"), "dd"),
+        *_stage(F.col("c_decon"), "dc"),
+        *_stage(F.col("c_clean"), "cl"),
+    ).select(
+        F.expr(
+            "stack(4, 'raw', raw_d, raw_t, 'dedup', dd_d, dd_t,"
+            " 'decontaminated', dc_d, dc_t, 'clean', cl_d, cl_t)"
+            " AS (stage, n_docs, n_tokens)"
+        )
     )
     per_split = (
-        corpus.with_split(s3)
-        .join(toks, "doc_id")
+        corpus.with_split(flags.filter(F.col("c_clean")))
         .groupBy("split")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
