@@ -49,8 +49,6 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, str]] = {
             "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
     },
     'corpus_prepare_funnel': {
-        'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildLeft, false':
-            "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [doc_id], [doc_id], Inner, BuildRight, false':
             "X100-RAN-CLEAN: corpus-scaled build side the static planner still broadcasts at x100, where the query EXECUTED clean (tools/bhj_sweep_r13.py r13/r14: all flagged queries ran, no OOM). Two decades validated; merge pin deferred (it also blocks AQE's runtime-measured conversions, +20-51% measured r14) — re-run the bhj sweep after touching this site and pin on demonstrated build/spill pain (the posting self-join precedent)",
         'BroadcastHashJoin [doc_id], [doc_id], LeftOuter, BuildRight, false':

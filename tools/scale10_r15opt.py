@@ -26,6 +26,9 @@ QUERIES = (
     "mm_container_census",
     "dns_quarantine_stats",
     "q_unpivot_measures",
+    # batch 6: flag-frame fusion of the prepare funnel (measured
+    # 1x 2.74s / 10x 3.91s = 1.4x on the rebuilt x10 replica)
+    "corpus_prepare_funnel",
 )
 
 
