@@ -133,7 +133,14 @@ def main() -> None:
         "passes": passes,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-        "n_cpus": os.cpu_count(),
+        # n_cpus = the SESSION's parallelism (local[$SPARK_GRAFT_CPUS]),
+        # not the machine's core count: the driver re-runs the bench at a
+        # lower core count to measure scaling, and r15's 8-core history
+        # row said 32 because this recorded os.cpu_count() (VERDICT r15
+        # #2) — that mislabel left the driver's scaling per_query empty.
+        "n_cpus": spark.sparkContext.defaultParallelism,
+        "n_cpus_machine": os.cpu_count(),
+        "master": spark.sparkContext.master,
         "queries": timings,
         "rows": rows_out,
         "sf": sf,

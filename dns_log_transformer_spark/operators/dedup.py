@@ -851,9 +851,10 @@ def blocking_audit(
     truth = persist_tracked(
         common.filter(jac >= threshold).select("doc_a", "doc_b")
     )
-    cand = persist_tracked(
-        _lsh_band_candidates(sh, id_col, num_hashes, num_bands, bucket_cap)
-    )
+    # NOT persisted (r16): after the n_cand/n_hit fusion below the
+    # candidate set has exactly ONE consumer, so caching it only adds
+    # a memory-write pass (the r15 lesson on single-consumer persists).
+    cand = _lsh_band_candidates(sh, id_col, num_hashes, num_bands, bucket_cap)
     # candidate AND truth pair sets scale with the corpus, but this
     # join is NOT merge-pinned: the static planner already picks
     # sort-merge at every probed scale (sf0.01 AND x100 — the estimates
@@ -862,13 +863,26 @@ def blocking_audit(
     # fixture-scale truth side (+20-27% at sf0.1, r14 A/B). The
     # broadcast lint keeps the adjudication enforced: a static
     # broadcast appearing here would fail the parity suite.
-    hit = cand.join(truth, ["doc_a", "doc_b"])
+    #
+    # n_cand / n_hit FUSION (r16, guide §1.2/§2.4 fewer passes): both
+    # pair sets are distinct by construction, so a LEFT join tags each
+    # candidate with a hit marker without changing its cardinality —
+    # n_cand = count(*), n_hit = count(marker) — one scan of the
+    # candidate lineage instead of two (separate count + inner-join
+    # count), one aggregate subtree instead of two.
     one = lambda name: F.count(F.lit(1)).cast("long").alias(name)  # noqa: E731
+    hit_flagged = cand.join(
+        truth.withColumn("_hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
     row = (
         sh.agg(one("n_docs"))
         .crossJoin(truth.agg(one("n_truth")))
-        .crossJoin(cand.agg(one("n_cand")))
-        .crossJoin(hit.agg(one("n_hit")))
+        .crossJoin(
+            hit_flagged.agg(
+                one("n_cand"),
+                F.count("_hit").cast("long").alias("n_hit"),
+            )
+        )
     )
     # decimal domain end to end (the _milli_ratio rationale): a long
     # nd*(nd-1) wraps past ~3e9 docs and its long/long division goes
@@ -985,21 +999,38 @@ def blocking_tradeoff(
     # to sort-merge on its own past the threshold (see the
     # _lsh_band_candidates adjudication; enforced via
     # broadcast_allowlist.py + plans.broadcast_lint)
-    cands = persist_tracked(
+    #
+    # PAIR-KEYED FUSION (r16, guide §2.4 one exchange where three ran):
+    # the per-setting candidate sets overlap heavily (band-refinement
+    # chains share most pairs), so instead of deduplicating per-setting
+    # rows on (num_bands, pair) and then separately (a) counting per
+    # setting and (b) re-shuffling the whole per-setting set onto the
+    # pair key to join truth, aggregate ONCE on the pair key with a
+    # collect_set of the settings that produced it. The truth join then
+    # runs over DISTINCT pairs (<= the union, ~1/len(settings) of the
+    # per-setting rows) and REUSES the aggregation's partitioning
+    # (same key, no new exchange); one explode of the tiny settings set
+    # recovers exact per-setting counts. n_cand/n_hit are fused into
+    # one conditional aggregate (the blocking_audit r16 fusion): truth
+    # pairs are distinct, so the left join keeps cardinality.
+    cand_sets = (
         left.join(right, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("num_bands", "doc_a", "doc_b")
-        .dropDuplicates(["num_bands", "doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.collect_set("num_bands").alias("_settings"))
     )
     one = lambda name: F.count(F.lit(1)).cast("long").alias(name)  # noqa: E731
-    per = cands.groupBy("num_bands").agg(one("n_cand"))
     # NOT merge-pinned — statically sort-merge at every probed scale;
     # see blocking_audit's hit join for the adjudication (r14 A/B:
     # the pin only blocked AQE's runtime-measured broadcast, +20-27%)
-    hits = (
-        cands.join(truth, ["doc_a", "doc_b"])
+    ch = (
+        cand_sets.join(
+            truth.withColumn("_hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .select(F.explode("_settings").alias("num_bands"), "_hit")
         .groupBy("num_bands")
-        .agg(one("n_hit"))
+        .agg(one("n_cand"), F.count("_hit").cast("long").alias("n_hit"))
     )
     # literal settings frame: a setting whose candidate set is EMPTY
     # still gets its row (n_cand = n_hit = 0) instead of vanishing
@@ -1009,8 +1040,7 @@ def blocking_tradeoff(
     )
     base = sh.agg(one("n_docs")).crossJoin(truth.agg(one("n_truth")))
     m = (
-        settings.join(F.broadcast(per), "num_bands", "left")
-        .join(F.broadcast(hits), "num_bands", "left")
+        settings.join(F.broadcast(ch), "num_bands", "left")
         .na.fill({"n_cand": 0, "n_hit": 0})
         .crossJoin(F.broadcast(base))
     )

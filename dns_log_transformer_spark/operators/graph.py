@@ -41,11 +41,14 @@ def pagerank_int(
     sum — combine-order-independent, unlike a float fold), rank'(v) =
     (1-d)*scale + (d_num * inc) DIV d_den.
 
-    Shape at scale: the per-node contribution is computed on the SMALL
-    side first (ranks ⋈ degrees — #nodes rows), so each iteration does
-    exactly ONE join over the edge list (broadcast of the #nodes-sized
-    contributions) plus a map-side-combined sum; the division happens
-    #nodes times, never #edges times. No driver state, no windows.
+    Shape at scale: the static out-degree is attached to the rank frame
+    ONCE (setup), so the per-node contribution is a PROJECTION of the
+    previous iteration's cached ranks (#nodes rows — no per-iteration
+    ranks ⋈ degrees join), and each iteration does exactly ONE join
+    over the edge list (broadcast of the #nodes-sized contributions)
+    plus a map-side-combined sum and one node-sized left join; the
+    division happens #nodes times, never #edges times. No driver
+    state, no windows.
 
     Caching: within a single action each iteration's ranks feed exactly
     ONE downstream consumer (the next iteration), so caching superseded
@@ -66,29 +69,45 @@ def pagerank_int(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     # one 1->2 Generate scan, not a two-branch union: union branches
     # race the (caller-owned) edge cache on the first action
-    nodes = persist_tracked(
-        e.select(
-            F.explode(F.array(F.col("_s"), F.col("_d"))).alias("node")
-        ).distinct()
+    nodes = e.select(
+        F.explode(F.array(F.col("_s"), F.col("_d"))).alias("node")
+    ).distinct()
+    deg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count("*").alias("_outdeg")
     )
-    deg = persist_tracked(e.groupBy("_s").agg(F.count("*").alias("_outdeg")))
+    # DEGREE FOLDED INTO THE RANK FRAME (r16, guide §2.4 remove
+    # shuffles): the old loop joined ranks x degrees EVERY iteration to
+    # form contributions. outdeg is static, so attach it ONCE (nodes
+    # LEFT JOIN deg — sink nodes keep a NULL outdeg and contribute
+    # nothing, exactly like the old inner join) and each iteration's
+    # contribution becomes a cached-frame PROJECTION: one join per
+    # iteration (edges x contributions) instead of two, and the
+    # separate nodes/deg persists collapse into this single frame.
+    ndeg = persist_tracked(nodes.join(deg, "node", "left"))
     base = scale - (d_num * scale) // d_den
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr_rank"))
+    ranks = ndeg.select(
+        "node", "_outdeg", F.lit(scale).cast("long").alias("pr_rank")
+    )
     prev: DataFrame | None = None
     for _ in range(iters):
-        per_node = (
-            ranks.withColumnRenamed("node", "_s")
-            .join(deg, "_s")
-            .select("_s", F.expr("CAST(pr_rank div _outdeg AS LONG)").alias("_c"))
+        per_node = ranks.filter(F.col("_outdeg").isNotNull()).select(
+            F.col("node").alias("_s"),
+            F.expr("CAST(pr_rank div _outdeg AS LONG)").alias("_c"),
         )
         inc = (
             e.join(per_node, "_s")
             .groupBy(F.col("_d").alias("node"))
             .agg(F.sum("_c").alias("_inc"))
         )
+        # each iteration's ranks stays persisted even though its lazy
+        # consumer count is one: the NEXT iteration reads it through a
+        # BroadcastExchange (the contribution build), whose
+        # materialization re-executes the whole uncached lineage —
+        # measured r16: dropping these persists cost +80% wall
         ranks = persist_tracked(
-            nodes.join(inc, "node", "left").select(
+            ndeg.join(inc, "node", "left").select(
                 "node",
+                "_outdeg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -100,7 +119,7 @@ def pagerank_int(
         if prev is not None:
             prev.unpersist(False)  # superseded: consumed once, never reused
         prev = ranks
-    return ranks
+    return ranks.select("node", "pr_rank")
 
 
 def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:

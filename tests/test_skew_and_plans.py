@@ -160,9 +160,15 @@ def test_bench_harness_smoke(spark):
         "metric", "value", "unit", "pass1_total", "queries", "rows", "sf",
         # r11 contention-adjudication fields (VERDICT r10 #4)
         "passes", "loadavg_start", "loadavg_end", "n_cpus",
+        # r16 scaling self-description (VERDICT r15 #2): n_cpus is the
+        # SESSION's defaultParallelism so an 8-core run's history row
+        # says 8; the machine core count and master ride along
+        "n_cpus_machine", "master",
     }
     assert len(detail["loadavg_start"]) == 3
     assert len(detail["loadavg_end"]) == 3
+    assert detail["n_cpus_machine"] == os.cpu_count()
+    assert detail["master"].startswith("local")
     assert set(detail["queries"]) == {"q1_pricing_summary", "dedup_exact"}
     assert detail["value"] == summary["value"]
     # headline = min-of-passes sum; pass-1 sum rides along for cold cost
