@@ -553,6 +553,7 @@ def connected_components(
         .persist()
     )
     changed = 0
+    prev = labels
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -565,24 +566,30 @@ def connected_components(
         # driver during analysis long before the data is big. Truncating
         # the plan keeps round cost flat; eager=True runs the round now
         # so the convergence count below reuses it.
-        new_labels = (
+        #
+        # The convergence signal rides the SAME pass as a flag column
+        # (r16, guide §1.2 fewer passes): new = least(old, n_min), so
+        # "changed" is exactly coalesce(n_min, old) < old — counting
+        # the flag over the checkpointed rows replaces the old
+        # new-vs-old labels JOIN (one shuffle join per round, gone).
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("component"), F.coalesce("n_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("n_min", F.col("component"))
+                    < F.col("component")
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(F.col("_chg")).count()
+        prev.unpersist()
+        prev = stepped
+        labels = stepped.select("doc_id", "component")
         if changed == 0:
             break
     edges.unpersist()

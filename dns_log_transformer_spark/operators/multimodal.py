@@ -766,7 +766,83 @@ def _idiv(num, den):
     return ((num - num % den) / den).cast("long")
 
 
-def _box_child_walk(cur, hx, n_bytes, prefix, parent_pos, parent_size, steps):
+# --- SQL-string expression builders for the container walks (r16,
+# DRIVER-side build cost: VERDICT r15 #4 / PLANS.md rule 9).
+# The unrolled container walks build THOUSANDS of tiny Column ops, and
+# EVERY Column operator call is a py4j socket roundtrip (~0.45 ms):
+# profiled at 10.6k roundtrips = ~4 s of driver build time per census
+# plan (bench passes rebuild plans, so that is real wall per pass in
+# the sweep's build+exec row). These helpers build the SAME expressions
+# as the ``_hx_*`` Column helpers above but as SQL STRINGS, applied
+# with one ``F.expr`` per output column — the SQL parser constructs the
+# identical Catalyst operators JVM-side, cutting the roundtrip count
+# ~40x. Positions are SQL sub-expressions (a column name or
+# parenthesized arithmetic); every helper parenthesizes its inputs.
+# ``_hx``/``_nb`` are the hex-payload / octet-length columns
+# materialized at the head of ``sniff_container_meta``.
+
+def _sx_str4(pos: str) -> str:
+    """Hex of the 4 bytes at 1-indexed byte position ``pos``."""
+    return f"substring(_hx, ({pos}) * 2 - 1, 8)"
+
+
+def _sx_byte(pos: str) -> str:
+    return (
+        f"CAST(conv(lpad(substring(_hx, ({pos}) * 2 - 1, 2), 2, '0'),"
+        " 16, 10) AS BIGINT)"
+    )
+
+
+def _sx_pair(pos: str) -> str:
+    return f"rpad(substring(_hx, ({pos}) * 2 - 1, 2), 2, '0')"
+
+
+def _sx_be16(pos: str) -> str:
+    return (
+        f"CAST(conv(rpad(substring(_hx, ({pos}) * 2 - 1, 4), 4, '0'),"
+        " 16, 10) AS BIGINT)"
+    )
+
+
+def _sx_be32(pos: str) -> str:
+    return (
+        f"CAST(conv(rpad(substring(_hx, ({pos}) * 2 - 1, 8), 8, '0'),"
+        " 16, 10) AS BIGINT)"
+    )
+
+
+def _sx_le16(pos: str) -> str:
+    return (
+        f"CAST(conv(concat({_sx_pair(f'({pos}) + 1')}, {_sx_pair(pos)}),"
+        " 16, 10) AS BIGINT)"
+    )
+
+
+def _sx_le32(pos: str) -> str:
+    return (
+        "CAST(conv(concat("
+        f"{_sx_pair(f'({pos}) + 3')}, {_sx_pair(f'({pos}) + 2')}, "
+        f"{_sx_pair(f'({pos}) + 1')}, {_sx_pair(pos)}), 16, 10) AS BIGINT)"
+    )
+
+
+def _sx_idiv(num: str, den: str) -> str:
+    """String form of :func:`_idiv` (same exact-integer discipline)."""
+    return f"CAST(((({num}) - (({num}) % ({den}))) / ({den})) AS BIGINT)"
+
+
+def _sx_stage(cur, cols: dict[str, str]):
+    """Apply one walk-stage projection from SQL-string expressions —
+    ONE py4j roundtrip per column plus one Dataset op, instead of one
+    roundtrip per Column operator. Uses ``selectExpr("*", ...)`` so a
+    later entry may reference an earlier entry's alias LATERALLY
+    (spark.sql.lateralColumnAlias, on by default since 3.4): chained
+    walk steps merge into one projection, halving the eager analyzer
+    passes a deep census plan pays per Dataset op (rule 9b)."""
+    return cur.selectExpr("*", *(f"{v} AS {k}" for k, v in cols.items()))
+
+
+def _box_child_walk(cur, prefix, parent_pos, parent_size, steps, pre=None):
     """Unrolled walk over the CHILD boxes of a parent at 1-indexed byte
     position ``parent_pos`` with resolved byte size ``parent_size``:
     materializes ``_<prefix>p{k}`` (child box position),
@@ -788,39 +864,47 @@ def _box_child_walk(cur, hx, n_bytes, prefix, parent_pos, parent_size, steps):
     # per plan build. cok is inlined into the next-position expression
     # (cheap comparisons; the expensive conv(substring) reads stay
     # top-level aliases for codegen subexpression elimination).
-    cur = cur.withColumns(
-        {
-            f"_{prefix}end": F.least(parent_pos + parent_size - 1, n_bytes),
-            f"_{prefix}p0": parent_pos + 8,
-        }
-    )
+    # Expressions are SQL strings since r16 (see the _sx_* helpers:
+    # the py4j-roundtrip cost of building them as Columns dominated
+    # the census's driver build). ``parent_pos``/``parent_size`` are
+    # SQL sub-expressions; the strings read the materialized
+    # ``_hx``/``_nb`` columns directly.
+    # one _sx_stage per barrier-bounded PAIR of steps (r16): the pair's
+    # second step references the first step's position LATERALLY, so
+    # both resolve in a single analyzer pass; ``pre`` lets a caller
+    # fold its parent-found projection into the same pass.
+    cols: dict[str, str] = dict(pre or {})
+    cols[f"_{prefix}end"] = f"least(({parent_pos}) + ({parent_size}) - 1, _nb)"
+    cols[f"_{prefix}p0"] = f"({parent_pos}) + 8"
     for k in range(steps):
-        p = F.col(f"_{prefix}p{k}")
-        csz = _hx_be32(hx, p)
-        cok = (p + 7 <= F.col(f"_{prefix}end")) & (csz >= 8)
-        cols = {
-            f"_{prefix}ok{k}": cok,
-            f"_{prefix}ty{k}": F.when(cok, _hx_str4(hx, p + 4)),
-        }
+        p = f"_{prefix}p{k}"
+        csz = _sx_be32(p)
+        cok = f"(({p}) + 7 <= _{prefix}end) AND (({csz}) >= 8)"
+        cols[f"_{prefix}ok{k}"] = cok
+        cols[f"_{prefix}ty{k}"] = (
+            f"CASE WHEN {cok} THEN {_sx_str4(f'({p}) + 4')} END"
+        )
         if k + 1 < steps:
-            cols[f"_{prefix}p{k + 1}"] = F.when(
-                cok, F.least(p + csz, n_bytes + 8)
-            ).otherwise(n_bytes + 8)
-        cur = cur.withColumns(cols)
+            cols[f"_{prefix}p{k + 1}"] = (
+                f"CASE WHEN {cok} THEN least(({p}) + ({csz}), _nb + 8) "
+                "ELSE _nb + 8 END"
+            )
+        if k % 2 == 1 or k == steps - 1:
+            cur = _sx_stage(cur, cols)
+            cols = {}
         if k % 2 == 1:  # intra-walk barrier: ~2 steps per codegen method
             cur = _codegen_barrier(cur, f"_{prefix}bar{k}")
     return cur
 
 
-def _box_child_found(prefix: str, steps: int, fourcc_hex: str):
-    """Position of the first walked child whose fourcc matches (NULL =
-    not found within the walk — exhaustion stays loud)."""
-    return F.coalesce(
-        *[
-            F.when(F.col(f"_{prefix}ty{k}") == fourcc_hex, F.col(f"_{prefix}p{k}"))
-            for k in range(steps)
-        ]
-    )
+def _box_child_found(prefix: str, steps: int, fourcc_hex: str) -> str:
+    """SQL expression for the position of the first walked child whose
+    fourcc matches (NULL = not found within the walk — exhaustion stays
+    loud)."""
+    return "COALESCE(" + ", ".join(
+        f"CASE WHEN _{prefix}ty{k} = '{fourcc_hex}' THEN _{prefix}p{k} END"
+        for k in range(steps)
+    ) + ")"
 
 
 def sniff_container_meta(
@@ -880,18 +964,29 @@ def sniff_container_meta(
     routes hostile values to NULL instead of an ANSI crash.
     """
     blobs = df if "blob" in df.columns else attach_blob(df)
-    cur = blobs.select(F.col(id_col), "blob").withColumn("_hx", F.hex("blob"))
-    hx = F.col("_hx")
-    n_bytes = F.octet_length("blob")
-
-    is_riff = F.substring(hx, 1, 8) == "52494646"  # 'RIFF'
-    container = (
-        F.when(is_riff & (F.substring(hx, 17, 8) == "57415645"), "wav")
-        .when(is_riff & (F.substring(hx, 17, 8) == "57454250"), "webp")
-        .when(F.substring(hx, 9, 8) == "66747970", "mp4")  # box 1 = ftyp
-        .otherwise("unknown")
+    # Expressions below are SQL STRINGS applied via _sx_stage (r16):
+    # building this walk as Column ops cost ~10.6k py4j roundtrips
+    # (~4 s driver time) per plan build — see the _sx_* helper block.
+    # _hx / _nb are the two inputs every string expression reads.
+    cur = blobs.select(F.col(id_col), "blob").withColumns(
+        {
+            "_hx": F.hex("blob"),
+            "_nb": F.octet_length("blob").cast("long"),
+        }
     )
-    cur = cur.withColumn("_ctr", container)
+    cur = _sx_stage(
+        cur,
+        {
+            "_ctr": (
+                "CASE WHEN substring(_hx, 1, 8) = '52494646'"  # 'RIFF'
+                " AND substring(_hx, 17, 8) = '57415645' THEN 'wav'"
+                " WHEN substring(_hx, 1, 8) = '52494646'"
+                " AND substring(_hx, 17, 8) = '57454250' THEN 'webp'"
+                " WHEN substring(_hx, 9, 8) = '66747970' THEN 'mp4'"  # ftyp
+                " ELSE 'unknown' END"
+            ),
+        },
+    )
 
     # WAV RIFF chunk walk: _wp{k} = byte position of the k-th chunk id
     # (chunks start at 13); _wfmt{k} = that chunk is 'fmt ' AND its full
@@ -907,70 +1002,65 @@ def sniff_container_meta(
     # before the substring/conv work), so the wav walk costs nothing
     # on the ~3/4 of rows that aren't wav — same outputs (the final
     # CASE never reads wav columns elsewhere), ~free rows elsewhere
-    cur = cur.withColumn(
-        "_wp0", F.when(F.col("_ctr") == "wav", F.lit(13)).cast("long")
-    )
+    # one projection per barrier-bounded PAIR of steps (r16 lateral
+    # aliases, see _sx_stage): the analyzer re-walks the accumulated
+    # plan on every Dataset op, so fewer/wider ops cost less driver
+    # time on deep walks
+    wcols = {"_wp0": "CAST(CASE WHEN _ctr = 'wav' THEN 13 END AS BIGINT)"}
     for k in range(wav_steps):
-        p = F.col(f"_wp{k}")
-        cols = {
-            f"_wfmt{k}": (_hx_str4(hx, p) == "666D7420")  # 'fmt '
-            & (p + 23 <= n_bytes),
-            f"_wdat{k}": _hx_str4(hx, p) == "64617461",  # 'data'
-        }
+        p = f"_wp{k}"
+        wcols[f"_wfmt{k}"] = (  # 'fmt '
+            f"({_sx_str4(p)} = '666D7420') AND (({p}) + 23 <= _nb)"
+        )
+        wcols[f"_wdat{k}"] = f"{_sx_str4(p)} = '64617461'"  # 'data'
         if k + 1 < wav_steps:
-            sz = _hx_le32(hx, p + 4)
+            sz = _sx_le32(f"({p}) + 4")
             # clamp: on non-RIFF bytes the le32 "size" is garbage up to
             # 2^32-1, and an unclamped position overflows substring's
             # int argument (ANSI CAST_OVERFLOW kills the job); past-end
             # positions all behave identically (lpad-guarded zero reads)
-            cols[f"_wp{k + 1}"] = F.least(p + 8 + sz + sz % 2, n_bytes + 8)
-        # one projection per step (not one per column): the analyzer
-        # re-walks the accumulated plan on every transformation, so
-        # withColumn chains cost quadratic DRIVER time on deep walks
-        cur = cur.withColumns(cols)
+            wcols[f"_wp{k + 1}"] = (
+                f"least(({p}) + 8 + ({sz}) + (({sz}) % 2), _nb + 8)"
+            )
+        if k % 2 == 1 or k == wav_steps - 1:
+            cur = _sx_stage(cur, wcols)
+            wcols = {}
         if k % 2 == 1:  # intra-walk barrier: ~2 steps per codegen method
             cur = _codegen_barrier(cur, f"_wbar{k}")
-    wav_rate = F.coalesce(
-        *[
-            F.when(F.col(f"_wfmt{k}"), _hx_le32(hx, F.col(f"_wp{k}") + 12))
-            for k in range(wav_steps)
-        ]
-    )
-    wav_ch = F.coalesce(
-        *[
-            F.when(F.col(f"_wfmt{k}"), _hx_le16(hx, F.col(f"_wp{k}") + 10))
-            for k in range(wav_steps)
-        ]
-    )
+    wav_rate = "COALESCE(" + ", ".join(
+        f"CASE WHEN _wfmt{k} THEN {_sx_le32(f'_wp{k} + 12')} END"
+        for k in range(wav_steps)
+    ) + ")"
+    wav_ch = "COALESCE(" + ", ".join(
+        f"CASE WHEN _wfmt{k} THEN {_sx_le16(f'_wp{k} + 10')} END"
+        for k in range(wav_steps)
+    ) + ")"
     # fmt body offset 8 = average byte rate (le32); 'data' declared
     # size / byte rate = the header-declared duration (a truncated
     # upload keeps its declared duration — the DECLARED-vs-present gap
     # is mdat/moov-style structural checking, not duration parsing)
-    wav_byte_rate = F.coalesce(
-        *[
-            F.when(F.col(f"_wfmt{k}"), _hx_le32(hx, F.col(f"_wp{k}") + 16))
-            for k in range(wav_steps)
-        ]
-    )
-    wav_data = F.coalesce(
-        *[
-            F.when(F.col(f"_wdat{k}"), _hx_le32(hx, F.col(f"_wp{k}") + 4))
-            for k in range(wav_steps)
-        ]
-    )
-    wav_dur_us = F.when(
-        wav_byte_rate > 0, _idiv(wav_data * 1000000, wav_byte_rate)
+    wav_byte_rate = "COALESCE(" + ", ".join(
+        f"CASE WHEN _wfmt{k} THEN {_sx_le32(f'_wp{k} + 16')} END"
+        for k in range(wav_steps)
+    ) + ")"
+    wav_data = "COALESCE(" + ", ".join(
+        f"CASE WHEN _wdat{k} THEN {_sx_le32(f'_wp{k} + 4')} END"
+        for k in range(wav_steps)
+    ) + ")"
+    wav_dur_us = (
+        f"CASE WHEN ({wav_byte_rate}) > 0 THEN "
+        f"{_sx_idiv(f'({wav_data}) * 1000000', wav_byte_rate)} END"
     )
     # materialize the per-container outputs INSIDE their stage so the
     # final select assembles small columns instead of re-inlining every
     # coalesce chain into one method (the 64 KB trap, see
-    # _codegen_barrier)
-    cur = cur.withColumns(
-        {"_wav_rate": wav_rate, "_wav_ch": wav_ch, "_wav_dur": wav_dur_us}
-    )
-
-    # stage barrier: the WAV walk's columns compile as their own method
-    cur = _codegen_barrier(cur, "_stage_wav")
+    # _codegen_barrier); the webp columns (below, walk-free) share the
+    # projection — they read only _hx/_nb
+    wav_out = {
+        "_wav_rate": wav_rate,
+        "_wav_ch": wav_ch,
+        "_wav_dur": wav_dur_us,
+    }
 
     # WebP variant dims (chunk fourcc at 13, body at 21). Every branch
     # carries a LENGTH gate beside its signature check: the lpad guard
@@ -978,28 +1068,33 @@ def sniff_container_meta(
     # parse as a confidently-wrong 1x1 canvas with parsed=true — the
     # exact quiet-data-loss class the census exists to surface
     # (code-review r10; truncated-VP8X pinned in test_formats).
-    variant = _hx_str4(hx, F.lit(13))
-    vp8_sync = (F.substring(hx, 47, 6) == "9D012A") & (n_bytes >= 30)
-    vp8_w = _hx_le16(hx, F.lit(27)) % 16384
-    vp8_h = _hx_le16(hx, F.lit(29)) % 16384
-    vp8l_sig = (F.substring(hx, 41, 2) == "2F") & (n_bytes >= 25)
-    vp8l_bits = _hx_le32(hx, F.lit(22))
-    vp8l_w = vp8l_bits % 16384 + 1
-    vp8l_h = F.floor(vp8l_bits / 16384) % 16384 + 1
-    vp8x_ok = n_bytes >= 30  # flags+reserved+two le24 dims end at 30
-    vp8x_w = _hx_le16(hx, F.lit(25)) + _hx_byte(hx, F.lit(27)) * 65536 + 1
-    vp8x_h = _hx_le16(hx, F.lit(28)) + _hx_byte(hx, F.lit(30)) * 65536 + 1
+    variant = _sx_str4("13")
+    vp8_sync = "(substring(_hx, 47, 6) = '9D012A') AND (_nb >= 30)"
+    vp8_w = f"({_sx_le16('27')}) % 16384"
+    vp8_h = f"({_sx_le16('29')}) % 16384"
+    vp8l_sig = "(substring(_hx, 41, 2) = '2F') AND (_nb >= 25)"
+    vp8l_bits = _sx_le32("22")
+    vp8l_w = f"(({vp8l_bits}) % 16384) + 1"
+    vp8l_h = f"((FLOOR(({vp8l_bits}) / 16384)) % 16384) + 1"
+    vp8x_ok = "_nb >= 30"  # flags+reserved+two le24 dims end at 30
+    vp8x_w = f"({_sx_le16('25')}) + ({_sx_byte('27')}) * 65536 + 1"
+    vp8x_h = f"({_sx_le16('28')}) + ({_sx_byte('30')}) * 65536 + 1"
     webp_w = (
-        F.when((variant == "56503820") & vp8_sync, vp8_w)   # 'VP8 '
-        .when((variant == "5650384C") & vp8l_sig, vp8l_w)   # 'VP8L'
-        .when((variant == "56503858") & vp8x_ok, vp8x_w)    # 'VP8X'
+        f"CASE WHEN ({variant} = '56503820') AND ({vp8_sync}) THEN {vp8_w}"
+        f" WHEN ({variant} = '5650384C') AND ({vp8l_sig}) THEN {vp8l_w}"
+        f" WHEN ({variant} = '56503858') AND ({vp8x_ok}) THEN {vp8x_w} END"
     )
     webp_h = (
-        F.when((variant == "56503820") & vp8_sync, vp8_h)
-        .when((variant == "5650384C") & vp8l_sig, vp8l_h)
-        .when((variant == "56503858") & vp8x_ok, vp8x_h)
+        f"CASE WHEN ({variant} = '56503820') AND ({vp8_sync}) THEN {vp8_h}"
+        f" WHEN ({variant} = '5650384C') AND ({vp8l_sig}) THEN {vp8l_h}"
+        f" WHEN ({variant} = '56503858') AND ({vp8x_ok}) THEN {vp8x_h} END"
     )
-    cur = cur.withColumns({"_webp_w": webp_w, "_webp_h": webp_h})
+    cur = _sx_stage(
+        cur, {**wav_out, "_webp_w": webp_w, "_webp_h": webp_h}
+    )
+    # stage barrier: the WAV/webp output columns compile as their own
+    # method
+    cur = _codegen_barrier(cur, "_stage_wav")
 
     # ISO-BMFF top-level box walk: _bp{k} = byte position of box k's
     # size field. Spec-true size handling (ISO 14496-12 §4.2):
@@ -1010,65 +1105,67 @@ def sniff_container_meta(
     # only for the last box — counted, then the walk stops).
     # same container gate as the wav walk: NULL start = free non-mp4
     # rows (the descent below then short-circuits through NULL moov)
-    cur = cur.withColumn(
-        "_bp0", F.when(F.col("_ctr") == "mp4", F.lit(1)).cast("long")
-    )
+    bcols = {"_bp0": "CAST(CASE WHEN _ctr = 'mp4' THEN 1 END AS BIGINT)"}
     for k in range(mp4_steps):
-        p = F.col(f"_bp{k}")
-        sz32 = _hx_be32(hx, p)
+        p = f"_bp{k}"
+        sz32 = _sx_be32(p)
         # 64-bit largesize: gate the high dword BEFORE any arithmetic —
         # any nonzero high half already exceeds every payload, and
         # multiplying it by 2^32 first overflows long under ANSI for
         # high >= 2^31 (a crafted mdat kills the whole census job,
         # ADVICE r10); the clamp value n_bytes + 8 keeps the box
         # counted and ends the walk, same as every other oversize
-        large = F.when(_hx_be32(hx, p + 8) > 0, n_bytes + 8).otherwise(
-            F.least(_hx_be32(hx, p + 12), n_bytes + 8)
+        large = (
+            f"CASE WHEN ({_sx_be32(f'({p}) + 8')}) > 0 THEN _nb + 8"
+            f" ELSE least({_sx_be32(f'({p}) + 12')}, _nb + 8) END"
         )
         sz = (
-            F.when(sz32 == 0, n_bytes - p + 1)  # to-EOF box
-            .when(sz32 == 1, large)
-            .otherwise(sz32)
+            f"CASE WHEN ({sz32}) = 0 THEN _nb - ({p}) + 1"  # to-EOF box
+            f" WHEN ({sz32}) = 1 THEN {large}"
+            f" ELSE ({sz32}) END"
         )
-        min_sz = F.when(sz32 == 1, F.lit(16)).otherwise(F.lit(8))
-        ok = (p + 7 <= n_bytes) & (sz >= min_sz)
-        cols = {
-            f"_bok{k}": ok,
-            f"_bty{k}": F.when(ok, _hx_str4(hx, p + 4)),
-            f"_bsz{k}": F.when(ok, sz),
-        }
+        min_sz = f"CASE WHEN ({sz32}) = 1 THEN 16 ELSE 8 END"
+        ok = f"(({p}) + 7 <= _nb) AND (({sz}) >= ({min_sz}))"
+        bcols[f"_bok{k}"] = ok
+        bcols[f"_bty{k}"] = (
+            f"CASE WHEN {ok} THEN {_sx_str4(f'({p}) + 4')} END"
+        )
+        bcols[f"_bsz{k}"] = f"CASE WHEN {ok} THEN {sz} END"
         if k + 1 < mp4_steps:
             # same clamp as the WAV walk: a garbage size of up to
             # 2^32-1 must not push the position past int range
-            cols[f"_bp{k + 1}"] = F.when(
-                ok, F.least(p + sz, n_bytes + 8)
-            ).otherwise(n_bytes + 8)
-        cur = cur.withColumns(cols)  # one projection per step (driver cost)
+            bcols[f"_bp{k + 1}"] = (
+                f"CASE WHEN {ok} THEN least(({p}) + ({sz}), _nb + 8)"
+                " ELSE _nb + 8 END"
+            )
+        if k % 2 == 1 or k == mp4_steps - 1:
+            cur = _sx_stage(cur, bcols)  # one projection per step pair
+            bcols = {}
         if k % 2 == 1:  # intra-walk barrier: ~2 steps per codegen method
             cur = _codegen_barrier(cur, f"_bbar{k}")
-    mp4_boxes = sum(
-        F.col(f"_bok{k}").cast("long") for k in range(mp4_steps)
+    mp4_boxes = " + ".join(
+        f"CAST(_bok{k} AS BIGINT)" for k in range(mp4_steps)
     )
-    # each term coalesces through when/otherwise: _bty{k} is NULL past
-    # the last valid box, and a bare (NULL == 'moov') would poison the
+    # each term coalesces through CASE/ELSE 0: _bty{k} is NULL past
+    # the last valid box, and a bare (NULL = 'moov') would poison the
     # whole + chain to NULL (the first cut's bug — d2 came back NULL on
     # every structurally-complete mp4)
     mp4_complete = (
-        sum(
-            F.when(F.col(f"_bty{k}") == "6D6F6F76", 1).otherwise(0)  # 'moov'
+        "(("
+        + " + ".join(
+            f"CASE WHEN _bty{k} = '6D6F6F76' THEN 1 ELSE 0 END"  # 'moov'
             for k in range(mp4_steps)
         )
-        > 0
-    ) & (
-        sum(
-            F.when(F.col(f"_bty{k}") == "6D646174", 1).otherwise(0)  # 'mdat'
+        + ") > 0) AND (("
+        + " + ".join(
+            f"CASE WHEN _bty{k} = '6D646174' THEN 1 ELSE 0 END"  # 'mdat'
             for k in range(mp4_steps)
         )
-        > 0
+        + ") > 0)"
     )
 
-    cur = cur.withColumns(
-        {"_mp4_boxes": mp4_boxes, "_mp4_complete": mp4_complete}
+    cur = _sx_stage(
+        cur, {"_mp4_boxes": mp4_boxes, "_mp4_complete": mp4_complete}
     )
 
     # stage barrier: the top-level box walk compiles as its own method
@@ -1084,62 +1181,72 @@ def sniff_container_meta(
     # the audio trak zeros, so MAX across traks is the canvas). Every
     # miss is LOUD: no mvhd in the walk, a non-tkhd-first trak, or a
     # 64-bit duration with a nonzero high dword all leave NULLs.
-    mpos = F.coalesce(
-        *[
-            F.when(F.col(f"_bty{k}") == "6D6F6F76", F.col(f"_bp{k}"))
-            for k in range(mp4_steps)
-        ]
-    )
-    msz = F.coalesce(
-        *[
-            F.when(F.col(f"_bty{k}") == "6D6F6F76", F.col(f"_bsz{k}"))
-            for k in range(mp4_steps)
-        ]
-    )
+    mpos = "COALESCE(" + ", ".join(
+        f"CASE WHEN _bty{k} = '6D6F6F76' THEN _bp{k} END"
+        for k in range(mp4_steps)
+    ) + ")"
+    msz = "COALESCE(" + ", ".join(
+        f"CASE WHEN _bty{k} = '6D6F6F76' THEN _bsz{k} END"
+        for k in range(mp4_steps)
+    ) + ")"
     # child walk over moov (the _box_child_walk helper since r12 — the
     # same unrolled machinery now also drives the codec descent below);
     # msz is the top-level walk's RESOLVED size (largesize handled)
-    cur = _box_child_walk(cur, hx, n_bytes, "c", mpos, msz, moov_steps)
+    cur = _box_child_walk(cur, "c", mpos, msz, moov_steps)
     # stage barrier: the moov child walk compiles as its own method
     cur = _codegen_barrier(cur, "_stage_moov")
 
-    mvq = _box_child_found("c", moov_steps, "6D766864")  # mvhd
-    mv_v1 = _hx_byte(hx, mvq + 8) == 1
-    mp4_timescale = F.when(mv_v1, _hx_be32(hx, mvq + 28)).otherwise(
-        _hx_be32(hx, mvq + 20)
+    # mvhd position materialized once (r16): the string expressions
+    # below would otherwise each inline the whole coalesce chain; it
+    # shares the dur/dims projection via a lateral reference
+    mvq_col = {"_mvq": _box_child_found("c", moov_steps, "6D766864")}  # mvhd
+    mv_v1 = f"({_sx_byte('_mvq + 8')}) = 1"
+    mp4_timescale = (
+        f"CASE WHEN {mv_v1} THEN {_sx_be32('_mvq + 28')}"
+        f" ELSE {_sx_be32('_mvq + 20')} END"
     )
-    mp4_duration = F.when(
-        mv_v1,
+    mp4_duration = (
         # 64-bit duration: read the low dword only when the high dword
         # is zero — same no-multiply overflow discipline as largesize
-        F.when(_hx_be32(hx, mvq + 32) == 0, _hx_be32(hx, mvq + 36)),
-    ).otherwise(_hx_be32(hx, mvq + 24))
-    mp4_dur_us = F.when(
-        mp4_timescale > 0, _idiv(mp4_duration * 1000000, mp4_timescale)
+        f"CASE WHEN {mv_v1} THEN"
+        f" (CASE WHEN ({_sx_be32('_mvq + 32')}) = 0"
+        f" THEN {_sx_be32('_mvq + 36')} END)"
+        f" ELSE {_sx_be32('_mvq + 24')} END"
+    )
+    mp4_dur_us = (
+        f"CASE WHEN ({mp4_timescale}) > 0 THEN "
+        f"{_sx_idiv(f'({mp4_duration}) * 1000000', mp4_timescale)} END"
     )
     # tkhd integer dims per trak child whose FIRST grandchild is tkhd
     # (universal muxer layout; anything else stays NULL):
     # v0 width at tkhd body offset 76, v1 at 88 (+12 for 64-bit times)
     tk_dims = []
     for k in range(moov_steps):
-        tq = F.col(f"_cp{k}") + 8  # candidate tkhd box position
+        tq = f"(_cp{k} + 8)"  # candidate tkhd box position
         is_tk = (
-            F.col(f"_cok{k}")
-            & (F.col(f"_cty{k}") == "7472616B")  # trak
-            & (_hx_str4(hx, tq + 4) == "746B6864")  # tkhd
+            f"_cok{k} AND (_cty{k} = '7472616B')"  # trak
+            f" AND ({_sx_str4(f'{tq} + 4')} = '746B6864')"  # tkhd
         )
-        tk_v1 = _hx_byte(hx, tq + 8) == 1
-        woff = F.when(tk_v1, F.lit(96)).otherwise(F.lit(84))
+        tk_v1 = f"({_sx_byte(f'{tq} + 8')}) = 1"
+        woff = f"CASE WHEN {tk_v1} THEN 96 ELSE 84 END"
         tk_dims.append(
             (
-                F.when(is_tk, _hx_be16(hx, tq + woff)),
-                F.when(is_tk, _hx_be16(hx, tq + woff + 4)),
+                f"CASE WHEN {is_tk} THEN "
+                f"{_sx_be16(f'{tq} + ({woff})')} END",
+                f"CASE WHEN {is_tk} THEN "
+                f"{_sx_be16(f'{tq} + ({woff}) + 4')} END",
             )
         )
-    mp4_vw = F.greatest(*[w for w, _ in tk_dims])
-    mp4_vh = F.greatest(*[h for _, h in tk_dims])
-    cur = cur.withColumns(
-        {"_mp4_dur": mp4_dur_us, "_mp4_vw": mp4_vw, "_mp4_vh": mp4_vh}
+    mp4_vw = "greatest(" + ", ".join(w for w, _ in tk_dims) + ")"
+    mp4_vh = "greatest(" + ", ".join(h for _, h in tk_dims) + ")"
+    cur = _sx_stage(
+        cur,
+        {
+            **mvq_col,
+            "_mp4_dur": mp4_dur_us,
+            "_mp4_vw": mp4_vw,
+            "_mp4_vh": mp4_vh,
+        },
     )
     # stage barrier: the mvhd/tkhd reads compile as their own method,
     # leaving the final select a CASE over ~10 materialized columns
@@ -1159,29 +1266,26 @@ def sniff_container_meta(
     # steps, and each Dataset op costs an eager analyzer pass over the
     # whole accumulated plan — the deep census pays real driver time
     # per op, so ops are budgeted.
-    cur = cur.withColumn(
-        "_trakq", _box_child_found("c", moov_steps, "7472616B")  # trak
-    )
-    tq0 = F.col("_trakq")
+    # each level's found-position projection folds into the next
+    # walk's first stage (pre=, resolved laterally) — one analyzer
+    # pass per level instead of two
     cur = _box_child_walk(
-        cur, hx, n_bytes, "t", tq0, _hx_be32(hx, tq0), trak_steps
+        cur, "t", "_trakq", _sx_be32("_trakq"), trak_steps,
+        pre={"_trakq": _box_child_found("c", moov_steps, "7472616B")},  # trak
     )
-    cur = cur.withColumn("_mdq", _box_child_found("t", trak_steps, "6D646961"))
-    dq0 = F.col("_mdq")
     cur = _box_child_walk(
-        cur, hx, n_bytes, "d", dq0, _hx_be32(hx, dq0), mdia_steps
+        cur, "d", "_mdq", _sx_be32("_mdq"), mdia_steps,
+        pre={"_mdq": _box_child_found("t", trak_steps, "6D646961")},
     )
-    cur = cur.withColumn("_mfq", _box_child_found("d", mdia_steps, "6D696E66"))
-    fq0 = F.col("_mfq")
     cur = _box_child_walk(
-        cur, hx, n_bytes, "f", fq0, _hx_be32(hx, fq0), minf_steps
+        cur, "f", "_mfq", _sx_be32("_mfq"), minf_steps,
+        pre={"_mfq": _box_child_found("d", mdia_steps, "6D696E66")},
     )
-    cur = cur.withColumn("_sbq", _box_child_found("f", minf_steps, "7374626C"))
-    sq0 = F.col("_sbq")
     cur = _box_child_walk(
-        cur, hx, n_bytes, "s", sq0, _hx_be32(hx, sq0), stbl_steps
+        cur, "s", "_sbq", _sx_be32("_sbq"), stbl_steps,
+        pre={"_sbq": _box_child_found("f", minf_steps, "7374626C")},
     )
-    cur = cur.withColumn("_sdq", _box_child_found("s", stbl_steps, "73747364"))
+    sdq_col = {"_sdq": _box_child_found("s", stbl_steps, "73747364")}
     # stsd layout (ISO 14496-12 §8.5.2): verflags at +8, entry_count
     # (be32) at +12, first sample entry's size at +16 and its format
     # fourcc at +20. Gates: at least one entry declared, the entry at
@@ -1190,50 +1294,46 @@ def sniff_container_meta(
     # alphanumerics plus ' ', '.', '-': avc1/hvc1/mp4a/av01/ac-3/
     # .mp3/raw ) — junk bytes would otherwise decode into confidently-
     # wrong mojibake, the quiet-data-loss class the census surfaces.
-    sdq = F.col("_sdq")
-    stsd_fourcc = F.decode(F.unhex(_hx_str4(hx, sdq + 20)), "UTF-8")
-    codec = F.when(
-        (_hx_be32(hx, sdq + 12) >= 1)
-        & (_hx_be32(hx, sdq + 16) >= 16)
-        & (sdq + 23 <= n_bytes)
-        & stsd_fourcc.rlike("^[0-9A-Za-z .-]{4}$"),
-        stsd_fourcc,
+    stsd_fourcc = f"decode(unhex({_sx_str4('_sdq + 20')}), 'UTF-8')"
+    codec = (
+        f"CASE WHEN ({_sx_be32('_sdq + 12')}) >= 1"
+        f" AND ({_sx_be32('_sdq + 16')}) >= 16"
+        " AND (_sdq + 23 <= _nb)"
+        f" AND ({stsd_fourcc}) RLIKE '^[0-9A-Za-z .-]{{4}}$'"
+        f" THEN {stsd_fourcc} END"
     )
-    cur = cur.withColumn("_mp4_codec", codec)
+    cur = _sx_stage(cur, {**sdq_col, "_mp4_codec": codec})
     # stage barrier: the stsd reads compile as their own method
     cur = _codegen_barrier(cur, "_stage_stsd")
 
-    d1 = (
-        F.when(F.col("_ctr") == "wav", F.col("_wav_rate"))
-        .when(F.col("_ctr") == "webp", F.col("_webp_w"))
-        .when(F.col("_ctr") == "mp4", F.col("_mp4_boxes"))
+    d1_i = (
+        "try_cast((CASE WHEN _ctr = 'wav' THEN _wav_rate"
+        " WHEN _ctr = 'webp' THEN _webp_w"
+        " WHEN _ctr = 'mp4' THEN _mp4_boxes END) AS BIGINT)"
     )
-    d2 = (
-        F.when(F.col("_ctr") == "wav", F.col("_wav_ch"))
-        .when(F.col("_ctr") == "webp", F.col("_webp_h"))
-        .when(F.col("_ctr") == "mp4", F.col("_mp4_complete").cast("long"))
+    d2_i = (
+        "try_cast((CASE WHEN _ctr = 'wav' THEN _wav_ch"
+        " WHEN _ctr = 'webp' THEN _webp_h"
+        " WHEN _ctr = 'mp4' THEN CAST(_mp4_complete AS BIGINT) END)"
+        " AS BIGINT)"
     )
-    d1_i = d1.try_cast("long")
-    d2_i = d2.try_cast("long")
     dur_us = (
-        F.when(F.col("_ctr") == "wav", F.col("_wav_dur"))
-        .when(F.col("_ctr") == "mp4", F.col("_mp4_dur"))
-        .try_cast("long")
+        "try_cast((CASE WHEN _ctr = 'wav' THEN _wav_dur"
+        " WHEN _ctr = 'mp4' THEN _mp4_dur END) AS BIGINT)"
     )
-    v_w = F.when(F.col("_ctr") == "mp4", F.col("_mp4_vw")).try_cast("long")
-    v_h = F.when(F.col("_ctr") == "mp4", F.col("_mp4_vh")).try_cast("long")
-    codec_out = F.when(F.col("_ctr") == "mp4", F.col("_mp4_codec"))
-    return cur.select(
-        F.col(id_col),
-        F.col("_ctr").alias("container"),
-        d1_i.alias("d1"),
-        d2_i.alias("d2"),
-        (d1_i.isNotNull() & d2_i.isNotNull()).alias("parsed"),
-        n_bytes.cast("long").alias("n_bytes"),
-        dur_us.alias("dur_us"),
-        v_w.alias("v_w"),
-        v_h.alias("v_h"),
-        codec_out.alias("codec"),
+    return cur.selectExpr(
+        f"`{id_col}`",
+        "_ctr AS container",
+        f"{d1_i} AS d1",
+        f"{d2_i} AS d2",
+        f"((({d1_i}) IS NOT NULL) AND (({d2_i}) IS NOT NULL)) AS parsed",
+        "_nb AS n_bytes",
+        f"{dur_us} AS dur_us",
+        "try_cast((CASE WHEN _ctr = 'mp4' THEN _mp4_vw END) AS BIGINT)"
+        " AS v_w",
+        "try_cast((CASE WHEN _ctr = 'mp4' THEN _mp4_vh END) AS BIGINT)"
+        " AS v_h",
+        "CASE WHEN _ctr = 'mp4' THEN _mp4_codec END AS codec",
     )
 
 
