@@ -2446,20 +2446,17 @@ def q_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
     """Wide-to-long reshaping via unpivot/melt (the Expand operator —
     each input row emits one row per measure, no shuffle until the
     aggregate), with per-measure stats. Sums fold as exact DECIMAL so
-    combine order can't diverge from the oracle (PLANS.md rule 5)."""
-    from dns_log_transformer_spark.operators.text import rebalance_for_fanout
+    combine order can't diverge from the oracle (PLANS.md rule 5).
 
-    # under-split-scan fix (r15): the Expand (3 rows out per row in)
-    # and the decimal partial agg rode the single-row-group scan on ONE
-    # task (profile: 1.1 s serial, ~0 parallel CPU). Sums are exact
-    # DECIMAL and min/max/count — order-independent, so the round-robin
-    # rebalance (no-op on well-split scans) cannot move the answer.
-    li = rebalance_for_fanout(
-        table(spark, sf, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
-        )
-    )
-    long = li.unpivot(
+    r16 note: the r15 rebalance_for_fanout keep was REVERTED here
+    (byte-identical to the attested e3de281 source) — its win existed
+    only in filtered cold A/Bs and washed out in every quiet full
+    bench (0.62-0.75 s with vs 0.637 s base), the same evidence class
+    whose three other keeps batch 5 reverted (VERDICT r15 #4)."""
+    li = table(spark, sf, "lineitem")
+    long = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
         ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_discount", "l_tax"],
         "measure",
