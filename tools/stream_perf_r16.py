@@ -22,12 +22,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from dns_log_transformer_spark.session import get_spark, read_table  # noqa: E402
 
@@ -97,32 +98,41 @@ def state_leg(spark):
         user_activity_profile,
     )
     from dns_log_transformer_spark.streaming.source import read_events_stream
-    from dns_log_transformer_spark.streaming.stateful import (
-        sessionized_user_totals,
-    )
 
+    # the TWS operator runs through the per-row state-server protocol
+    # with non-daemon workers (the tws_driver environment) — orders of
+    # magnitude slower per row than applyInPandasWithState's batched
+    # exchange, so it replays a deterministic SAMPLE (state size vs
+    # keys is the claim under test, not throughput). The timer-driven
+    # sessionizer is excluded: its processing-time timers keep an
+    # availableNow query re-triggering (semantics pytest-covered via
+    # tws_driver.py); user_activity_profile covers the TWS state-size
+    # question without timers.
     ops = {
-        "running_user_totals_aipws": running_user_totals,
-        "sessionized_user_totals_tws": sessionized_user_totals,
-        "user_activity_profile_tws": user_activity_profile,
+        "running_user_totals_aipws": (running_user_totals, 1),
+        "user_activity_profile_tws": (user_activity_profile, 20),
     }
     results = {}
     for tag, sf in (("1x", SRC), ("10x", X10)):
-        jdir = f"/root/repo/scratch/stream_r16/events_json_{tag}"
-        if not os.path.isdir(jdir):
-            ev = read_table(spark, sf, "events").select(
-                "event_id",
-                "ts",
-                "user_id",
-                "event_type",
-                "value",
-                "props",
+        for name, (op, sample) in ops.items():
+            jdir = (
+                f"/root/repo/scratch/stream_r16/events_json_{tag}_s{sample}"
             )
-            ev.repartition(20).write.json(jdir)
-        nkeys = (
-            spark.read.json(jdir).select("user_id").distinct().count()
-        )
-        for name, op in ops.items():
+            if not os.path.isdir(jdir):
+                ev = read_table(spark, sf, "events").select(
+                    "event_id",
+                    "ts",
+                    "user_id",
+                    "event_type",
+                    "value",
+                    "props",
+                )
+                if sample > 1:
+                    ev = ev.filter(F.col("event_id") % sample == 0)
+                ev.repartition(20).write.json(jdir)
+            nkeys = (
+                spark.read.json(jdir).select("user_id").distinct().count()
+            )
             stream = read_events_stream(spark, jdir)
             t0 = time.perf_counter()
             q = _run_available_now(
